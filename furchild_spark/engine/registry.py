@@ -1,0 +1,191 @@
+"""Model registry + DAG runner — the thin dbt replacement (SURVEY.md §3.4).
+
+The reference's orchestration layer is dbt: a manifest DAG of ``ref()`` /
+``source()`` edges, topologically executed, each node materialized per its
+``materialized=`` config (reference ``dbt_project.yml:18-39``). Here a model
+is a plain Python function taking an :class:`ExecutionContext` and returning
+a DataFrame; the registry resolves ``ctx.ref()`` recursively (memoized), so
+topological order falls out of the call graph — no separate scheduler is
+needed, and Catalyst sees the *whole* composed plan when models are views
+(letting filter pushdown cross model boundaries, which dbt-on-Snowflake only
+gets for views too).
+
+Materialization modes mirror the reference:
+
+- ``table``        → persist parquet to the warehouse dir, read back
+                     (reference ``dbt_project.yml:20``)
+- ``view``         → lazy DataFrame, inlined by Catalyst
+                     (``models/staging/stg_transactions.sql:1``)
+- ``ephemeral``    → same as view (CTE inlining)
+- ``incremental``  → first run full write; later runs upsert-merge on
+                     ``unique_key`` (``fct_orders.sql:1-5``); see
+                     materialize.merge_upsert for the scale notes.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import materialize as mat
+
+DEFAULT_VARS = {
+    # reference dbt_project.yml:12-14
+    "vat_rate": 0.05,
+    "monthly_discount_rate": 0.009,  # declared but never consumed (SURVEY §0)
+}
+
+
+@dataclass
+class Model:
+    name: str
+    fn: Callable[["ExecutionContext"], DataFrame]
+    materialized: str = "table"
+    unique_key: str | None = None
+    partition_by: tuple[str, ...] = ()
+    tags: tuple[str, ...] = ()
+
+
+class ModelRegistry:
+    def __init__(self) -> None:
+        self._models: dict[str, Model] = {}
+
+    def model(
+        self,
+        name: str | None = None,
+        materialized: str = "table",
+        unique_key: str | None = None,
+        partition_by: tuple[str, ...] = (),
+        tags: tuple[str, ...] = (),
+    ):
+        def deco(fn):
+            model_name = name or fn.__name__
+            self._models[model_name] = Model(
+                name=model_name,
+                fn=fn,
+                materialized=materialized,
+                unique_key=unique_key,
+                partition_by=tuple(partition_by),
+                tags=tuple(tags),
+            )
+            return fn
+
+        return deco
+
+    def __getitem__(self, name: str) -> Model:
+        return self._models[name]
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._models
+
+    def names(self) -> list[str]:
+        return list(self._models)
+
+
+@dataclass
+class ExecutionContext:
+    """What a model function sees: spark + ref/source/var + incremental state."""
+
+    spark: SparkSession
+    runner: "Runner"
+    model: Model
+
+    def ref(self, name: str) -> DataFrame:
+        return self.runner.ref(name)
+
+    def source(self, name: str) -> DataFrame:
+        return self.runner.source(name)
+
+    def var(self, name: str, default=None):
+        return self.runner.vars.get(name, default)
+
+    def is_incremental(self) -> bool:
+        """True only on incremental models that already have a prior
+        materialization — mirrors dbt's ``is_incremental()``."""
+        return (
+            self.model.materialized == "incremental"
+            and self.runner.incremental
+            and self.runner.has_existing(self.model.name)
+        )
+
+    def existing(self) -> DataFrame | None:
+        return self.runner.existing(self.model.name)
+
+    def now(self):
+        """Frozen-clock hook (SURVEY §7.4 item 8): tests inject a fixed
+        timestamp so lookback predicates and audit columns are deterministic."""
+        return self.runner.now
+
+
+class Runner:
+    """Resolves and materializes models on demand, memoized per run."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        registry: ModelRegistry,
+        sources: dict[str, DataFrame] | Callable[[str], DataFrame],
+        warehouse_dir: str | None = None,
+        incremental: bool = False,
+        variables: dict | None = None,
+        now: dt.datetime | None = None,
+    ) -> None:
+        self.spark = spark
+        self.registry = registry
+        self._sources = sources
+        self.warehouse_dir = warehouse_dir
+        self.incremental = incremental
+        self.vars = {**DEFAULT_VARS, **(variables or {})}
+        self.now = now
+        self._cache: dict[str, DataFrame] = {}
+
+    # -- source / ref resolution ------------------------------------------
+    def source(self, name: str) -> DataFrame:
+        if callable(self._sources):
+            return self._sources(name)
+        return self._sources[name]
+
+    def ref(self, name: str) -> DataFrame:
+        if name not in self._cache:
+            self._cache[name] = self._build(self.registry[name])
+        return self._cache[name]
+
+    # -- incremental state -------------------------------------------------
+    def _path(self, name: str) -> str | None:
+        if self.warehouse_dir is None:
+            return None
+        return f"{self.warehouse_dir}/{name}"
+
+    def has_existing(self, name: str) -> bool:
+        path = self._path(name)
+        return path is not None and mat.parquet_exists(self.spark, path)
+
+    def existing(self, name: str) -> DataFrame | None:
+        if not self.has_existing(name):
+            return None
+        return self.spark.read.parquet(self._path(name))
+
+    # -- build + materialize ------------------------------------------------
+    def _build(self, model: Model) -> DataFrame:
+        ctx = ExecutionContext(spark=self.spark, runner=self, model=model)
+        df = model.fn(ctx)
+        path = self._path(model.name)
+        if path is None or model.materialized in ("view", "ephemeral"):
+            return df
+        if model.materialized == "incremental" and ctx.is_incremental():
+            assert model.unique_key, f"incremental model {model.name} needs unique_key"
+            merged = mat.merge_upsert(
+                self.spark, path, df, model.unique_key, partition_by=model.partition_by
+            )
+            return merged
+        # table / transient / first incremental run → full overwrite
+        return mat.overwrite(self.spark, path, df, partition_by=model.partition_by)
+
+    def run(self, names: list[str] | None = None) -> dict[str, DataFrame]:
+        out = {}
+        for name in names or self.registry.names():
+            out[name] = self.ref(name)
+        return out

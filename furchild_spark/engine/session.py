@@ -1,0 +1,60 @@
+"""SparkSession factory.
+
+Configuration decisions made once, here (SURVEY.md §7.1 PR1):
+
+- **Session timezone pinned to UTC.** The reference stores NTZ timestamp
+  twins ``created_at_local`` (Asia/Dubai wall clock) / ``created_at_utc``
+  (reference ``models/staging/stg_orders.sql:16-21``); with the session TZ
+  at UTC, Spark's ``TimestampType`` behaves like NTZ-in-UTC and
+  ``to_utc_timestamp(ts, 'Asia/Dubai')`` reproduces Snowflake's
+  ``convert_timezone('Asia/Dubai','UTC', ts)``.
+- **ANSI mode stays ON** (Spark 4 default). Snowflake's plain ``cast``
+  errors on malformed input exactly like ANSI Spark; every place the
+  reference used ``try_to_*`` we use ``try_cast`` shims
+  (furchild_spark.functions.shims), so lenient paths are explicit.
+- **Decimal precision loss allowed** (Spark default): the reference works
+  around Snowflake decimal-division scale behavior by re-casting to
+  decimal(38,6) after *every* arithmetic step
+  (``models/marts/commerce/facts/fct_order_items.sql:95-126``); we mirror
+  the re-cast discipline in the model code instead of relying on implicit
+  scale rules.
+- **AQE on** with coalescing + skew-join handling: at 100 TB the fact-side
+  joins (orders x addresses, lineitem-scale rollups) need runtime
+  re-planning; locally it also trims empty shuffle partitions.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(
+    app_name: str = "furchild_spark",
+    master: str | None = None,
+    shuffle_partitions: int | str | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    master = master or f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+    shuffle_partitions = str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS)
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", shuffle_partitions)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "90g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
