@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Delegates to furchild_spark.queries — the catalog of (Spark DataFrame fn,
+DuckDB oracle SQL) pairs, one per implemented operator from SURVEY.md §2
+plus the LLM-data-pipeline extensions. tests/test_catalog_oracle.py runs
+the identical comparison locally.
 """
 
 from __future__ import annotations
@@ -13,26 +12,25 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from furchild_spark.queries import QUERIES
+
+SF0001 = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: the star-schema revenue rollup (scan → 4 joins with
+    broadcast dims → decimal-exact agg) at sf0.001."""
+    return QUERIES["revenue_by_region"].fn(spark, SF0001)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 (see each
+    catalog entry's ``section`` tag for the §2 rows it demonstrates)."""
+    return {name: q.fn for name, q in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every catalog query that is
+    SQL-expressible (currently all of them — even MinHash-LSH, which uses
+    md5-based hashing precisely so the oracle can reproduce it)."""
+    return {name: q.oracle for name, q in QUERIES.items() if q.oracle is not None}

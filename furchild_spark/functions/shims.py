@@ -198,13 +198,10 @@ def sf_datediff_second(start, end) -> Column:
 
 def sf_regexp_like(col, pattern: str) -> Column:
     """Snowflake ``regexp_like`` is FULL-match; Spark ``rlike`` is find —
-    anchor both ends (reference stg_delivery_slots.sql:98,101)."""
-    pat = pattern
-    if not pat.startswith("^"):
-        pat = "^" + pat
-    if not pat.endswith("$"):
-        pat = pat + "$"
-    return _c(col).rlike(pat)
+    wrap the whole pattern in a non-capturing group and anchor both ends so
+    top-level alternations (``a|b``) stay full-match
+    (reference stg_delivery_slots.sql:98,101)."""
+    return _c(col).rlike("^(?:" + pattern + ")$")
 
 
 def regexp_substr_occ(col, pattern: str, occurrence: int, group: int = 0) -> Column:
@@ -224,8 +221,10 @@ def regexp_substr_occ(col, pattern: str, occurrence: int, group: int = 0) -> Col
 
 def to_utc_from(col, tz: str = "Asia/Dubai") -> Column:
     """Snowflake ``convert_timezone(tz, 'UTC', ts)`` for NTZ input
-    (reference stg_orders.sql:17-21)."""
-    return F.to_utc_timestamp(_c(col), tz)
+    (reference stg_orders.sql:17-21). The cast lets TIMESTAMP_NTZ inputs
+    (Spark 4's type for non-UTC-adjusted parquet) through; with the session
+    TZ pinned to UTC it is wall-clock-preserving."""
+    return F.to_utc_timestamp(_c(col).cast("timestamp"), tz)
 
 
 def iff(cond: Column, a, b) -> Column:

@@ -1,0 +1,122 @@
+"""Text analysis operators (tokenize / normalize / quality / lang-id).
+
+All pure Column expressions — JVM-side, whole-stage-codegen friendly. At
+100 TB these are embarrassingly parallel map-only transforms: no shuffle,
+filters push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny stopword lists used by the quality/lang-id heuristics. Deliberately
+# small and hard-coded so the same list can be embedded in oracle SQL.
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+SQLISH_WORDS = ("table", "query", "join", "scan", "sort", "agg", "merge")
+
+
+def normalize_text(col) -> Column:
+    """lower + collapse whitespace + trim — the canonical form used by all
+    dedup fingerprints (so near-dup candidates agree on token boundaries)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.trim(F.regexp_replace(c, r"\s+", " ")))
+
+
+def tokens(col) -> Column:
+    """Whitespace tokens of the *normalized* text, empty strings removed."""
+    return F.filter(F.split(normalize_text(col), " "), lambda x: x != "")
+
+
+def regex_tokens(col) -> Column:
+    """BPE-ish regex tokenization: alpha runs, digit runs, single symbols.
+    Mirrors the common pre-tokenizer split used before BPE merges."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), F.lit(0))
+
+
+def shingles(tok_col, k: int = 3) -> Column:
+    """k-token shingles (n-grams joined by single spaces) from a token array.
+    ``transform(sequence(...))`` keeps it JVM-side; empty when < k tokens."""
+    c = F.col(tok_col) if isinstance(tok_col, str) else tok_col
+    n = F.size(c)
+    idx = F.when(n >= k, F.sequence(F.lit(0), n - k)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(c, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: char/token counts, distinct ratio, mean token
+    length, stopword ratio, and a simple `is_quality` gate.
+
+    ``sum(token lengths)`` is derived as chars-minus-spaces of the normalized
+    text (exact for single-space-joined tokens) to stay in builtins.
+    """
+    toks = tokens(text_col)
+    norm = normalize_text(text_col)
+    stop_rx = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    return (
+        df.withColumn("n_chars", F.length(F.col(text_col)))
+        .withColumn("n_tokens", F.size(toks))
+        .withColumn("n_uniq_tokens", F.size(F.array_distinct(toks)))
+        .withColumn(
+            "alpha_chars", F.length(F.regexp_replace(norm, " ", ""))
+        )
+        .withColumn(
+            "mean_token_len",
+            F.col("alpha_chars").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn("n_stopwords", F.size(F.regexp_extract_all(norm, F.lit(stop_rx), F.lit(0))))
+        .withColumn(
+            "stopword_ratio",
+            F.col("n_stopwords").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "uniq_ratio",
+            F.col("n_uniq_tokens").cast("double") / F.col("n_tokens").cast("double"),
+        )
+        .withColumn(
+            "is_quality",
+            F.col("n_tokens").between(5, 10000) & (F.col("stopword_ratio") < 0.5),
+        )
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free heuristic language/register ID: compare stopword-family
+    hit counts. On real corpora the lists would be per-language character
+    n-grams; the *shape* (counts → argmax, all JVM-side) is the point."""
+    norm = normalize_text(text_col)
+    en_rx = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
+    sql_rx = r"\b(" + "|".join(SQLISH_WORDS) + r")\b"
+    c_en = F.size(F.regexp_extract_all(norm, F.lit(en_rx), F.lit(0)))
+    c_sql = F.size(F.regexp_extract_all(norm, F.lit(sql_rx), F.lit(0)))
+    return (
+        df.withColumn("c_en", c_en)
+        .withColumn("c_sql", c_sql)
+        .withColumn(
+            "lang_pred",
+            F.when(F.col("c_en") >= F.col("c_sql"), F.lit("en")).otherwise(
+                F.lit("dsl")
+            ),
+        )
+    )
+
+
+def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Single-permutation MinHash fingerprint: min(md5(shingle)) — a compact
+    rolling-hash-style document signature. Equal fingerprints ⇒ very likely
+    shared shingles; used as a cheap pre-filter before full MinHash."""
+    toks = tokens(text_col)
+    sh = shingles(toks, k)
+    return df.select(
+        F.col(id_col),
+        F.size(sh).alias("n_shingles"),
+        F.array_min(F.transform(sh, F.md5)).alias("fingerprint"),
+    )

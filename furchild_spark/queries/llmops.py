@@ -1,0 +1,385 @@
+"""LLM-training-data pipeline queries over documents/embeddings.
+
+These exercise the scale-oriented extension operators
+(furchild_spark.operators.*): corpus dedup (exact / MinHash-LSH / SimHash /
+bucketed Jaccard), text quality analysis, similarity search, and multimodal
+column plumbing. Every query here has a full DuckDB oracle — including the
+banded MinHash-LSH pipeline — because all hashing is md5-over-strings and
+all arithmetic is exact-integer or exact-decimal.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from furchild_spark.operators import dedup, multimodal, similarity, text
+from .catalog import query, table
+
+# The canonical normalization, as DuckDB SQL (mirror of text.normalize_text)
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+@query(
+    "exact_dedup",
+    section="LLM-dedup exact (hash-groupBy, survivor = min id)",
+    headline=True,
+    oracle=f"""
+SELECT md5({_NORM}) AS fingerprint,
+  MIN(doc_id) AS keep_id,
+  COUNT(*) AS n_docs
+FROM documents GROUP BY md5({_NORM})
+""",
+)
+def exact_dedup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.exact_dedup_groups(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# text quality stats
+# ---------------------------------------------------------------------------
+
+@query(
+    "text_stats",
+    section="LLM-text quality scoring (length/stopword/distinct ratios)",
+    headline=True,
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq_tokens,
+  CAST(length(replace(norm, ' ', '')) AS BIGINT) AS alpha_chars,
+  CAST(length(replace(norm, ' ', '')) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS mean_token_len,
+  CAST(len(regexp_extract_all(norm, '\\b(the|a|of|and|to|in|is|it)\\b')) AS BIGINT) AS n_stopwords,
+  CAST(len(regexp_extract_all(norm, '\\b(the|a|of|and|to|in|is|it)\\b')) AS DOUBLE)
+    / CAST(len(toks) AS DOUBLE) AS stopword_ratio,
+  CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS uniq_ratio,
+  (len(toks) BETWEEN 5 AND 10000
+   AND CAST(len(regexp_extract_all(norm, '\\b(the|a|of|and|to|in|is|it)\\b')) AS DOUBLE)
+       / CAST(len(toks) AS DOUBLE) < 0.5) AS is_quality
+FROM tok
+""",
+)
+def text_stats(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text.with_text_stats(d, "text").select(
+        "doc_id",
+        F.col("n_chars").cast("long"),
+        F.col("n_tokens").cast("long"),
+        F.col("n_uniq_tokens").cast("long"),
+        F.col("alpha_chars").cast("long"),
+        "mean_token_len",
+        F.col("n_stopwords").cast("long"),
+        "stopword_ratio",
+        "uniq_ratio",
+        "is_quality",
+    )
+
+
+# ---------------------------------------------------------------------------
+# language-ID heuristic
+# ---------------------------------------------------------------------------
+
+@query(
+    "lang_id",
+    section="LLM-text language-ID heuristic (stopword-family argmax)",
+    oracle=f"""
+WITH base AS (SELECT doc_id, {_NORM} AS norm FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(norm, '\\b(the|a|of|and|to|in|is|it)\\b')) AS BIGINT) AS c_en,
+  CAST(len(regexp_extract_all(norm, '\\b(table|query|join|scan|sort|agg|merge)\\b')) AS BIGINT) AS c_sql,
+  CASE WHEN len(regexp_extract_all(norm, '\\b(the|a|of|and|to|in|is|it)\\b'))
+            >= len(regexp_extract_all(norm, '\\b(table|query|join|scan|sort|agg|merge)\\b'))
+       THEN 'en' ELSE 'dsl' END AS lang_pred
+FROM base
+""",
+)
+def lang_id(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return text.with_lang_id(d, "text").select(
+        "doc_id",
+        F.col("c_en").cast("long"),
+        F.col("c_sql").cast("long"),
+        "lang_pred",
+    )
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex pre-tokenizer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "token_count",
+    section="LLM-text token counting (ws + regex pre-tokenizer)",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_re_tokens
+FROM documents
+""",
+)
+def token_count(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(text.tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(text.regex_tokens("text")).cast("long").alias("n_re_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# document fingerprint (1-perm MinHash over 3-shingles)
+# ---------------------------------------------------------------------------
+
+@query(
+    "doc_fingerprint",
+    section="LLM-text document fingerprinting (min-md5 shingle signature)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT doc_id,
+    list_transform(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 1 END),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+  FROM tok
+)
+SELECT doc_id,
+  CAST(len(shingles) AS BIGINT) AS n_shingles,
+  list_aggregate(list_transform(shingles, x -> md5(x)), 'min') AS fingerprint
+FROM sh
+""",
+)
+def doc_fingerprint(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    fp = text.doc_fingerprint(d, "doc_id", "text", k=3)
+    return fp.select("doc_id", F.col("n_shingles").cast("long"), "fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banded near-dup (full pipeline, full oracle)
+# ---------------------------------------------------------------------------
+
+_MINHASH_CTES = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 1 END),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+perms AS (SELECT unnest(range(0, 16)) AS p),
+mh AS (
+  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM sh CROSS JOIN perms GROUP BY doc_id, p
+),
+bands AS (
+  SELECT doc_id, CAST(p // 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY p)) AS band_sig
+  FROM mh GROUP BY doc_id, CAST(p // 4 AS INT)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN sh sa ON sa.doc_id = c.id_a
+  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+  GROUP BY c.id_a, c.id_b
+)
+"""
+
+
+@query(
+    "minhash_neardup",
+    section="LLM-dedup MinHash+LSH (banded candidates, exact-Jaccard verify; no O(n²))",
+    headline=True,
+    oracle=_MINHASH_CTES
+    + """
+SELECT * FROM (
+  SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+    CAST(i.n_inter AS DOUBLE) / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+) WHERE jaccard >= 0.3
+""",
+)
+def minhash_neardup(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    out = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_perm=16, rows_per_band=4, shingle_k=3,
+        threshold=0.3, hash_fn="md5",
+    )
+    return out.select("id_a", "id_b", F.col("n_inter").cast("long"), "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, exact-integer)
+# ---------------------------------------------------------------------------
+
+@query(
+    "simhash",
+    section="LLM-dedup SimHash (md5-nibble bit votes, exact integer)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, unnest({_TOKS}) AS tk FROM documents),
+h AS (SELECT doc_id, md5(tk) AS h FROM tok),
+bits AS (
+  SELECT doc_id, j,
+    SUM(CASE WHEN substring(h, CAST(j AS INT), 1) IN ('8','9','a','b','c','d','e','f')
+         THEN 1 ELSE -1 END) AS v
+  FROM h, (SELECT unnest(range(1, 17)) AS j) js
+  GROUP BY doc_id, j
+)
+SELECT doc_id,
+  CAST(SUM(CASE WHEN v > 0 THEN CAST(power(2, j - 1) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+""",
+)
+def simhash(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.simhash16(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# bucketed n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_jaccard",
+    section="LLM-dedup n-gram Jaccard (bucketed self-join, never global O(n²))",
+    oracle=f"""
+SELECT * FROM (
+  WITH base AS (
+    SELECT source AS bucket, doc_id, list_distinct({_TOKS}) AS s FROM documents
+  )
+  SELECT a.bucket, a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) AS jaccard
+  FROM base a JOIN base b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+) WHERE jaccard >= 0.1
+""",
+)
+def ngram_jaccard(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(
+        d, "doc_id", "text", bucket_col="source", threshold=0.1
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (baseline) + LSH buckets (scale path)
+# ---------------------------------------------------------------------------
+
+_DOT = (
+    "list_aggregate(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST(CAST({a}[i] AS DOUBLE) AS DECIMAL(18,6)) "
+    "* CAST(CAST({b}[i] AS DOUBLE) AS DECIMAL(18,6))), 'sum')"
+)
+
+
+@query(
+    "ann_cosine_topk",
+    section="LLM-similarity brute-force cosine top-k (exact-decimal dot products)",
+    headline=True,
+    oracle=f"""
+WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(CAST({_DOT.format(a='qv', b='cv')} AS DOUBLE)
+          / (sqrt(CAST({_DOT.format(a='qv', b='qv')} AS DOUBLE))
+             * sqrt(CAST({_DOT.format(a='cv', b='cv')} AS DOUBLE))), 6) AS sim
+  FROM q CROSS JOIN c WHERE query_id <> neighbor_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=5)
+    return out.select("query_id", F.col("rank").cast("long"), "neighbor_id", "sim")
+
+
+_PLANES = similarity.deterministic_planes(num_planes=4, dim=64, seed=42)
+
+
+def _plane_dot_sql(plane: list[int]) -> str:
+    arr = "[" + ", ".join(str(s) for s in plane) + "]"
+    return (
+        "list_aggregate(list_transform(range(1, len(embedding) + 1), "
+        "i -> CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,6)) "
+        f"* CAST(({arr})[i] AS DECIMAL(18,6))), 'sum')"
+    )
+
+
+_LSH_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN {_plane_dot_sql(p)} > 0 THEN {2 ** i} ELSE 0 END)"
+    for i, p in enumerate(_PLANES)
+)
+
+
+@query(
+    "embedding_lsh_buckets",
+    section="LLM-similarity random-hyperplane LSH bucketing (the 100TB ANN path)",
+    oracle=f"""
+SELECT vec_id, CAST(label AS BIGINT) AS label,
+  CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket
+FROM embeddings
+""",
+)
+def embedding_lsh_buckets(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.col("label").cast("long"),
+        similarity.hyperplane_bucket_expr("embedding", _PLANES).cast("long").alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing (Arrow-batched mapInPandas with stubbed decode)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_meta",
+    section="LLM-multimodal binary payload plumbing (mapInPandas stub decode)",
+    oracle="""
+SELECT doc_id AS id, 'image' AS modality,
+  CAST(length(text) AS BIGINT) AS byte_len,
+  md5(text) AS checksum,
+  CAST(length(text) % 640 + 1 AS BIGINT) AS width,
+  CAST(length(text) % 480 + 1 AS BIGINT) AS height,
+  CAST(length(text) % 24 + 1 AS BIGINT) AS n_frames
+FROM documents
+""",
+)
+def multimodal_meta(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text", modality="image")
+    feats = multimodal.extract_features(payloads, decode_stub=True)
+    return feats.select(
+        "id",
+        "modality",
+        F.col("byte_len").cast("long"),
+        "checksum",
+        F.col("width").cast("long"),
+        F.col("height").cast("long"),
+        F.col("n_frames").cast("long"),
+    )
