@@ -56,9 +56,11 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
     """(id, shingle) distinct pairs — the set representation used by both
-    MinHash signatures and exact-Jaccard verification."""
+    MinHash signatures and exact-Jaccard verification. Tokens are staged
+    through their own projection (see text.with_text_stats perf note)."""
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
     return (
-        df.select(F.col(id_col), F.explode(shingles(tokens(text_col), k)).alias("shingle"))
+        staged.select(F.col(id_col), F.explode(shingles("__toks", k)).alias("shingle"))
         .distinct()
     )
 
@@ -220,26 +222,48 @@ def ngram_jaccard_pairs(
     bucket_col: str,
     threshold: float = 0.1,
 ) -> DataFrame:
-    """Token-set Jaccard for all pairs *within a bucket* (e.g. same source /
+    """Token-set Jaccard for pairs *within a bucket* (e.g. same source /
     same LSH band) — the bucketing keeps the self-join keyed, never O(n²)
-    over the corpus. Jaccard via array_intersect on distinct token arrays."""
-    base = df.select(
-        F.col(bucket_col).alias("bucket"),
-        F.col(id_col),
-        F.array_distinct(tokens(text_col)).alias("tok_set"),
+    over the corpus.
+
+    Formulated relationally — explode distinct tokens, self-join on
+    (bucket, token), count shared tokens per pair — instead of a per-pair
+    ``array_intersect``: pairs sharing zero tokens are never materialized
+    (any jaccard ≥ threshold > 0 needs ≥1 shared token), and the
+    intersection becomes a hash join + partial-aggregated count rather than
+    row-at-a-time array scans. Both matter at corpus scale.
+    """
+    tok_rows = (
+        df.select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(id_col),
+            tokens(text_col).alias("__toks"),
+        )
+        .select("bucket", F.col(id_col), F.explode(F.array_distinct("__toks")).alias("tok"))
     )
-    a = base.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col("tok_set").alias("set_a")
-    )
-    b = base.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col("tok_set").alias("set_b")
-    )
-    inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    union = F.size(F.col("set_a")) + F.size(F.col("set_b")) - inter
-    return (
-        a.join(b, on="bucket")
+    sizes = tok_rows.groupBy("bucket", id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = tok_rows.select("bucket", F.col(id_col).alias("id_a"), "tok")
+    b = tok_rows.select("bucket", F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        a.join(b, on=["bucket", "tok"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", inter.cast("double") / union.cast("double"))
+        .groupBy("bucket", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+    )
+    sz_b = sizes.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+    )
+    return (
+        inter.join(sz_a, on=["bucket", "id_a"])
+        .join(sz_b, on=["bucket", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("bucket", "id_a", "id_b", "jaccard")
     )

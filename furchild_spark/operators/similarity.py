@@ -64,16 +64,31 @@ def cosine_topk_bruteforce(
     """Brute-force top-k: broadcast the queries against the full corpus.
     Ties broken by neighbor id after rounding sim to 6 dp (keeps ranking
     deterministic across engines)."""
+    # stage per-vector norms ONCE per side (not per pair): 1 dot per pair
+    # instead of 3, and the norm projections stay map-side before the join
     q = F.broadcast(
         queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("q_norm"),
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("c_norm"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim"), F.asc("neighbor_id")
@@ -129,19 +144,28 @@ def lsh_bucketed_topk(
     cb = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("c_norm"),
         hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
     )
     qb = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("q_vec"),
+            F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("q_norm"),
             hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
         )
     )
     scored = (
         qb.join(cb, on="bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_sim(F.col("q_vec"), F.col("c_vec")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     return (
