@@ -10,5 +10,6 @@ from furchild_spark.engine.registry import ModelRegistry
 registry = ModelRegistry()
 
 from . import staging  # noqa: E402,F401
+from . import marts  # noqa: E402,F401
 
 __all__ = ["registry"]
