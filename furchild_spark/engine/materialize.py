@@ -9,41 +9,74 @@ container ships neither, so the merge is expressed with pure DataFrame ops:
     kept    = existing.join(updates, key, "left_anti")     -- rows not touched
     merged  = kept UNION BY NAME updates                   -- upsert
 
-Scale notes (100 TB):
+Scale design (100 TB):
 
-- The anti-join shuffles both sides on the key. On a real cluster this is
-  exactly what Delta MERGE does under the hood (minus file skipping), so the
-  plan shape survives scale-up; with Delta available, swap `merge_upsert`
-  for `DeltaTable.merge` — the Runner call-site is the only change.
-- Facts are **date-partitioned** (``partition_by=("order_date_local",)``)
-  so the 7-day incremental lookback prunes to ~7 partitions of files
-  instead of rewriting the table (SURVEY §4: the reference's lookback IS a
-  partition-pruning analog).
+- **Partition-scoped merge.** When the model declares ``partition_by``,
+  only the partitions present in ``updates`` are read (partition-pruned
+  scan), anti-joined, and rewritten via *dynamic partition overwrite* —
+  a 7-day incremental touches ~7 date partitions, never the full table
+  (the reference's lookback IS a partition-pruning analog, SURVEY §4).
+  Assumption (documented, asserted nowhere cheaper): the partition column
+  is immutable per unique_key — true for the date-derived partition
+  columns used here. Delta MERGE with a partition predicate makes the
+  same bargain.
+- **Crash-safe commit** for the unpartitioned path: write to ``__staged``,
+  rename live → ``__old``, rename staged → live, delete ``__old``. A crash
+  between the renames leaves ``__old`` intact; :func:`recover` restores it
+  on the next run instead of silently treating the table as fresh (the
+  failure mode the round-1 delete-then-rename had).
 - Schema evolution: ``append_new_columns`` (reference ``dbt_project.yml:34``)
-  is implemented with ``unionByName(allowMissingColumns=True)`` — new
-  columns appear, old rows get NULLs; ``sync_all_columns`` is a plain
-  overwrite (new schema wins), matching ``dim_customer.sql:6``.
+  via ``unionByName(allowMissingColumns=True)`` + ``mergeSchema`` reads;
+  ``sync_all_columns`` is a plain overwrite (new schema wins,
+  ``dim_customer.sql:6``).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
-def parquet_exists(spark: SparkSession, path: str) -> bool:
+def _fs(spark: SparkSession, path: str):
     jvm = spark.sparkContext._jvm
     hconf = spark.sparkContext._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(path)
-    fs = p.getFileSystem(hconf)
+    return p.getFileSystem(hconf), jvm
+
+
+def _hpath(jvm, path: str):
+    return jvm.org.apache.hadoop.fs.Path(path)
+
+
+def recover(spark: SparkSession, path: str) -> bool:
+    """Restore a table lost to a crash mid-swap (live dir missing but
+    ``__old`` present). Returns True if a recovery happened."""
+    fs, jvm = _fs(spark, path)
+    live, old = _hpath(jvm, path), _hpath(jvm, path + "__old")
+    if not fs.exists(live) and fs.exists(old):
+        fs.rename(old, live)
+        return True
+    return False
+
+
+def parquet_exists(spark: SparkSession, path: str) -> bool:
+    recover(spark, path)
+    fs, jvm = _fs(spark, path)
+    p = _hpath(jvm, path)
     if not fs.exists(p):
         return False
-    # an empty dir (failed write) doesn't count
     it = fs.listFiles(p, True)
     while it.hasNext():
         f = it.next()
         if f.getPath().getName().endswith(".parquet"):
             return True
     return False
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    """Read back a materialized table; mergeSchema so append_new_columns
+    evolution is visible across files written by different runs."""
+    return spark.read.option("mergeSchema", "true").parquet(path)
 
 
 def overwrite(
@@ -53,7 +86,7 @@ def overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    return spark.read.parquet(path)
+    return read_table(spark, path)
 
 
 def merge_upsert(
@@ -68,24 +101,85 @@ def merge_upsert(
     WHEN MATCHED → update (the new row wins), WHEN NOT MATCHED → insert;
     identical to the reference's dbt incremental merge semantics.
     """
-    existing = spark.read.parquet(path)
+    recover(spark, path)
+    if partition_by:
+        return _merge_partition_scoped(spark, path, updates, unique_key, partition_by)
+    return _merge_full(spark, path, updates, unique_key)
 
-    # append_new_columns: align both schemas, keeping all columns from each
+
+def _merge_partition_scoped(
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    unique_key: str,
+    partition_by: tuple[str, ...],
+) -> DataFrame:
+    """Merge touching only the partitions present in ``updates``.
+
+    The ``isin`` filter on the partition columns prunes the existing-table
+    scan to those directories; dynamic partition overwrite rewrites exactly
+    the same set. Blast radius of a mid-commit crash = the touched
+    partitions (vs the whole table for a global swap); a transactional
+    format (Delta/Iceberg) is the upgrade path, and the Runner call-site
+    is the only change needed.
+    """
+    # updates may be consumed twice (values + write) — tiny driver-side
+    # collect of distinct partition tuples, bounded by partition count
+    touched = updates.select(*partition_by).distinct().collect()
+    if not touched:
+        return read_table(spark, path)
+
+    existing = read_table(spark, path)
+    cond = None
+    for row in touched:
+        row_cond = None
+        for col in partition_by:
+            c = (
+                F.col(col).isNull()
+                if row[col] is None
+                else (F.col(col) == F.lit(row[col]))
+            )
+            row_cond = c if row_cond is None else (row_cond & c)
+        cond = row_cond if cond is None else (cond | row_cond)
+    kept = existing.filter(cond).join(
+        updates.select(unique_key).distinct(), unique_key, "left_anti"
+    )
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+    # break lineage so Spark allows overwriting a path we also read from;
+    # only the touched partitions' rows are materialized
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+    return read_table(spark, path)
+
+
+def _merge_full(
+    spark: SparkSession, path: str, updates: DataFrame, unique_key: str
+) -> DataFrame:
+    """Global merge with a crash-safe directory swap."""
+    existing = read_table(spark, path)
     kept = existing.join(updates.select(unique_key).distinct(), unique_key, "left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
 
-    # Writing over the path we are reading from would corrupt the source
-    # mid-scan; stage to a sibling then swap. (Delta's MERGE makes this
-    # atomic; with plain parquet the swap is the commit point.)
-    staged = path + "__staged"
-    writer = merged.write.mode("overwrite")
-    if partition_by:
-        writer = writer.partitionBy(*partition_by)
-    writer.parquet(staged)
+    fs, jvm = _fs(spark, path)
+    staged, live, old = (
+        _hpath(jvm, path + "__staged"),
+        _hpath(jvm, path),
+        _hpath(jvm, path + "__old"),
+    )
+    if fs.exists(staged):  # leftover from a crashed write — never the live copy
+        fs.delete(staged, True)
 
-    jvm = spark.sparkContext._jvm
-    hconf = spark.sparkContext._jsc.hadoopConfiguration()
-    fs = jvm.org.apache.hadoop.fs.Path(path).getFileSystem(hconf)
-    fs.delete(jvm.org.apache.hadoop.fs.Path(path), True)
-    fs.rename(jvm.org.apache.hadoop.fs.Path(staged), jvm.org.apache.hadoop.fs.Path(path))
-    return spark.read.parquet(path)
+    merged.write.mode("overwrite").parquet(path + "__staged")
+
+    # commit: live → __old, staged → live, drop __old. A crash after the
+    # first rename is repaired by recover(); a crash after the second
+    # leaves only a stale __old to garbage-collect.
+    fs.rename(live, old)
+    fs.rename(staged, live)
+    fs.delete(old, True)
+    return read_table(spark, path)

@@ -166,7 +166,7 @@ class Runner:
     def existing(self, name: str) -> DataFrame | None:
         if not self.has_existing(name):
             return None
-        return self.spark.read.parquet(self._path(name))
+        return mat.read_table(self.spark, self._path(name))
 
     # -- build + materialize ------------------------------------------------
     def _build(self, model: Model) -> DataFrame:

@@ -43,7 +43,11 @@ def _lookback(ctx, days: int = 7):
 # fct_order_items (ref models/marts/commerce/facts/fct_order_items.sql)
 # ---------------------------------------------------------------------------
 
-@model(materialized="incremental", unique_key="order_item_sk")
+@model(
+    materialized="incremental",
+    unique_key="order_item_sk",
+    partition_by=("order_date_local",),
+)
 def fct_order_items(ctx) -> DataFrame:
     """Line-level fact in the decimal(38,6) domain
     (ref fct_order_items.sql:1-168).
@@ -195,7 +199,10 @@ def fct_order_items(ctx) -> DataFrame:
         r2("line_tax_386").alias("line_tax_amt"),
         d386(F.round(F.col("line_net_bt_386") + F.col("line_tax_386"), 2)).alias("line_net_amt"),
         "meal_plan_request_id",
-        F.col("_ingested_at").alias("_last_ingested_at"),
+        # pin to TIMESTAMP (LTZ): sources may deliver NTZ or LTZ ingest
+        # stamps; an incremental table must keep ONE type across runs or
+        # parquet schema merge fails
+        F.col("_ingested_at").cast("timestamp").alias("_last_ingested_at"),
     )
     if ctx.is_incremental():
         # output-side lookback (ref :166-168)
@@ -207,7 +214,9 @@ def fct_order_items(ctx) -> DataFrame:
 # fct_orders (ref models/marts/commerce/facts/fct_orders.sql)
 # ---------------------------------------------------------------------------
 
-@model(materialized="incremental", unique_key="order_sk")
+@model(
+    materialized="incremental", unique_key="order_sk", partition_by=("order_date",)
+)
 def fct_orders(ctx) -> DataFrame:
     """Order-level fact: line rollup + canonical customer + as-of shipping
     address (ref fct_orders.sql:1-215; the as-of join is SURVEY §2.3 J6)."""

@@ -1,0 +1,201 @@
+"""Incremental materialization: merge semantics, partition scoping,
+crash-safety, and full-pipeline idempotency (verify gate 3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from furchild_spark.engine import materialize as mat
+from furchild_spark.engine.registry import Runner
+from furchild_spark.sources.fixtures import INGEST, write_fixture_parquet
+
+
+# ---------------------------------------------------------------------------
+# materializer unit tests
+# ---------------------------------------------------------------------------
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, "k string, part string, v int")
+
+
+def test_merge_full_upsert(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, _mk(spark, [("a", "p1", 1), ("b", "p1", 2)]))
+    out = mat.merge_upsert(
+        spark, path, _mk(spark, [("b", "p1", 20), ("c", "p2", 3)]), "k"
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"a": 1, "b": 20, "c": 3}
+    # no leftover swap dirs
+    assert not os.path.exists(path + "__staged")
+    assert not os.path.exists(path + "__old")
+
+
+def test_merge_partition_scoped_touches_only_update_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mat.overwrite(
+        spark,
+        path,
+        _mk(spark, [("a", "p1", 1), ("b", "p2", 2), ("c", "p3", 3)]),
+        partition_by=("part",),
+    )
+    p2_files = sorted(glob.glob(f"{path}/part=p2/*.parquet"))
+    p2_mtimes = [os.path.getmtime(f) for f in p2_files]
+
+    out = mat.merge_upsert(
+        spark,
+        path,
+        _mk(spark, [("a", "p1", 10), ("d", "p3", 4)]),
+        "k",
+        partition_by=("part",),
+    )
+    got = {r["k"]: (r["part"], r["v"]) for r in out.collect()}
+    assert got == {"a": ("p1", 10), "b": ("p2", 2), "c": ("p3", 3), "d": ("p3", 4)}
+    # untouched partition p2 was not rewritten
+    assert sorted(glob.glob(f"{path}/part=p2/*.parquet")) == p2_files
+    assert [os.path.getmtime(f) for f in p2_files] == p2_mtimes
+
+
+def test_merge_schema_evolution_append_new_columns(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, _mk(spark, [("a", "p1", 1)]))
+    updates = spark.createDataFrame(
+        [("b", "p1", 2, "new")], "k string, part string, v int, extra string"
+    )
+    out = mat.merge_upsert(spark, path, updates, "k")
+    rows = {r["k"]: r.asDict() for r in out.collect()}
+    assert rows["b"]["extra"] == "new"
+    assert rows["a"]["extra"] is None  # old row null-filled
+
+
+def test_crash_recovery_restores_old_dir(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, _mk(spark, [("a", "p1", 1)]))
+    # simulate a crash between the two commit renames: live gone, __old left
+    os.rename(path, path + "__old")
+    assert not os.path.exists(path)
+    assert mat.parquet_exists(spark, path)  # triggers recover()
+    assert os.path.exists(path)
+    assert {r["k"] for r in mat.read_table(spark, path).collect()} == {"a"}
+
+
+def test_stale_staged_dir_is_ignored(spark, tmp_path):
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, _mk(spark, [("a", "p1", 1)]))
+    os.makedirs(path + "__staged")  # crashed write leftover
+    out = mat.merge_upsert(spark, path, _mk(spark, [("b", "p1", 2)]), "k")
+    assert out.count() == 2
+    assert not os.path.exists(path + "__staged")
+
+
+# ---------------------------------------------------------------------------
+# pipeline-level incremental runs
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def bronze_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bronze_inc")
+    write_fixture_parquet(str(d))
+    return str(d)
+
+
+def _runner(spark, bronze_dir, warehouse, incremental, now):
+    from furchild_spark.models import registry
+
+    return Runner(
+        spark,
+        registry,
+        sources=lambda n: spark.read.parquet(f"{bronze_dir}/{n}.parquet"),
+        warehouse_dir=warehouse,
+        incremental=incremental,
+        now=now,
+    )
+
+
+def test_incremental_rerun_is_idempotent(spark, bronze_dir, tmp_path_factory):
+    """Second run (incremental, everything inside the lookback) must leave
+    the fact tables hash-identical — the reference's MERGE is idempotent
+    on unchanged input (SURVEY §7.4 item 7)."""
+    warehouse = str(tmp_path_factory.mktemp("wh"))
+    now = INGEST + dt.timedelta(days=1)
+    targets = ["fct_order_items", "fct_orders"]
+
+    r1 = _runner(spark, bronze_dir, warehouse, incremental=False, now=now)
+    first = {
+        t: sorted(r1.ref(t).drop("_calculated_at").collect()) for t in targets
+    }
+    r2 = _runner(spark, bronze_dir, warehouse, incremental=True, now=now)
+    second = {
+        t: sorted(r2.ref(t).drop("_calculated_at").collect()) for t in targets
+    }
+    for t in targets:
+        assert first[t] == second[t], f"{t} changed on idempotent re-run"
+
+
+def test_incremental_lookback_filters_input(spark, bronze_dir, tmp_path_factory):
+    """With now far past the fixture ingest time, the 7-day lookback makes
+    the incremental input empty → the table is unchanged (and NOT truncated
+    — the failure mode of a broken merge)."""
+    warehouse = str(tmp_path_factory.mktemp("wh2"))
+    r1 = _runner(
+        spark, bronze_dir, warehouse, incremental=False, now=INGEST + dt.timedelta(days=1)
+    )
+    before = r1.ref("fct_order_items").count()
+    assert before > 0
+
+    r2 = _runner(
+        spark,
+        bronze_dir,
+        warehouse,
+        incremental=True,
+        now=INGEST + dt.timedelta(days=90),
+    )
+    after = r2.ref("fct_order_items").count()
+    assert after == before
+
+
+def test_incremental_upsert_applies_update(spark, bronze_dir, tmp_path_factory):
+    """A re-ingested line (newer _ingested_at, new price) must update in
+    place: same key count, new value visible, old rows retained."""
+    warehouse = str(tmp_path_factory.mktemp("wh3"))
+    now = INGEST + dt.timedelta(days=30)
+    r1 = _runner(
+        spark, bronze_dir, warehouse, incremental=False, now=INGEST + dt.timedelta(days=1)
+    )
+    base = r1.ref("fct_order_items")
+    n_before = base.count()
+    victim = base.select("order_item_id").orderBy("order_item_id").first()[0]
+
+    # patched bronze: one line re-ingested now with price 999
+    items = spark.read.parquet(f"{bronze_dir}/transaction_items.parquet")
+    patched = items.withColumn(
+        "PRICE",
+        F.when(F.col("ID") == victim, F.lit(999.0)).otherwise(F.col("PRICE")),
+    ).withColumn(
+        "_AIRBYTE_EXTRACTED_AT",
+        F.when(F.col("ID") == victim, F.lit(now)).otherwise(
+            F.col("_AIRBYTE_EXTRACTED_AT")
+        ),
+    )
+
+    def sources(name):
+        if name == "transaction_items":
+            return patched
+        return spark.read.parquet(f"{bronze_dir}/{name}.parquet")
+
+    from furchild_spark.models import registry
+
+    r2 = Runner(
+        spark, registry, sources=sources, warehouse_dir=warehouse,
+        incremental=True, now=now,
+    )
+    after = r2.ref("fct_order_items")
+    assert after.count() == n_before
+    updated = after.filter(F.col("order_item_id") == victim).collect()
+    assert len(updated) == 1
+    assert float(updated[0]["unit_price"]) == 999.0
