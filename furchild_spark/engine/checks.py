@@ -1,0 +1,244 @@
+"""Data-test harness: the dbt generic + singular tests as failure-row
+DataFrames (reference models/staging/schema.yml:102-263, tests/*.sql,
+SURVEY §5).
+
+Semantics mirror dbt exactly: each check compiles to a DataFrame whose
+ROWS ARE FAILURES; a run counts rows — 0 = pass. ``severity='warn'``
+checks report without failing the suite (reference
+tests/stg_addresses_country_len.sql:1 etc.).
+
+At scale each check is one scan (+ one shuffle for unique/relationships);
+checks against the same model share the materialized table, so a full
+suite is bounded by #models scans, not #checks.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from furchild_spark.functions import shims as S
+
+
+# ---------------------------------------------------------------------------
+# generic checks (dbt-core + dbt_utils equivalents)
+# ---------------------------------------------------------------------------
+
+def not_null(df: DataFrame, col: str) -> DataFrame:
+    return df.filter(F.col(col).isNull())
+
+
+def unique(df: DataFrame, col: str) -> DataFrame:
+    """dbt `unique`: rows whose key value occurs more than once
+    (group-having + join back, ref tests/stg_product_brands__unique_brand_id.sql:2-7)."""
+    dupes = df.groupBy(col).count().filter("count > 1").select(col)
+    return df.join(dupes, on=col, how="left_semi")
+
+
+def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
+    return df.filter(~F.col(col).isin(values) | F.col(col).isNull())
+
+
+def relationships(df: DataFrame, col: str, to_df: DataFrame, to_col: str) -> DataFrame:
+    """dbt `relationships` (FK): child rows with no parent — the anti-join
+    pattern (ref tests/stg_packages_fk_shipment_id_to_shipments.sql:3-6,
+    SURVEY §2.3 J7). NULL FKs are not failures (dbt semantics)."""
+    parents = to_df.select(F.col(to_col).alias(col)).distinct()
+    return (
+        df.filter(F.col(col).isNotNull())
+        .join(parents, on=col, how="left_anti")
+    )
+
+
+def expression_is_true(df: DataFrame, expression: Column | str) -> DataFrame:
+    """dbt_utils.expression_is_true: rows where the expression is NOT true
+    (NULL counts as failure, matching dbt's `where not (expr)` over
+    three-valued logic ... dbt uses `where not(expr)` which keeps NULLs
+    out; mirror that: only FALSE rows fail)."""
+    e = F.expr(expression) if isinstance(expression, str) else expression
+    return df.filter(e == False)  # noqa: E712 — excludes NULL like dbt
+
+
+def unique_combination_of_columns(df: DataFrame, cols: list[str]) -> DataFrame:
+    dupes = df.groupBy(*cols).count().filter("count > 1").select(*cols)
+    return df.join(dupes, on=cols, how="left_semi")
+
+
+def source_freshness(
+    df: DataFrame,
+    loaded_at_col: str,
+    now: Column,
+    warn_after_hours: float = 24,
+    error_after_hours: float = 72,
+) -> DataFrame:
+    """S7 source freshness (ref models/staging/schema.yml:13-15): one row
+    with max(loaded_at), lag hours, and warn/error/fresh status."""
+    lag_h = (
+        F.unix_micros(now) - F.unix_micros(F.max(loaded_at_col).cast("timestamp"))
+    ) / F.lit(3600000000.0)
+    return df.agg(
+        F.max(loaded_at_col).alias("max_loaded_at"),
+        lag_h.alias("lag_hours"),
+        F.when(lag_h > error_after_hours, "error")
+        .when(lag_h > warn_after_hours, "warn")
+        .otherwise("fresh")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# the declarative suite (schema.yml + tests/*.sql, ported 1:1)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class Check:
+    name: str
+    model: str
+    fn: Callable[[DataFrame], DataFrame]  # model df -> failure rows
+    severity: str = "error"  # dbt default
+    extra_model: str | None = None  # for relationship/FK checks
+
+
+def _generic(builder, *args):
+    return lambda df: builder(df, *args)
+
+
+CHECKS: list[Check] = [
+    # ---- schema.yml generics (ref :102-263) ----
+    Check("stg_items_transaction_item_id_not_null", "stg_items", _generic(not_null, "transaction_item_id")),
+    Check("stg_items_transaction_item_id_unique", "stg_items", _generic(unique, "transaction_item_id")),
+    Check("stg_items_transaction_id_not_null", "stg_items", _generic(not_null, "transaction_id")),
+    Check("stg_items_quantity_not_null", "stg_items", _generic(not_null, "quantity")),
+    Check("stg_items_realized_price_not_null", "stg_items", _generic(not_null, "realized_unit_price_ex_vat")),
+    Check("stg_items_realized_price_nonneg", "stg_items", _generic(expression_is_true, "realized_unit_price_ex_vat >= 0")),
+    Check("stg_transactions_order_id_not_null", "stg_transactions", _generic(not_null, "order_id")),
+    Check("stg_transactions_order_id_unique", "stg_transactions", _generic(unique, "order_id")),
+    Check("stg_transactions_order_date_not_null", "stg_transactions", _generic(not_null, "order_date")),
+    Check("stg_transactions_customer_id_not_null", "stg_transactions", _generic(not_null, "customer_id"), severity="warn"),
+    Check("stg_orders_order_id_not_null", "stg_orders", _generic(not_null, "order_id")),
+    Check("stg_orders_order_id_unique", "stg_orders", _generic(unique, "order_id")),
+    Check("stg_orders_created_at_utc_not_null", "stg_orders", _generic(not_null, "created_at_utc")),
+    Check("stg_order_items_order_item_id_not_null", "stg_order_items", _generic(not_null, "order_item_id")),
+    Check("stg_order_items_order_item_id_unique", "stg_order_items", _generic(unique, "order_item_id")),
+    Check("stg_order_items_order_id_not_null", "stg_order_items", _generic(not_null, "order_id")),
+    Check("stg_order_items_product_id_not_null", "stg_order_items", _generic(not_null, "product_id")),
+    Check("stg_customers_customer_id_not_null", "stg_customers", _generic(not_null, "customer_id")),
+    Check("stg_customers_customer_id_unique", "stg_customers", _generic(unique, "customer_id")),
+    Check("stg_customers_email_primary_not_null", "stg_customers", _generic(not_null, "email_primary"), severity="warn"),
+    Check("stg_invoice_payments_payment_id_not_null", "stg_invoice_payments", _generic(not_null, "payment_id")),
+    Check("stg_invoice_payments_payment_id_unique", "stg_invoice_payments", _generic(unique, "payment_id")),
+    Check("stg_invoice_payments_amount_paid_not_null", "stg_invoice_payments", _generic(not_null, "amount_paid")),
+    Check("stg_invoice_payments_amount_paid_nonneg", "stg_invoice_payments", _generic(expression_is_true, "amount_paid >= 0")),
+    Check("stg_invoice_payments_total_not_null", "stg_invoice_payments", _generic(not_null, "total_amount")),
+    Check("stg_invoice_payments_total_ge_paid", "stg_invoice_payments", _generic(expression_is_true, "total_amount >= amount_paid")),
+    Check("stg_invoices_ar_invoice_id_not_null", "stg_invoices_ar", _generic(not_null, "invoice_id")),
+    Check("stg_invoices_ar_invoice_id_unique", "stg_invoices_ar", _generic(unique, "invoice_id")),
+    Check("stg_invoices_ar_invoice_number_not_null", "stg_invoices_ar", _generic(not_null, "invoice_number")),
+    Check("stg_invoices_ar_customer_id_not_null", "stg_invoices_ar", _generic(not_null, "customer_id")),
+    Check("stg_invoices_ar_total_nonneg", "stg_invoices_ar", _generic(expression_is_true, "total_amount >= 0")),
+    Check("stg_invoices_ar_balance_nonneg", "stg_invoices_ar", _generic(expression_is_true, "balance >= 0")),
+    Check("stg_invoices_ar_paid_nonneg", "stg_invoices_ar", _generic(expression_is_true, "amount_paid >= 0")),
+    Check("stg_invoices_ar_paid_le_total", "stg_invoices_ar", _generic(expression_is_true, "amount_paid <= total_amount")),
+    Check("stg_invoices_ar_status_accepted", "stg_invoices_ar", _generic(accepted_values, "status_canonical", ["paid", "partially_paid", "unpaid"])),
+    Check("stg_shipments_shipment_id_not_null", "stg_shipments", _generic(not_null, "shipment_id")),
+    Check("stg_shipments_shipment_id_unique", "stg_shipments", _generic(unique, "shipment_id")),
+    Check("stg_shipments_status_accepted", "stg_shipments", _generic(accepted_values, "status_canonical", ["shipped", "in_transit", "delivered", "failed", "returned"]), severity="warn"),
+    # dim_orders.yml:36-43
+    Check("dim_orders_first_order_invariant", "dim_orders", _generic(expression_is_true, "is_first_order = (order_rank_for_customer = 1)")),
+    Check("dim_orders_rank_unique_per_customer", "dim_orders", _generic(unique_combination_of_columns, ["customer_id", "order_rank_for_customer"])),
+    # ---- singular tests (tests/*.sql, all severity warn) ----
+    Check(
+        "stg_addresses_country_len", "stg_addresses",
+        lambda df: df.filter(
+            F.col("country_code").isNotNull()
+            & ~F.length("country_code").isin(2, 3)
+        ),
+        severity="warn",
+    ),
+    Check(
+        "stg_addresses_email_shape", "stg_addresses",
+        lambda df: df.filter(
+            F.col("email").isNotNull() & (F.instr(F.col("email"), "@") <= 1)
+        ),
+        severity="warn",
+    ),
+    Check(
+        "stg_addresses_latlon_range", "stg_addresses",
+        lambda df: df.filter(
+            (F.col("latitude").isNotNull() & ~F.col("latitude").between(-90, 90))
+            | (F.col("longitude").isNotNull() & ~F.col("longitude").between(-180, 180))
+        ),
+        severity="warn",
+    ),
+    Check(
+        "stg_packages_delivered_at_is_date", "stg_packages",
+        lambda df: df.filter(
+            F.col("delivered_at").isNotNull()
+            & S.try_to_date(F.col("delivered_at").cast("string")).isNull()
+        ),
+        severity="warn",
+    ),
+    Check(
+        "stg_packages_fk_shipment_id_to_shipments", "stg_packages",
+        None, severity="warn", extra_model="stg_shipments",
+    ),
+    Check("stg_packages_not_null_package_id", "stg_packages", _generic(not_null, "package_id"), severity="warn"),
+    Check("stg_packages_shipment_id_not_null", "stg_packages", _generic(not_null, "shipment_id"), severity="warn"),
+    Check("stg_product_brands_unique_brand_id", "stg_product_brands", _generic(unique, "brand_id"), severity="warn"),
+    Check("stg_product_categories_unique_category_id", "stg_product_categories", _generic(unique, "category_id"), severity="warn"),
+    Check("stg_product_details_not_null_product_id", "stg_product_details", _generic(not_null, "product_id"), severity="warn"),
+    Check(
+        "stg_shipments_delivered_after_shipped", "stg_shipments",
+        lambda df: df.filter(
+            F.col("delivered_at").isNotNull()
+            & F.col("shipped_at").isNotNull()
+            & (F.col("delivered_at") < F.col("shipped_at"))
+        ),
+        severity="warn",
+    ),
+    Check(
+        "stg_shipments_shipped_at_is_date", "stg_shipments",
+        lambda df: df.filter(
+            F.col("shipped_at").isNotNull()
+            & S.try_to_date(F.col("shipped_at").cast("string")).isNull()
+        ),
+        severity="warn",
+    ),
+    Check(
+        "stg_shipments_tracking_number_shape", "stg_shipments",
+        lambda df: df.filter(
+            F.col("tracking_number").isNotNull() & (F.length("tracking_number") < 1)
+        ),
+        severity="warn",
+    ),
+]
+
+
+@dataclass(frozen=True)
+class CheckResult:
+    name: str
+    model: str
+    severity: str
+    failures: int
+
+    @property
+    def passed(self) -> bool:
+        return self.failures == 0 or self.severity == "warn"
+
+
+def run_checks(ref: Callable[[str], DataFrame], checks: list[Check] | None = None) -> list[CheckResult]:
+    """Execute the suite against a ``ref`` resolver (e.g. ``runner.ref``)."""
+    results = []
+    for c in checks or CHECKS:
+        df = ref(c.model)
+        if c.name == "stg_packages_fk_shipment_id_to_shipments":
+            failures = relationships(
+                df, "shipment_id", ref(c.extra_model), "shipment_id"
+            ).count()
+        else:
+            failures = c.fn(df).count()
+        results.append(CheckResult(c.name, c.model, c.severity, failures))
+    return results

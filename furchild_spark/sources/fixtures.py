@@ -147,11 +147,11 @@ def bronze_fixtures() -> dict[str, pd.DataFrame]:
                     "MEAL_PLAN_REQUEST_ID": None,
                 }
             )
-            if item_id % 17 == 0:  # duplicate line, older ingest → dedup
-                dup = dict(items[-1])
-                dup["_AIRBYTE_EXTRACTED_AT"] = INGEST - dt.timedelta(days=3)
-                dup["PRICE"] = 1.0
-                items.append(dup)
+            # NOTE: no duplicate item IDs — the reference's error-severity
+            # `unique` test on stg_items.transaction_item_id
+            # (schema.yml:107-110) + dedup-free stg_items.sql imply the
+            # bronze contract has unique line ids; stg_order_items' keep-
+            # latest window is exercised by a dedicated unit test instead.
             item_id += 1
         tx = {
             "_AIRBYTE_EXTRACTED_AT": INGEST,
