@@ -549,10 +549,12 @@ def customer_revenue_ltv(ctx) -> DataFrame:
             "customer_id",
             "first_order_date",
             F.coalesce("orders_count", F.lit(0)).alias("orders_count"),
-            F.coalesce("revenue_to_date", F.lit(0.0)).alias("revenue_to_date"),
-            F.coalesce("ltv_revenue_6m", F.lit(0.0)).alias("ltv_revenue_6m"),
-            F.coalesce("ltv_revenue_12m", F.lit(0.0)).alias("ltv_revenue_12m"),
-            F.coalesce("ltv_revenue_24m", F.lit(0.0)).alias("ltv_revenue_24m"),
+            # int-0 literals: coalesce(decimal, double-0.0) would silently
+            # promote the whole column to double and break exact-sum parity
+            F.coalesce("revenue_to_date", F.lit(0)).alias("revenue_to_date"),
+            F.coalesce("ltv_revenue_6m", F.lit(0)).alias("ltv_revenue_6m"),
+            F.coalesce("ltv_revenue_12m", F.lit(0)).alias("ltv_revenue_12m"),
+            F.coalesce("ltv_revenue_24m", F.lit(0)).alias("ltv_revenue_24m"),
         )
     )
 

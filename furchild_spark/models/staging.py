@@ -357,6 +357,18 @@ def stg_items(ctx) -> DataFrame:
     stg_items.sql:30)."""
     vat_rate = ctx.var("vat_rate", 0.05)
     src = ctx.source("transaction_items")
+    # Decimal discipline (SURVEY §7.4 item 1, reference stg_items.sql:30-42):
+    # Snowflake computes this chain in NUMBER, not double — price, discount
+    # fractions, and the realized price stay decimal(38,6) so every
+    # downstream revenue sum is EXACT (order-independent), which is what
+    # makes the LTV chain reproducible against a SQL oracle at all.
+    d386 = "decimal(38,6)"
+    one = F.lit(1).cast(d386)
+    pct_sum = (
+        F.coalesce(F.col("DISCOUNT_PERCENTAGE").cast(d386), F.lit(0).cast(d386))
+        + F.coalesce(F.col("BULK_DISCOUNT_PERCENTAGE").cast(d386), F.lit(0).cast(d386))
+        + F.coalesce(F.col("FRIENDBUY_DISCOUNT_PERCENTAGE").cast(d386), F.lit(0).cast(d386))
+    )
     inner = src.select(
         F.col("ID").cast("string").alias("transaction_item_id"),
         F.trim(F.col("TRANSACTION_ID").cast("string")).alias("transaction_id"),
@@ -365,29 +377,28 @@ def stg_items(ctx) -> DataFrame:
         F.col("STOCK_ID").cast("string").alias("stock_id"),
         F.col("STOCK_NAME").alias("stock_name"),
         F.col("UNIT").alias("unit"),
-        F.col("QUANTITY").alias("quantity"),
+        F.col("QUANTITY").cast(d386).alias("quantity"),
         F.when(
             F.col("HAS_VAT").cast("string").try_cast("decimal(38,6)") == 1,
-            F.col("PRICE") / F.lit(1 + vat_rate),
+            F.col("PRICE").cast(d386) / F.lit(1 + vat_rate).cast(d386),
         )
-        .otherwise(F.col("PRICE"))
+        .otherwise(F.col("PRICE").cast(d386))
+        .cast(d386)
         .alias("unit_price_ex_vat"),
+        # pct/100 as *0.01: an exact decimal scale-shift (no division)
         F.least(
-            F.lit(1.0),
+            one,
             F.greatest(
-                F.lit(0.0),
-                (
-                    F.coalesce("DISCOUNT_PERCENTAGE", F.lit(0))
-                    + F.coalesce("BULK_DISCOUNT_PERCENTAGE", F.lit(0))
-                    + F.coalesce("FRIENDBUY_DISCOUNT_PERCENTAGE", F.lit(0))
-                )
-                / F.lit(100.0),
+                F.lit(0).cast(d386),
+                (pct_sum * F.lit(0.01).cast("decimal(3,2)")).cast(d386),
             ),
-        ).alias("total_discount_pct"),
+        )
+        .cast(d386)
+        .alias("total_discount_pct"),
     )
     return inner.withColumn(
         "realized_unit_price_ex_vat",
-        F.col("unit_price_ex_vat") * (F.lit(1) - F.col("total_discount_pct")),
+        (F.col("unit_price_ex_vat") * (one - F.col("total_discount_pct"))).cast(d386),
     )
 
 

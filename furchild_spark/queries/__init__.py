@@ -24,3 +24,4 @@ Cross-engine hash-parity rules (learned the hard way, enforced throughout):
 from .catalog import QUERIES, Query, query, table  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
+from . import models_oracle  # noqa: F401,E402
