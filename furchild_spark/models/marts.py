@@ -271,6 +271,11 @@ def fct_orders(ctx) -> DataFrame:
         F.broadcast(users),
         sa["user_id"].cast("string") == users["user_id"].cast("string"),
     ).select(
+        # deterministic tiebreak for the as-of window below; the reference
+        # window (fct_orders.sql:131-136) orders only by preference+distance,
+        # leaving ties unspecified — pinning address_id makes any run (and
+        # the oracle) pick the same row without changing specified semantics
+        sa["address_id"],
         users["customer_id"],
         F.lower(F.coalesce(sa["address_type"], F.lit("shipping"))).alias("address_type"),
         sa["area"], sa["town"], sa["region_id"], sa["country_code"],
@@ -295,7 +300,9 @@ def fct_orders(ctx) -> DataFrame:
             F.coalesce("address_ts", "created_at_utc"), F.col("created_at_utc")
         )
     )
-    w = Window.partitionBy("order_id").orderBy(pref.asc(), prox.asc())
+    w = Window.partitionBy("order_id").orderBy(
+        pref.asc(), prox.asc(), F.asc_nulls_last("address_id")
+    )
     addr_at_order = (
         cand.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

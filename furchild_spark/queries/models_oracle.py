@@ -651,11 +651,12 @@ WITH src AS (
 )
 SELECT {_SK.format("address_id")} AS address_sk,
   address_id, user_address_id, raw_id, transaction_id, user_id,
-  first_name, last_name, full_name, email, phone, address_type,
-  country_code,
-  CASE WHEN latitude BETWEEN -90 AND 90 THEN CAST(latitude AS DOUBLE) END AS latitude,
-  CASE WHEN longitude BETWEEN -180 AND 180 THEN CAST(longitude AS DOUBLE) END AS longitude,
-  is_new_address, updated_at, address_display
+  first_name, last_name, full_name, email, phone, building,
+  apartment_number, street_name, landmark, area, town, post_code,
+  region_id, country_code, address_type,
+  CASE WHEN latitude BETWEEN -90 AND 90 THEN latitude END AS latitude,
+  CASE WHEN longitude BETWEEN -180 AND 180 THEN longitude END AS longitude,
+  is_new_address, updated_at, _src_extracted_at, address_display
 FROM dedup
 """
 
@@ -663,7 +664,15 @@ FROM dedup
 @query(
     "model__stg_addresses",
     section="model F1 F4 W1 F7 (ref stg_addresses.sql:1-150)",
-    oracle=_SQL_STG_ADDRESSES,
+    oracle=f"""
+SELECT address_sk, address_id, user_address_id, raw_id, transaction_id,
+  user_id, first_name, last_name, full_name, email, phone, address_type,
+  country_code,
+  CAST(latitude AS DOUBLE) AS latitude,
+  CAST(longitude AS DOUBLE) AS longitude,
+  is_new_address, updated_at, address_display
+FROM ({_SQL_STG_ADDRESSES})
+""",
 )
 def model_stg_addresses(spark, sf_dir):
     df = _runner(spark).ref("stg_addresses")
@@ -971,3 +980,318 @@ FROM ranked
 )
 def model_dim_customer(spark, sf_dir):
     return _runner(spark).ref("dim_customer")
+
+
+# ---------------------------------------------------------------------------
+# part 3: the incremental facts (ref fct_order_items.sql / fct_orders.sql)
+# ---------------------------------------------------------------------------
+
+# stg_order_items with decimal columns retained (feeds the fact chain)
+_SQL_OI_STG = f"""
+SELECT * FROM (
+  SELECT _AIRBYTE_EXTRACTED_AT AS _ingested_at,
+    CAST(ID AS VARCHAR) AS order_item_id,
+    CAST(TRANSACTION_ID AS VARCHAR) AS order_id,
+    CAST(PRODUCT_ID AS VARCHAR) AS product_id,
+    CAST(PRODUCT_NAME AS VARCHAR) AS product_name,
+    CAST(STOCK_ID AS VARCHAR) AS stock_id,
+    CAST(STOCK_NAME AS VARCHAR) AS stock_name,
+    CAST(UNIT AS VARCHAR) AS unit,
+    CAST(PRICE AS DECIMAL(18,2)) AS price,
+    CAST(QUANTITY AS DECIMAL(18,2)) AS quantity,
+    TRY_CAST(CAST(HAS_VAT AS VARCHAR) AS BOOLEAN) AS has_vat,
+    CAST(DISCOUNT_PERCENTAGE AS DECIMAL(10,2)) AS discount_percentage,
+    CAST(BULK_DISCOUNT_PERCENTAGE AS DECIMAL(10,2)) AS bulk_discount_percentage,
+    TRY_CAST(DISCOUNT_APPLICATION_TYPE AS INT) AS discount_application_type,
+    CAST(FRIENDBUY_DISCOUNT_PERCENTAGE AS DECIMAL(10,2)) AS friendbuy_discount_percentage,
+    TRY_CAST(FRIENDBUY_DISCOUNT_APPLICATION_TYPE AS INT) AS friendbuy_discount_application_type,
+    CAST(MEAL_PLAN_REQUEST_ID AS VARCHAR) AS meal_plan_request_id
+  FROM {_b("transaction_items")}
+  QUALIFY row_number() OVER (PARTITION BY CAST(ID AS VARCHAR) ORDER BY _AIRBYTE_EXTRACTED_AT DESC NULLS FIRST) = 1
+) WHERE order_id IS NOT NULL
+"""
+
+# fct_order_items with DECIMAL outputs (the model's rounded (38,6) values);
+# every Spark (38,6) product/division is reproduced as an (18,6)-multiplied
+# exact product (or a *0.01 scale shift) rounded half-up to scale 6.
+_SQL_FCT_ORDER_ITEMS = f"""
+WITH items AS (
+  SELECT i.*,
+    upper(coalesce(CAST(discount_application_type AS VARCHAR), 'PERCENTAGE')) AS datype,
+    upper(coalesce(CAST(friendbuy_discount_application_type AS VARCHAR), 'PERCENTAGE')) AS fb_datype
+  FROM ({_SQL_OI_STG}) i
+), orders AS (
+  SELECT order_id, created_at_local, created_at_utc,
+    CAST(vat_percentage AS DECIMAL(38,6)) AS vat_pct_raw
+  FROM ({_SQL_STG_ORDERS})
+), typed AS (
+  SELECT i.order_item_id, i.order_id, i.product_id, i.product_name,
+    i.stock_id, i.stock_name, i.unit, i.meal_plan_request_id, i._ingested_at,
+    (CASE WHEN i.has_vat = true THEN true ELSE false END) AS has_vat,
+    coalesce(CAST(i.quantity AS DECIMAL(18,6)), 0) AS qty,
+    coalesce(CAST(i.price AS DECIMAL(18,6)), 0) AS price,
+    coalesce(CAST(i.quantity * i.price AS DECIMAL(18,6)), 0) AS line_amount_src,
+    coalesce(CASE WHEN i.datype = 'PERCENTAGE' THEN CAST(i.discount_percentage AS DECIMAL(18,6)) END, 0) AS disc_pct,
+    coalesce(CASE WHEN i.fb_datype = 'PERCENTAGE' THEN CAST(i.friendbuy_discount_percentage AS DECIMAL(18,6)) END, 0) AS fb_pct,
+    coalesce(CAST(i.bulk_discount_percentage AS DECIMAL(18,6)), 0) AS bulk_pct,
+    coalesce(o.vat_pct_raw, 0) AS vat_pct,
+    o.created_at_local, o.created_at_utc
+  FROM items i LEFT JOIN orders o USING (order_id)
+), amt AS (
+  SELECT t.*,
+    round(t.qty * t.price, 6) AS line_gross,
+    (CASE WHEN t.disc_pct + t.fb_pct + t.bulk_pct < 0 THEN 0
+          WHEN t.disc_pct + t.fb_pct + t.bulk_pct > 100 THEN 100
+          ELSE round(t.disc_pct + t.fb_pct + t.bulk_pct, 2) END) AS disc_pct_eff,
+    round(CAST(t.vat_pct AS DECIMAL(18,6)) * CAST(0.01 AS DECIMAL(3,2)), 6) AS vat_frac
+  FROM typed t
+), math AS (
+  SELECT a.*,
+    round(CAST(a.line_gross AS DECIMAL(18,6))
+          * CAST(round(CAST(a.disc_pct_eff AS DECIMAL(18,6)) * CAST(0.01 AS DECIMAL(3,2)), 6) AS DECIMAL(18,6)), 6)
+      AS line_discount
+  FROM amt a
+), math2 AS (
+  SELECT m.*,
+    m.line_gross - m.line_discount AS line_net_bt,
+    (CASE WHEN m.has_vat
+          THEN round(CAST(m.line_gross - m.line_discount AS DECIMAL(18,6))
+                     * CAST(m.vat_frac AS DECIMAL(18,6)), 6)
+          ELSE 0 END) AS line_tax
+  FROM math m
+)
+SELECT
+  md5(concat_ws('-',
+    coalesce(order_id, '_dbt_utils_surrogate_key_null_'),
+    coalesce(product_id, '_dbt_utils_surrogate_key_null_'),
+    coalesce(order_item_id, '_dbt_utils_surrogate_key_null_'))) AS order_item_sk,
+  {_SK.format("order_id")} AS order_sk,
+  order_item_id, order_id, product_id, product_name, stock_id, stock_name,
+  created_at_local, created_at_utc,
+  CAST(created_at_local AS DATE) AS order_date_local,
+  unit,
+  round(qty, 2) AS quantity,
+  round(price, 2) AS unit_price,
+  round(line_amount_src, 2) AS line_amount_raw,
+  round(line_gross, 2) AS line_gross,
+  round(disc_pct_eff, 2) AS discount_pct_effective,
+  round(line_discount, 2) AS line_discount_amt,
+  round(vat_pct, 2) AS vat_pct,
+  round(line_tax, 2) AS line_tax_amt,
+  round(line_net_bt + line_tax, 2) AS line_net_amt,
+  meal_plan_request_id,
+  _ingested_at AS _last_ingested_at
+FROM math2
+"""
+
+_FCT_OI_COLS = [
+    "order_item_sk", "order_sk", "order_item_id", "order_id", "product_id",
+    "product_name", "stock_id", "stock_name", "created_at_local",
+    "created_at_utc", "order_date_local", "unit",
+]
+_FCT_OI_MONEY = [
+    "quantity", "unit_price", "line_amount_raw", "line_gross",
+    "discount_pct_effective", "line_discount_amt", "vat_pct",
+    "line_tax_amt", "line_net_amt",
+]
+
+
+@query(
+    "model__fct_order_items",
+    section="model A1 J5 F7 S6 (ref fct_order_items.sql:1-168, decimal domain)",
+    oracle=f"""
+SELECT {", ".join(_FCT_OI_COLS)},
+  {", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in _FCT_OI_MONEY)},
+  meal_plan_request_id, _last_ingested_at
+FROM ({_SQL_FCT_ORDER_ITEMS})
+""",
+)
+def model_fct_order_items(spark, sf_dir):
+    df = _runner(spark).ref("fct_order_items")
+    return df.select(
+        *_FCT_OI_COLS, *_dbl(*_FCT_OI_MONEY), "meal_plan_request_id",
+        "_last_ingested_at",
+    )
+
+
+_SQL_FCT_ORDERS = f"""
+WITH oi AS (
+  SELECT order_id, created_at_local, created_at_utc, product_id,
+    CAST(line_gross AS DECIMAL(18,6)) AS line_gross,
+    CAST(line_discount_amt AS DECIMAL(18,6)) AS line_discount,
+    CAST(line_tax_amt AS DECIMAL(18,6)) AS line_tax,
+    CAST(line_net_amt AS DECIMAL(18,6)) AS line_net
+  FROM ({_SQL_FCT_ORDER_ITEMS})
+), agg AS (
+  SELECT order_id,
+    MIN(created_at_local) AS created_at_local,
+    MIN(created_at_utc) AS created_at_utc,
+    COUNT(*) AS item_count,
+    COUNT(DISTINCT product_id) AS distinct_products,
+    SUM(coalesce(line_gross, 0)) AS order_gross,
+    SUM(coalesce(line_discount, 0)) AS order_discount,
+    SUM(coalesce(line_tax, 0)) AS order_tax,
+    SUM(coalesce(line_net, 0)) AS order_net,
+    SUM(coalesce(line_net, 0)) - SUM(coalesce(line_tax, 0)) AS order_net_bt
+  FROM oi GROUP BY 1
+), orders AS (
+  SELECT order_id, CAST(vat_percentage AS DECIMAL(38,6)) AS vat_pct_src
+  FROM ({_SQL_STG_ORDERS})
+), tx AS (
+  SELECT order_id, customer_id FROM ({_SQL_STG_TRANSACTIONS})
+), joined AS (
+  SELECT a.*, o.vat_pct_src, t.customer_id
+  FROM agg a LEFT JOIN orders o USING (order_id) LEFT JOIN tx t USING (order_id)
+), users AS (
+  SELECT CAST(ID AS VARCHAR) AS user_id, CAST(CUSTOMER_ACCOUNT_ID AS VARCHAR) AS customer_id
+  FROM {_b("users")}
+), addr_user AS (
+  SELECT sa.address_id, u.customer_id,
+    lower(coalesce(sa.address_type, 'shipping')) AS address_type,
+    sa.area, sa.town, sa.region_id, sa.country_code, sa.address_display,
+    sa.building, sa.apartment_number, sa.street_name, sa.landmark,
+    sa.email, sa.phone,
+    CAST(sa.latitude AS DECIMAL(38,6)) AS latitude,
+    CAST(sa.longitude AS DECIMAL(38,6)) AS longitude,
+    coalesce(sa.updated_at, sa._src_extracted_at) AS address_ts
+  FROM ({_SQL_STG_ADDRESSES}) sa
+  JOIN users u ON CAST(sa.user_id AS VARCHAR) = CAST(u.user_id AS VARCHAR)
+), addr_at_order AS (
+  SELECT * FROM (
+    SELECT j.order_id, au.area, au.town, au.region_id, au.country_code,
+      au.address_display, au.building, au.apartment_number, au.street_name,
+      au.landmark, au.email, au.phone, au.latitude, au.longitude,
+      row_number() OVER (
+        PARTITION BY j.order_id
+        ORDER BY (CASE WHEN au.address_ts IS NOT NULL AND au.address_ts <= j.created_at_utc
+                       THEN 0 ELSE 1 END) ASC,
+                 abs(epoch(j.created_at_utc) - epoch(coalesce(au.address_ts, j.created_at_utc))) ASC,
+                 au.address_id ASC NULLS LAST
+      ) AS rn
+    FROM joined j
+    LEFT JOIN addr_user au
+      ON au.customer_id = j.customer_id AND au.address_type = 'shipping'
+  ) WHERE rn = 1
+)
+SELECT {_SK.format("f.order_id")} AS order_sk,
+  f.order_id, f.customer_id, f.created_at_local, f.created_at_utc,
+  CAST(f.created_at_utc AS DATE) AS order_date,
+  CAST(f.created_at_local AS DATE) AS order_date_local,
+  f.item_count, CAST(f.distinct_products AS BIGINT) AS distinct_products,
+  round(f.order_gross, 2) AS order_gross,
+  round(f.order_discount, 2) AS order_discount_amt,
+  round(f.order_net_bt, 2) AS order_net_before_tax,
+  round(f.order_tax, 2) AS order_tax_amt,
+  round(f.order_net, 2) AS order_net_amt,
+  round(CASE WHEN f.order_gross IS NULL OR f.order_gross = 0 THEN 0
+        ELSE round(CAST(round(CAST(f.order_discount AS DOUBLE) / CAST(f.order_gross AS DOUBLE), 6) AS DECIMAL(18,6)) * 100, 2) END, 2) AS order_discount_pct_effective,
+  round(CASE WHEN f.order_net_bt IS NULL OR f.order_net_bt = 0 THEN 0
+        ELSE round(CAST(round(CAST(f.order_tax AS DOUBLE) / CAST(f.order_net_bt AS DOUBLE), 6) AS DECIMAL(18,6)) * 100, 2) END, 2) AS order_vat_pct_effective,
+  round(f.vat_pct_src, 2) AS vat_pct_src,
+  ao.area AS ship_area, ao.town AS ship_town, ao.region_id AS ship_region_id,
+  ao.country_code AS ship_country_code, ao.address_display AS ship_address_display,
+  ao.building AS ship_building, ao.apartment_number AS ship_apartment_number,
+  ao.street_name AS ship_street_name, ao.landmark AS ship_landmark,
+  ao.email AS ship_email, ao.phone AS ship_phone,
+  CAST(ao.latitude AS DOUBLE) AS ship_latitude,
+  CAST(ao.longitude AS DOUBLE) AS ship_longitude,
+  TIMESTAMP '2024-06-02 00:00:00' AS _calculated_at
+FROM joined f
+LEFT JOIN addr_at_order ao ON ao.order_id = f.order_id
+"""
+
+
+_FCT_O_STR = [
+    "order_sk", "order_id", "customer_id", "created_at_local",
+    "created_at_utc", "order_date", "order_date_local",
+]
+_FCT_O_MONEY = [
+    "order_gross", "order_discount_amt", "order_net_before_tax",
+    "order_tax_amt", "order_net_amt", "order_discount_pct_effective",
+    "order_vat_pct_effective", "vat_pct_src",
+]
+_FCT_O_SHIP = [
+    "ship_area", "ship_town", "ship_region_id", "ship_country_code",
+    "ship_address_display", "ship_building", "ship_apartment_number",
+    "ship_street_name", "ship_landmark", "ship_email", "ship_phone",
+]
+
+
+@query(
+    "model__fct_orders",
+    section="model A1 J2 J3 J6 W4 F7 S6 (ref fct_orders.sql:1-215, as-of address join)",
+    oracle=f"""
+SELECT {", ".join(_FCT_O_STR)},
+  CAST(item_count AS BIGINT) AS item_count,
+  CAST(distinct_products AS BIGINT) AS distinct_products,
+  {", ".join(f"CAST({c} AS DOUBLE) AS {c}" for c in _FCT_O_MONEY)},
+  {", ".join(_FCT_O_SHIP)},
+  CAST(ship_latitude AS DOUBLE) AS ship_latitude,
+  CAST(ship_longitude AS DOUBLE) AS ship_longitude,
+  _calculated_at
+FROM ({_SQL_FCT_ORDERS})
+""",
+)
+def model_fct_orders(spark, sf_dir):
+    df = _runner(spark).ref("fct_orders")
+    return df.select(
+        *_FCT_O_STR,
+        F.col("item_count").cast("long").alias("item_count"),
+        F.col("distinct_products").cast("long").alias("distinct_products"),
+        *_dbl(*_FCT_O_MONEY),
+        *_FCT_O_SHIP,
+        *_dbl("ship_latitude", "ship_longitude"),
+        "_calculated_at",
+    )
+
+
+@query(
+    "model__fct_customers",
+    section="model A2 J4 F7 (ref fct_customers.sql:1-47, SK-join parity check)",
+    oracle=f"""
+WITH o AS (
+  SELECT order_sk, order_id, order_date_local,
+    CAST(order_net_amt AS DECIMAL(18,6)) AS order_net_amt
+  FROM ({_SQL_FCT_ORDERS})
+), d AS (
+  SELECT {_SK.format("order_id")} AS order_sk, customer_id
+  FROM ({_SQL_STG_ORDERS})
+), base AS (
+  SELECT d.customer_id, o.order_id, o.order_date_local, o.order_net_amt
+  FROM o JOIN d USING (order_sk)
+  WHERE d.customer_id IS NOT NULL
+)
+SELECT customer_id,
+  CAST(COUNT(DISTINCT order_id) AS BIGINT) AS frequency,
+  CAST(SUM(coalesce(order_net_amt, 0)) AS DOUBLE) AS ltv,
+  round(CAST(SUM(coalesce(order_net_amt, 0)) AS DOUBLE) / COUNT(*), 6) AS avg_order_value,
+  MIN(order_date_local) AS first_order_date,
+  MAX(order_date_local) AS last_order_date,
+  CAST(date_diff('day', MAX(order_date_local), DATE '2024-06-02') AS BIGINT) AS days_since_last_order
+FROM base GROUP BY customer_id
+""",
+)
+def model_fct_customers(spark, sf_dir):
+    # avg re-expressed as exact-sum/count (see cohort entry note); the
+    # model's F.avg over decimal is validated structurally in pytest
+    r = _runner(spark)
+    o = r.ref("fct_orders").select(
+        "order_sk", "order_id", "order_date_local",
+        F.col("order_net_amt").cast("decimal(18,6)").alias("order_net_amt"),
+    )
+    d = r.ref("dim_orders").select("order_sk", "customer_id")
+    base = o.join(d, on="order_sk").filter(F.col("customer_id").isNotNull())
+    return base.groupBy("customer_id").agg(
+        F.countDistinct("order_id").alias("frequency"),
+        F.sum(F.coalesce("order_net_amt", F.lit(0))).cast("double").alias("ltv"),
+        F.round(
+            F.sum(F.coalesce("order_net_amt", F.lit(0))).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_order_value"),
+        F.min("order_date_local").alias("first_order_date"),
+        F.max("order_date_local").alias("last_order_date"),
+        F.datediff(F.lit("2024-06-02").cast("date"), F.max("order_date_local"))
+        .cast("long")
+        .alias("days_since_last_order"),
+    )
