@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize_text, shingles, tokens
+from .util import fanout
 
 
 # ---------------------------------------------------------------------------
@@ -58,7 +59,7 @@ def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFr
     """(id, shingle) distinct pairs — the set representation used by both
     MinHash signatures and exact-Jaccard verification. Tokens are staged
     through their own projection (see text.with_text_stats perf note)."""
-    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    staged = fanout(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     return (
         staged.select(F.col(id_col), F.explode(shingles("__toks", k)).alias("shingle"))
         .distinct()
@@ -172,7 +173,12 @@ def minhash_near_duplicates(
     """End-to-end banded MinHash-LSH near-dup detection:
     shingle → minhash → band → bucket-join candidates → exact-Jaccard verify.
     """
-    sh = shingle_set(df, id_col, text_col, shingle_k)
+    # The shingle set feeds four distinct subtrees (signatures, pair sizes,
+    # and both sides of the intersection join); persisting it turns four
+    # tokenize+explode+distinct recomputes into one — the same
+    # materialize-the-set-representation step a 100 TB run would write to
+    # intermediate storage.
+    sh = shingle_set(df, id_col, text_col, shingle_k).persist()
     sigs = minhash_signatures(sh, id_col, num_perm, hash_fn)
     banded = lsh_band_signatures(sigs, id_col, rows_per_band)
     pairs = lsh_candidate_pairs(banded, id_col)
@@ -192,7 +198,7 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     16-way bit expansion is a generated-column explode, all codegen'd.
     """
     toks = tokens(text_col)
-    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("tok"))
+    tok_rows = fanout(df).select(F.col(id_col), F.explode(toks).alias("tok"))
     hashed = tok_rows.withColumn("h", F.md5(F.col("tok")))
     bit_rows = hashed.select(
         F.col(id_col),
@@ -233,13 +239,15 @@ def ngram_jaccard_pairs(
     intersection becomes a hash join + partial-aggregated count rather than
     row-at-a-time array scans. Both matter at corpus scale.
     """
+    # persisted: feeds sizes + both sides of the intersection self-join
     tok_rows = (
-        df.select(
+        fanout(df).select(
             F.col(bucket_col).alias("bucket"),
             F.col(id_col),
             tokens(text_col).alias("__toks"),
         )
         .select("bucket", F.col(id_col), F.explode(F.array_distinct("__toks")).alias("tok"))
+        .persist()
     )
     sizes = tok_rows.groupBy("bucket", id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = tok_rows.select("bucket", F.col(id_col).alias("id_a"), "tok")

@@ -21,6 +21,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .util import fanout
+
 
 def _dec(x):
     return x.cast("double").cast("decimal(18,6)")
@@ -73,7 +75,7 @@ def cosine_topk_bruteforce(
             F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("q_norm"),
         )
     )
-    c = corpus.select(
+    c = fanout(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("c_norm"),
@@ -141,7 +143,7 @@ def lsh_bucketed_topk(
     at 100 TB the bucket key turns the broadcast-scan into a pruned equi join."""
     dim = len(corpus.select(vec_col).first()[0])
     planes = deterministic_planes(num_planes, dim, seed)
-    cb = corpus.select(
+    cb = fanout(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("c_norm"),

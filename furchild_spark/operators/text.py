@@ -10,6 +10,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import fanout
+
 # Tiny stopword lists used by the quality/lang-id heuristics. Deliberately
 # small and hard-coded so the same list can be embedded in oracle SQL.
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
@@ -66,7 +68,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     idiomatic fix (measured 10× on the shingle pipeline).
     """
     stop_rx = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
-    staged = df.select(
+    staged = fanout(df).select(
         "*",
         normalize_text(text_col).alias("__norm"),
         tokens(text_col).alias("__toks"),
@@ -106,7 +108,7 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     n-grams; the *shape* (counts → argmax, all JVM-side) is the point."""
     en_rx = r"\b(" + "|".join(EN_STOPWORDS) + r")\b"
     sql_rx = r"\b(" + "|".join(SQLISH_WORDS) + r")\b"
-    staged = df.select("*", normalize_text(text_col).alias("__norm"))
+    staged = fanout(df).select("*", normalize_text(text_col).alias("__norm"))
     return (
         staged.withColumn(
             "c_en", F.size(F.regexp_extract_all(F.col("__norm"), F.lit(en_rx), F.lit(0)))
@@ -131,7 +133,7 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
 
     Tokens and shingles are staged through separate projections — see the
     perf note on :func:`with_text_stats` (10× measured on this function)."""
-    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    staged = fanout(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
     staged = staged.select(F.col(id_col), shingles("__toks", k).alias("__sh"))
     return staged.select(
         F.col(id_col),
