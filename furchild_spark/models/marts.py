@@ -649,10 +649,13 @@ def dim_date(ctx) -> DataFrame:
 def dim_product(ctx) -> DataFrame:
     """Product dim from stg_product_* (ref dims/dim_product.sql: empty)."""
     details = ctx.ref("stg_product_details")
+    # detail_content tiebreak: created_at alone can tie (it's a per-batch
+    # string timestamp) and the stub has no reference ordering to match —
+    # a total order keeps the surviving name engine-independent
     names = S.dedup_keep_latest(
         details.filter(F.lower("detail_type") == "name"),
         "product_id",
-        [F.desc_nulls_last("created_at")],
+        [F.desc_nulls_last("created_at"), F.desc_nulls_last("detail_content")],
     ).select("product_id", F.col("detail_content").alias("product_name"))
     base = details.select("product_id").distinct()
     return base.join(names, on="product_id", how="left").select(

@@ -867,10 +867,7 @@ def model_stg_packages(spark, sf_dir):
     return _runner(spark).ref("stg_packages")
 
 
-@query(
-    "model__stg_product_details",
-    section="model F7 W1 (ref stg_product_details.sql:1-50)",
-    oracle=f"""
+_SQL_STG_PRODUCT_DETAILS = f"""
 WITH src AS (
   SELECT
     trim(CAST(PRODUCT_ID AS VARCHAR)) AS product_id,
@@ -898,7 +895,13 @@ FROM keyed
 QUALIFY row_number() OVER (
   PARTITION BY product_detail_sk ORDER BY created_at DESC NULLS LAST
 ) = 1
-""",
+"""
+
+
+@query(
+    "model__stg_product_details",
+    section="model F7 W1 (ref stg_product_details.sql:1-50)",
+    oracle=_SQL_STG_PRODUCT_DETAILS,
 )
 def model_stg_product_details(spark, sf_dir):
     return _runner(spark).ref("stg_product_details")
@@ -1294,4 +1297,223 @@ def model_fct_customers(spark, sf_dir):
         F.datediff(F.lit("2024-06-02").cast("date"), F.max("order_date_local"))
         .cast("long")
         .alias("days_since_last_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# part 4: §2.10 stub-completion dims/aggregates (reference declares these as
+# 0-byte model files; completions are natural derivations from staging, so
+# the oracles below define-and-check our own semantics rather than port
+# reference SQL — see marts.py §2.10 docstrings)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "model__dim_date",
+    section="model §2.10 dim_date (ref dims/dim_date.sql: empty stub)",
+    oracle=f"""
+WITH bounds AS (
+  SELECT MIN(CAST(created_at_local AS DATE)) AS lo,
+         MAX(CAST(created_at_local AS DATE)) AS hi
+  FROM ({_SQL_STG_ORDERS})
+), days AS (
+  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date_day
+  FROM bounds
+)
+SELECT date_day,
+  CAST(year(date_day) AS BIGINT) AS year,
+  CAST(quarter(date_day) AS BIGINT) AS quarter,
+  CAST(month(date_day) AS BIGINT) AS month,
+  CAST(dayofmonth(date_day) AS BIGINT) AS day_of_month,
+  CAST(dayofweek(date_day) + 1 AS BIGINT) AS day_of_week,
+  dayname(date_day) AS day_name,
+  CAST(date_trunc('month', date_day) AS DATE) AS month_start,
+  dayofweek(date_day) IN (0, 6) AS is_weekend
+FROM days
+""",
+)
+def model_dim_date(spark, sf_dir):
+    df = _runner(spark).ref("dim_date")
+    ints = ["year", "quarter", "month", "day_of_month", "day_of_week"]
+    return df.select(
+        "date_day",
+        *[F.col(c).cast("long").alias(c) for c in ints],
+        "day_name", "month_start", "is_weekend",
+    )
+
+
+@query(
+    "model__dim_product",
+    section="model §2.10 dim_product (ref dims/dim_product.sql: empty stub)",
+    oracle=f"""
+WITH details AS ({_SQL_STG_PRODUCT_DETAILS}),
+names AS (
+  SELECT product_id, detail_content AS product_name FROM details
+  WHERE lower(detail_type) = 'name'
+  QUALIFY row_number() OVER (
+    PARTITION BY product_id
+    ORDER BY created_at DESC NULLS LAST, detail_content DESC NULLS LAST
+  ) = 1
+), base AS (SELECT DISTINCT product_id FROM details)
+SELECT {_SK.format("product_id")} AS product_key, product_id, product_name
+FROM base LEFT JOIN names USING (product_id)
+""",
+)
+def model_dim_product(spark, sf_dir):
+    return _runner(spark).ref("dim_product")
+
+
+@query(
+    "model__dim_delivery_slot",
+    section="model §2.10 dim_delivery_slot (slot-parse columns; rows-only — "
+    "the HH:MM window miner is checked via its own staging fixtures)",
+)
+def model_dim_delivery_slot(spark, sf_dir):
+    return _runner(spark).ref("dim_delivery_slot")
+
+
+@query(
+    "model__dim_device",
+    section="model §2.10 dim_device (ref dims/dim_device.sql: empty stub)",
+    oracle=f"""
+WITH base AS (
+  SELECT DISTINCT coalesce(lower(device_type), 'unknown') AS device_type
+  FROM ({_SQL_STG_ORDERS})
+)
+SELECT {_SK.format("device_type")} AS device_key, device_type FROM base
+""",
+)
+def model_dim_device(spark, sf_dir):
+    return _runner(spark).ref("dim_device")
+
+
+@query(
+    "model__dim_payment_method",
+    section="model §2.10 dim_payment_method (ref dims/dim_payment_method.sql: empty stub)",
+    oracle=f"""
+WITH base AS (
+  SELECT DISTINCT coalesce(lower(CAST(payment_method_raw AS VARCHAR)), 'unknown')
+    AS payment_method
+  FROM ({_SQL_STG_ORDERS})
+)
+SELECT {_SK.format("payment_method")} AS payment_method_key, payment_method
+FROM base
+""",
+)
+def model_dim_payment_method(spark, sf_dir):
+    return _runner(spark).ref("dim_payment_method")
+
+
+# dim_promo needs the promo-code columns, which the shared stg_orders
+# fragment prunes away — replicate just the dedup-then-project core here.
+_SQL_PROMO_CODES = f"""
+WITH src AS (
+  SELECT {_norm_id("CAST(t.ID AS VARCHAR)")} AS order_id,
+    CAST(t.COUPON_CODE AS VARCHAR) AS coupon_code,
+    CAST(t.FRIENDBUY_CODE AS VARCHAR) AS friendbuy_code,
+    CAST(t.GIFT_CARD_CODE AS VARCHAR) AS gift_card_code,
+    coalesce(t.DATE_UPDATED - INTERVAL 4 HOUR,
+             coalesce(t.TRANSACTION_DATE - INTERVAL 4 HOUR, t._AIRBYTE_EXTRACTED_AT))
+      AS _order_rank_ts,
+    t._AIRBYTE_EXTRACTED_AT AS _ingested_at
+  FROM {_b("transactions")} t
+), dedup AS (
+  SELECT * FROM src
+  QUALIFY row_number() OVER (
+    PARTITION BY order_id
+    ORDER BY _order_rank_ts DESC NULLS FIRST, _ingested_at DESC NULLS FIRST
+  ) = 1
+)
+SELECT * FROM dedup WHERE order_id IS NOT NULL
+"""
+
+
+@query(
+    "model__dim_promo",
+    section="model §2.10 dim_promo (ref dims/dim_promo.sql: empty stub)",
+    oracle=f"""
+WITH o AS ({_SQL_PROMO_CODES}),
+codes AS (
+  SELECT DISTINCT promo_type, promo_code FROM (
+    SELECT 'coupon' AS promo_type, coupon_code AS promo_code FROM o
+    UNION ALL SELECT 'friendbuy', friendbuy_code FROM o
+    UNION ALL SELECT 'gift_card', gift_card_code FROM o
+  ) WHERE promo_code IS NOT NULL
+)
+SELECT md5(concat_ws('-',
+    coalesce(promo_type, '_dbt_utils_surrogate_key_null_'),
+    coalesce(promo_code, '_dbt_utils_surrogate_key_null_'))) AS promo_key,
+  promo_type, promo_code
+FROM codes
+""",
+)
+def model_dim_promo(spark, sf_dir):
+    return _runner(spark).ref("dim_promo")
+
+
+@query(
+    "model__dim_address",
+    section="model §2.10 dim_address (ref dims/dim_address.sql: empty stub)",
+    oracle=f"""
+SELECT address_sk, address_id, address_type, full_name, email, phone,
+  building, apartment_number, street_name, landmark, area, town, post_code,
+  region_id, country_code,
+  CAST(latitude AS DOUBLE) AS latitude,
+  CAST(longitude AS DOUBLE) AS longitude,
+  address_display
+FROM ({_SQL_STG_ADDRESSES})
+""",
+)
+def model_dim_address(spark, sf_dir):
+    df = _runner(spark).ref("dim_address")
+    return df.select(
+        "address_sk", "address_id", "address_type", "full_name", "email",
+        "phone", "building", "apartment_number", "street_name", "landmark",
+        "area", "town", "post_code", "region_id", "country_code",
+        *_dbl("latitude", "longitude"),
+        "address_display",
+    )
+
+
+@query(
+    "model__agg_orders_daily",
+    section="model §2.10 agg_orders_daily (ref aggregates/agg_orders_daily.sql: empty stub)",
+    oracle=f"""
+SELECT order_date_local,
+  COUNT(*) AS orders,
+  CAST(COUNT(DISTINCT customer_id) AS BIGINT) AS customers,
+  CAST(SUM(coalesce(CAST(order_gross AS DECIMAL(18,6)), 0)) AS DOUBLE) AS gross_amount,
+  CAST(SUM(coalesce(CAST(order_discount_amt AS DECIMAL(18,6)), 0)) AS DOUBLE) AS discount_amount,
+  CAST(SUM(coalesce(CAST(order_tax_amt AS DECIMAL(18,6)), 0)) AS DOUBLE) AS tax_amount,
+  CAST(SUM(coalesce(CAST(order_net_amt AS DECIMAL(18,6)), 0)) AS DOUBLE) AS net_amount
+FROM ({_SQL_FCT_ORDERS})
+GROUP BY order_date_local
+""",
+)
+def model_agg_orders_daily(spark, sf_dir):
+    df = _runner(spark).ref("agg_orders_daily")
+    return df.select(
+        "order_date_local", "orders", "customers",
+        *_dbl("gross_amount", "discount_amount", "tax_amount", "net_amount"),
+    )
+
+
+@query(
+    "model__agg_items_daily",
+    section="model §2.10 agg_items_daily (ref aggregates/agg_items_daily.sql: empty stub)",
+    oracle=f"""
+SELECT order_date_local, product_id,
+  COUNT(*) AS lines,
+  CAST(SUM(coalesce(CAST(quantity AS DECIMAL(18,6)), 0)) AS DOUBLE) AS units,
+  CAST(SUM(coalesce(CAST(line_gross AS DECIMAL(18,6)), 0)) AS DOUBLE) AS gross_amount,
+  CAST(SUM(coalesce(CAST(line_net_amt AS DECIMAL(18,6)), 0)) AS DOUBLE) AS net_amount
+FROM ({_SQL_FCT_ORDER_ITEMS})
+GROUP BY order_date_local, product_id
+""",
+)
+def model_agg_items_daily(spark, sf_dir):
+    df = _runner(spark).ref("agg_items_daily")
+    return df.select(
+        "order_date_local", "product_id", "lines",
+        *_dbl("units", "gross_amount", "net_amount"),
     )

@@ -650,7 +650,11 @@ FROM documents
 """,
 )
 def regexp_tokens(spark, sf_dir):
-    d = table(spark, sf_dir, "documents")
+    # four regex scans per row over full document text — fan out the
+    # under-split local scan (no-op on a well-partitioned input)
+    from furchild_spark.operators.util import fanout
+
+    d = fanout(table(spark, sf_dir, "documents"))
     words = F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), F.lit(0))
     return d.select(
         "doc_id",
