@@ -132,12 +132,14 @@ class Runner:
         incremental: bool = False,
         variables: dict | None = None,
         now: dt.datetime | None = None,
+        cache_refs: bool = False,
     ) -> None:
         self.spark = spark
         self.registry = registry
         self._sources = sources
         self.warehouse_dir = warehouse_dir
         self.incremental = incremental
+        self.cache_refs = cache_refs
         self.vars = {**DEFAULT_VARS, **(variables or {})}
         self.now = now
         self._cache: dict[str, DataFrame] = {}
@@ -150,7 +152,15 @@ class Runner:
 
     def ref(self, name: str) -> DataFrame:
         if name not in self._cache:
-            self._cache[name] = self._build(self.registry[name])
+            df = self._build(self.registry[name])
+            # View-only runs (warehouse_dir=None) re-execute a ref's whole
+            # subtree once per consumer; with cache_refs the first build is
+            # persisted so fan-in models (stg_orders feeds 5+ marts) compute
+            # once — the in-memory analogue of materializing to the
+            # warehouse. Callers own spark.catalog.clearCache() hygiene.
+            if self.cache_refs and self.warehouse_dir is None:
+                df = df.persist()
+            self._cache[name] = df
         return self._cache[name]
 
     # -- incremental state -------------------------------------------------

@@ -263,6 +263,12 @@ def stg_orders(ctx) -> DataFrame:
 
     tx = ctx.ref("stg_transactions").select("order_id", "customer_id")
 
+    # Parity note — deliberate strict→lenient divergence: the reference's
+    # bare `payment_status = 1` (stg_orders.sql:133-140) ERRORS in Snowflake
+    # on a non-numeric status string; try_cast maps such rows to 'unknown'
+    # instead. Identical results on numeric data (fixture-checked); chosen
+    # so one malformed row can't fail a 100 TB batch. Same policy at the
+    # HAS_VAT/boolean try_casts in stg_items/stg_customers.
     ps = F.col("payment_status_raw").cast("string").try_cast("decimal(38,6)")
     ds = F.col("delivery_status_raw").cast("string").try_cast("decimal(38,6)")
 

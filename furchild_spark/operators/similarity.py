@@ -102,6 +102,143 @@ def cosine_topk_bruteforce(
     )
 
 
+def cosine_neardup_pairs(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.5,
+    num_planes: int = 4,
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the vector-space member of
+    the dedup family (exact / MinHash / SimHash / Jaccard / **cosine**).
+
+    Same shape as MinHash-LSH: hyperplane buckets generate candidates via a
+    *keyed self-join* (never an O(n²) cross product), then the exact rounded
+    cosine verifies. Recall is bounded by the planes: a true near-dup pair
+    is missed iff some plane separates it — more planes → fewer candidates,
+    lower recall; the (num_planes, threshold) pair is the tuning surface.
+    """
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = deterministic_planes(num_planes, dim, seed)
+    cb = fanout(corpus).select(
+        F.col(id_col),
+        F.col(vec_col).alias("__vec"),
+        F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("__norm"),
+        hyperplane_bucket_expr(vec_col, planes).alias("bucket"),
+    )
+    a = cb.select(
+        "bucket", F.col(id_col).alias("id_a"),
+        F.col("__vec").alias("vec_a"), F.col("__norm").alias("norm_a"),
+    )
+    b = cb.select(
+        "bucket", F.col(id_col).alias("id_b"),
+        F.col("__vec").alias("vec_b"), F.col("__norm").alias("norm_b"),
+    )
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_exact(F.col("vec_a"), F.col("vec_b")).cast("double")
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("bucket", "id_a", "id_b", "cosine")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-flat ANN: partition the corpus into inverted lists by nearest
+    centroid, probe only the query's ``nprobe`` closest lists.
+
+    Centroid choice is pluggable; here it's the first ``num_centroids``
+    corpus vectors (deterministic, oracle-reproducible) — production would
+    k-means-train them, which changes recall but not this plan shape. The
+    shape IS the point at 100 TB: assignment is a broadcast join against
+    ``num_centroids`` rows + one argmax window, and the probe→list lookup
+    is an equi join on ``cent_id`` (the inverted lists co-partition), so
+    each query touches nprobe/num_centroids of the corpus instead of all
+    of it. Recall < 1 by design, like every IVF index.
+    """
+    cent = F.broadcast(
+        corpus.filter(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("cent_norm"),
+        )
+    )
+    cb = fanout(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("c_norm"),
+    )
+    sim_to_cent = F.round(
+        dot_exact(F.col("c_vec"), F.col("cent_vec")).cast("double")
+        / (F.col("c_norm") * F.col("cent_norm")),
+        6,
+    )
+    aw = Window.partitionBy("neighbor_id").orderBy(
+        F.desc("__cent_sim"), F.asc("cent_id")
+    )
+    assign = (
+        cb.join(cent, how="cross")
+        .withColumn("__cent_sim", sim_to_cent)
+        .withColumn("__rn", F.row_number().over(aw))
+        .filter(F.col("__rn") == 1)
+        .select("cent_id", "neighbor_id", "c_vec", "c_norm")
+    )
+    qb = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.sqrt(dot_exact(F.col(vec_col), F.col(vec_col)).cast("double")).alias("q_norm"),
+    )
+    q_to_cent = F.round(
+        dot_exact(F.col("q_vec"), F.col("cent_vec")).cast("double")
+        / (F.col("q_norm") * F.col("cent_norm")),
+        6,
+    )
+    pw = Window.partitionBy("query_id").orderBy(F.desc("__cent_sim"), F.asc("cent_id"))
+    probes = F.broadcast(
+        qb.join(cent, how="cross")
+        .withColumn("__cent_sim", q_to_cent)
+        .withColumn("__rn", F.row_number().over(pw))
+        .filter(F.col("__rn") <= nprobe)
+        .select("cent_id", "query_id", "q_vec", "q_norm")
+    )
+    scored = (
+        probes.join(assign, on="cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot_exact(F.col("q_vec"), F.col("c_vec")).cast("double")
+                / (F.col("q_norm") * F.col("c_norm")),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "sim")
+    )
+
+
 def deterministic_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
     """±1 hyperplanes from a seeded PRNG — deterministic so the identical
     constants can be embedded in an oracle SQL string."""

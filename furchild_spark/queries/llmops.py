@@ -383,3 +383,101 @@ def multimodal_meta(spark, sf_dir):
         F.col("height").cast("long"),
         F.col("n_frames").cast("long"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup (vector member of the dedup family)
+# ---------------------------------------------------------------------------
+
+@query(
+    "embedding_cosine_neardup",
+    section="LLM-dedup embedding-cosine near-dup (LSH-bucketed candidates, exact verify)",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, embedding,
+    CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket,
+    sqrt(CAST({_DOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS nrm
+  FROM embeddings
+)
+SELECT bucket, id_a, id_b, cosine FROM (
+  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+    round(CAST({_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+          / (a.nrm * b.nrm), 6) AS cosine
+  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+) WHERE cosine >= 0.3
+""",
+)
+def embedding_cosine_neardup(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.cosine_neardup_pairs(
+        emb, "vec_id", "embedding", threshold=0.3, num_planes=4, seed=42, dim=64
+    )
+    return out.select(
+        F.col("bucket").cast("long").alias("bucket"), "id_a", "id_b", "cosine"
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-flat ANN (inverted-list scale path; complements the LSH buckets)
+# ---------------------------------------------------------------------------
+
+_IVF_E = f"""
+SELECT vec_id, embedding,
+  sqrt(CAST({_DOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS nrm
+FROM embeddings
+"""
+
+
+@query(
+    "ann_ivf_topk",
+    section="LLM-similarity IVF-flat ANN (centroid inverted lists, nprobe pruning)",
+    oracle=f"""
+WITH e AS ({_IVF_E}),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id < 8
+),
+assign AS (
+  SELECT cent_id, neighbor_id, nvec, nnrm FROM (
+    SELECT c.cent_id, x.vec_id AS neighbor_id, x.embedding AS nvec, x.nrm AS nnrm,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM e x CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT cent_id, query_id, qvec, qnrm FROM (
+    SELECT c.cent_id, q.query_id, q.qvec, q.qnrm,
+      row_number() OVER (
+        PARTITION BY q.query_id
+        ORDER BY round(CAST({_DOT.format(a='q.qvec', b='c.cvec')} AS DOUBLE)
+                       / (q.qnrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM q CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+scored AS (
+  SELECT p.query_id, a.neighbor_id,
+    round(CAST({_DOT.format(a='p.qvec', b='a.nvec')} AS DOUBLE)
+          / (p.qnrm * a.nnrm), 6) AS sim
+  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.neighbor_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+  SELECT query_id, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_centroids=8, nprobe=2
+    )
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "sim")

@@ -50,6 +50,9 @@ def _runner(spark):
         sources=lambda n: spark.read.parquet(f"{FIXTURE_DIR}/{n}.parquet"),
         warehouse_dir=None,  # view-only: no writes in the driver's sandbox
         now=FROZEN_NOW,
+        # cache_refs deliberately OFF: persisting wide staging models blocks
+        # column pruning below the cache boundary, and at fixture scale the
+        # recompute is cheaper than the materialization (measured ~even)
     )
 
 
