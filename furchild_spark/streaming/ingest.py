@@ -1,0 +1,143 @@
+"""Structured Streaming ingest — continuous bronze landing → incremental
+marts.
+
+The reference has no streaming engine of its own; its freshness SLA
+(reference ``models/staging/schema.yml:13-15``: warn >24h, error >72h since
+``_AIRBYTE_EXTRACTED_AT``) exists because an external EL tool lands bronze
+batches continuously and dbt re-runs on a schedule. The Spark-first version
+of that contract is a file-source stream feeding the SAME merge
+materializer the batch Runner uses (``engine.materialize.merge_upsert``) —
+one upsert semantics for both paths, so a table can be kept fresh by a
+stream and still be rebuilt by a batch backfill (Kappa-style).
+
+Scale notes (100 TB / 1000 executors):
+
+- ``maxFilesPerTrigger`` bounds micro-batch size: ingest throughput is
+  tuned by files-per-trigger × file size, independent of total backlog.
+- ``dropDuplicatesWithinWatermark`` keeps dedup state BOUNDED — keys older
+  than the watermark are evicted, so state size tracks the late-data
+  horizon (the reference's 7-day lookback), not corpus size.
+- The sink is ``foreachBatch`` + partition-scoped merge: each micro-batch
+  rewrites only the partitions it touches (see materialize.py scale notes).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from furchild_spark.engine import materialize as mat
+
+
+def read_bronze_stream(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a bronze landing directory (new parquet files
+    are discovered per micro-batch — exactly how EL tools land data)."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(src_dir)
+
+
+def dedup_within_watermark(
+    df: DataFrame, unique_key: str, ts_col: str, delay: str = "7 days"
+) -> DataFrame:
+    """Collapse at-least-once redeliveries, with state bounded by the
+    watermark delay (the streaming twin of the reference's 7-day lookback).
+
+    Dedup identity is ``(unique_key, ts_col)`` — the *delivery*, not the
+    business key: the same key at the same timestamp is a redelivered file
+    (dropped); the same key at a newer timestamp is an UPDATE and must
+    reach the merge sink. Deduping on the key alone would silently eat
+    every late-arriving update inside the watermark horizon."""
+    return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+        [unique_key, ts_col]
+    )
+
+
+def merge_sink(
+    path: str, unique_key: str, ts_col: str, partition_by: tuple[str, ...] = ()
+) -> Callable[[DataFrame, int], None]:
+    """foreachBatch sink: upsert each micro-batch into the parquet table at
+    ``path`` with the batch engine's merge (new row wins on key match).
+    First batch bootstraps the table with a plain overwrite.
+
+    A single micro-batch can carry several versions of one key (backlog
+    drain); they're collapsed to the latest by ``ts_col`` first so the
+    merge's unique-key invariant holds."""
+    from pyspark.sql import Window
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        w = Window.partitionBy(unique_key).orderBy(F.desc_nulls_last(ts_col))
+        latest = (
+            batch_df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        if mat.parquet_exists(spark, path):
+            mat.merge_upsert(spark, path, latest, unique_key, partition_by)
+        else:
+            mat.overwrite(spark, path, latest, partition_by)
+
+    return sink
+
+
+def run_ingest(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    table_path: str,
+    unique_key: str,
+    ts_col: str,
+    checkpoint_dir: str,
+    partition_by: tuple[str, ...] = (),
+    watermark_delay: str = "7 days",
+    available_now: bool = True,
+):
+    """End-to-end ingest: bronze stream → watermarked key-dedup →
+    incremental merge. ``available_now=True`` drains the current backlog
+    and stops (the micro-batch analogue of one dbt incremental run);
+    ``False`` runs continuously."""
+    stream = read_bronze_stream(spark, src_dir, schema)
+    deduped = dedup_within_watermark(stream, unique_key, ts_col, watermark_delay)
+    writer = (
+        deduped.writeStream.foreachBatch(
+            merge_sink(table_path, unique_key, ts_col, partition_by)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window_duration: str = "1 minute",
+    watermark_delay: str = "2 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup (events per key per window) —
+    append-mode safe: a window emits once, when the watermark passes its
+    end, so late rows beyond the delay are dropped instead of re-opening
+    state. The streaming twin of agg_orders_daily."""
+    return (
+        stream_df.withWatermark(ts_col, watermark_delay)
+        .groupBy(F.window(ts_col, window_duration).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n_events",
+        )
+    )

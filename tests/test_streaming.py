@@ -1,0 +1,137 @@
+"""Streaming ingest tests: file-stream → watermarked dedup → incremental
+merge, and the watermarked windowed rollup.
+
+Each test drains a landing directory with ``availableNow`` (bounded run),
+appends a second bronze batch, re-runs against the same checkpoint, and
+asserts merge/window semantics — i.e. the exact operational loop the
+reference runs via Airbyte-lands-then-dbt-incremental.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from furchild_spark.streaming import ingest
+
+TS = dt.datetime(2024, 6, 1, 12, 0, 0)
+
+
+def _land(spark, src_dir: str, rows: list[Row], batch: str) -> None:
+    """Land one bronze file into the flat landing dir (file streams list a
+    directory, not a tree)."""
+    import glob
+    import shutil
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        out = os.path.join(tmp, "out")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(out)
+        part = glob.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutil.move(part, os.path.join(src_dir, f"{batch}.parquet"))
+
+
+def _schema(spark, rows):
+    return spark.createDataFrame(rows).schema
+
+
+@pytest.fixture()
+def dirs(tmp_path):
+    src = tmp_path / "landing"
+    src.mkdir()
+    return str(src), str(tmp_path / "table"), str(tmp_path / "ckpt")
+
+
+def _batch1():
+    return [
+        Row(order_id=str(i), amount=float(10 * i), updated_at=TS + dt.timedelta(minutes=i))
+        for i in range(1, 6)
+    ]
+
+
+def _batch2():
+    # keys 3..5 updated (newer rows win), 6..7 new
+    return [
+        Row(order_id=str(i), amount=float(100 * i), updated_at=TS + dt.timedelta(hours=1, minutes=i))
+        for i in range(3, 8)
+    ]
+
+
+def test_ingest_bootstrap_then_merge(spark, dirs):
+    src, table, ckpt = dirs
+    _land(spark, src, _batch1(), "b1")
+    schema = _schema(spark, _batch1())
+
+    q = ingest.run_ingest(spark, src, schema, table, "order_id", "updated_at", ckpt)
+    q.awaitTermination()
+    got = {r["order_id"]: r["amount"] for r in spark.read.parquet(table).collect()}
+    assert got == {str(i): 10.0 * i for i in range(1, 6)}
+
+    _land(spark, src, _batch2(), "b2")
+    q = ingest.run_ingest(spark, src, schema, table, "order_id", "updated_at", ckpt)
+    q.awaitTermination()
+
+    out = spark.read.parquet(table)
+    got = {r["order_id"]: r["amount"] for r in out.collect()}
+    # keys 1-2 untouched, 3-7 from batch 2 (new row wins)
+    assert got == {"1": 10.0, "2": 20.0, **{str(i): 100.0 * i for i in range(3, 8)}}
+    # no duplicate keys after the merge
+    assert out.count() == out.select("order_id").distinct().count()
+
+
+def test_ingest_redelivery_is_deduped_within_batch(spark, dirs):
+    """The same key delivered twice in one backlog drain lands once."""
+    src, table, ckpt = dirs
+    rows = _batch1() + [
+        Row(order_id="1", amount=10.0, updated_at=TS + dt.timedelta(minutes=1))
+    ]
+    _land(spark, src, rows, "b1")
+    q = ingest.run_ingest(spark, src, _schema(spark, rows), table, "order_id", "updated_at", ckpt)
+    q.awaitTermination()
+    out = spark.read.parquet(table)
+    assert out.count() == 5
+    assert out.select("order_id").distinct().count() == 5
+
+
+def test_windowed_counts_append_and_late_drop(spark, dirs):
+    src, _, ckpt = dirs
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        Row(source="a", ts=base + dt.timedelta(seconds=10)),
+        Row(source="a", ts=base + dt.timedelta(seconds=20)),
+        Row(source="b", ts=base + dt.timedelta(seconds=30)),
+        # advances the watermark far past the 12:00 window
+        Row(source="a", ts=base + dt.timedelta(minutes=30)),
+    ]
+    _land(spark, src, rows, "b1")
+    out_dir = os.path.join(os.path.dirname(ckpt), "win_out")
+    stream = ingest.read_bronze_stream(spark, src, _schema(spark, rows))
+    agg = ingest.windowed_counts(stream, "ts", "source", "1 minute", "2 minutes")
+
+    def drain():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            (r["window_start"].minute, r["source"]): r["n_events"]
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    # the 12:30 row advances the watermark past the 12:00 window's end →
+    # that window closes and emits; the 12:30 window itself stays open
+    assert drain() == {(0, "a"): 2, (0, "b"): 1}
+
+    # a late row for the already-closed 12:00 window, beyond the watermark
+    # → dropped: the emitted results are unchanged (no re-open, no recount)
+    _land(spark, src, [Row(source="a", ts=base + dt.timedelta(seconds=40))], "b2")
+    assert drain() == {(0, "a"): 2, (0, "b"): 1}
