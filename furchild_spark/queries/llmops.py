@@ -481,3 +481,30 @@ def ann_ivf_topk(spark, sf_dir):
     )
     return out.select("query_id", F.col("rank").cast("long").alias("rank"),
                       "neighbor_id", "sim")
+
+
+# ---------------------------------------------------------------------------
+# streaming window rollup — batch execution of the SAME logical plan the
+# streaming layer runs (furchild_spark.streaming.ingest.windowed_counts);
+# correctness of the window semantics is oracle-checked here, the
+# streaming-only behaviors (watermark eviction, append-mode late-drop) in
+# tests/test_streaming.py
+# ---------------------------------------------------------------------------
+
+@query(
+    "streaming_window_rollup",
+    section="§2.8 streaming windowed agg (tumbling 1h; batch twin of ingest.windowed_counts)",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+  time_bucket(INTERVAL '1 hour', ts) + INTERVAL 1 HOUR AS window_end,
+  event_type,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def streaming_window_rollup(spark, sf_dir):
+    from furchild_spark.streaming.ingest import windowed_counts
+
+    e = table(spark, sf_dir, "events")
+    return windowed_counts(e, "ts", "event_type", "1 hour", "2 hours")

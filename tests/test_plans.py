@@ -1,0 +1,94 @@
+"""Physical-plan audits: the scale properties the operators claim must be
+visible in `.explain("formatted")` — candidate generation is keyed (never a
+cartesian product), filters reach the parquet scan, projections prune, and
+single-shuffle operators really have one exchange.
+
+Plans are shape-stable across scale factors, so these run at sf0.001.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from furchild_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = QUERIES[name].fn(spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "minhash_neardup",
+        "ngram_jaccard",
+        "embedding_cosine_neardup",
+        "exact_dedup",
+        "dupe_groups",
+        "ann_ivf_topk",
+    ],
+)
+def test_no_cartesian_candidate_generation(spark, name):
+    """Dedup/ANN candidate pairs come from keyed joins; an O(n²) cross
+    product anywhere in these plans is a scale bug. (ann_cosine_topk, the
+    deliberate brute-force *baseline*, is excluded by design; ann_ivf_topk's
+    centroid assignment broadcasts an 8-row side, which is a
+    BroadcastNestedLoopJoin but not a corpus×corpus product.)"""
+    p = plan_of(spark, name)
+    assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["minhash_neardup", "ngram_jaccard", "embedding_cosine_neardup", "exact_dedup"],
+)
+def test_no_nested_loop_joins_in_dedup(spark, name):
+    p = plan_of(spark, name)
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    p = plan_of(spark, "pricing_summary")
+    # the shipdate filter reaches the parquet scan...
+    assert "PushedFilters" in p and "l_shipdate" in p.split("PushedFilters")[1][:200]
+    # ...and unused wide columns never leave it
+    assert "l_comment" not in p
+
+
+def test_revenue_by_region_broadcasts_dims(spark):
+    p = plan_of(spark, "revenue_by_region")
+    assert p.count("BroadcastHashJoin") >= 2  # nation, region
+
+
+def _n_exchanges(plan: str) -> int:
+    # formatted mode lists each operator once as "(N) Exchange" in the
+    # detail section (the tree shows "Exchange (N)")
+    import re
+
+    return len(re.findall(r"^\(\d+\) Exchange", plan, flags=re.M))
+
+
+def test_exact_dedup_is_single_shuffle(spark):
+    p = plan_of(spark, "exact_dedup")
+    # one exchange on the fingerprint, with map-side partial aggregation
+    assert _n_exchanges(p) == 1
+    assert "partial_" in p
+
+
+def test_dedup_window_is_single_shuffle(spark):
+    p = plan_of(spark, "dedup_latest_event")
+    assert _n_exchanges(p) == 1
+
+
+def test_asof_join_no_cartesian(spark):
+    p = plan_of(spark, "asof_click_attribution")
+    assert "CartesianProduct" not in p
