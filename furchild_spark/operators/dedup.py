@@ -55,62 +55,95 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
-def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """(id, shingle) distinct pairs — the set representation used by both
-    MinHash signatures and exact-Jaccard verification. Tokens are staged
-    through their own projection (see text.with_text_stats perf note)."""
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, __sh) with __sh = the DISTINCT k-shingle array of the document.
+
+    The set representation is built entirely per-row — tokenize → shingle →
+    ``array_distinct`` — so it is a map-only transform with NO shuffle.
+    (A ``explode + distinct`` formulation shuffles every (id, shingle) pair
+    across the cluster; at 100 TB that is a full-corpus exchange doing work
+    ``array_distinct`` does locally, since shingle sets never span rows.)
+    Tokens are staged through their own projection (see text.with_text_stats
+    perf note)."""
     staged = fanout(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
-    return (
-        staged.select(F.col(id_col), F.explode(shingles("__toks", k)).alias("shingle"))
-        .distinct()
+    return staged.select(
+        F.col(id_col), F.array_distinct(shingles("__toks", k)).alias("__sh")
+    )
+
+
+def shingle_set(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """(id, shingle) distinct pairs — the exploded-row view of
+    :func:`shingle_sets` used by exact-Jaccard verification. Still shuffle
+    free: distinctness is established inside each row before the explode."""
+    return shingle_sets(df, id_col, text_col, k).select(
+        F.col(id_col), F.explode("__sh").alias("shingle")
     )
 
 
 def minhash_signatures(
-    sh: DataFrame, id_col: str, num_perm: int = 16, hash_fn: str = "md5"
+    sets: DataFrame, id_col: str, num_perm: int = 16, hash_fn: str = "md5"
 ) -> DataFrame:
-    """MinHash signature rows (id, perm, minhash).
+    """Wide MinHash signature: one row per id, columns ``mh0..mh{n-1}``,
+    computed from the per-row shingle-set arrays of :func:`shingle_sets`.
 
-    Permutation i is simulated by hashing ``i ':' shingle``; the signature
-    value is the minimum hash over the document's shingle set. ``md5`` keeps
-    the value reproducible in ANSI SQL oracles; ``xxhash64`` is the faster
-    pure-Spark variant (one 64-bit op vs a 128-bit digest + hex string).
+    Permutation i is simulated by hashing ``i ':' shingle``; signature i is
+    the minimum hash over the document's shingle set — here
+    ``array_min(transform(__sh, hash_i))``, a pure projection with NO
+    shuffle and no row expansion. (The naive formulation — explode shingles
+    × permutations, groupBy(id, perm), plus a second shuffle to re-assemble
+    bands — moves 16× the shingle data through two exchanges to compute
+    per-document minima that never needed to leave the row.) ``md5`` keeps
+    values reproducible in ANSI SQL oracles; ``xxhash64`` is the faster
+    pure-Spark variant.
+
+    Documents with an empty shingle set (< k tokens) are dropped, matching
+    the row-form semantics (no shingles → no signature → never banded).
     """
-    perms = F.explode(F.sequence(F.lit(0), F.lit(num_perm - 1))).alias("perm")
-    rows = sh.select(F.col(id_col), perms, F.col("shingle"))
-    if hash_fn == "xxhash64":
-        h = F.xxhash64(F.col("perm"), F.col("shingle"))
-    else:
-        h = F.md5(F.concat(F.col("perm").cast("string"), F.lit(":"), F.col("shingle")))
-    return (
-        rows.withColumn("h", h)
-        .groupBy(id_col, "perm")
-        .agg(F.min("h").alias("minhash"))
+    def h(i: int):
+        if hash_fn == "xxhash64":
+            return lambda s: F.xxhash64(F.lit(i), s)
+        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s))
+
+    return sets.filter(F.size("__sh") > 0).select(
+        F.col(id_col),
+        *[
+            F.array_min(F.transform("__sh", h(i))).alias(f"mh{i}")
+            for i in range(num_perm)
+        ],
     )
 
 
 def lsh_band_signatures(
     sigs: DataFrame, id_col: str, rows_per_band: int = 4
 ) -> DataFrame:
-    """Collapse per-permutation minhashes into one signature per (id, band):
-    band = perm div rows_per_band, signature = md5 of the ordered minhashes.
-    sort_array(collect_list(struct(perm, minhash))) guarantees a
-    deterministic order without a second window shuffle."""
-    band = (F.col("perm") / F.lit(rows_per_band)).cast("int").alias("band")
-    return (
-        sigs.select(F.col(id_col), band, F.col("perm"), F.col("minhash"))
-        .groupBy(id_col, "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.sort_array(F.collect_list(F.struct("perm", "minhash"))),
-                        lambda s: s["minhash"].cast("string"),
-                    ),
-                )
-            ).alias("band_sig")
-        )
+    """(id, band, band_sig) rows from the wide signature — a projection plus
+    a generator explode, NO shuffle. Band b's signature is the md5 of the
+    comma-joined minhashes mh[b*r .. (b+1)*r-1], i.e. exactly the
+    perm-ordered concatenation the row-form computed with
+    sort_array(collect_list(...))."""
+    mh_cols = [c for c in sigs.columns if c.startswith("mh")]
+    num_bands = len(mh_cols) // rows_per_band
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[
+                            F.col(f"mh{i}").cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ],
+                    )
+                ).alias("band_sig"),
+            )
+            for b in range(num_bands)
+        ]
+    )
+    return sigs.select(F.col(id_col), F.explode(bands).alias("__b")).select(
+        id_col,
+        F.col("__b.band").alias("band"),
+        F.col("__b.band_sig").alias("band_sig"),
     )
 
 
@@ -133,12 +166,16 @@ def lsh_candidate_pairs(banded: DataFrame, id_col: str) -> DataFrame:
 
 
 def jaccard_verify(
-    sh: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.5
+    sets: DataFrame, pairs: DataFrame, id_col: str, threshold: float = 0.5
 ) -> DataFrame:
     """Exact Jaccard over candidate pairs via shingle-set joins — runs only
     on the (small) candidate set, so the expensive exactness is bounded by
-    LSH recall, not corpus size."""
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    LSH recall, not corpus size. Takes the per-row set representation
+    (:func:`shingle_sets`): set sizes are ``F.size`` (map-only, no groupBy
+    shuffle) and the exploded rows for the intersection join are generated
+    in place."""
+    sh = sets.select(F.col(id_col), F.explode("__sh").alias("shingle"))
+    sizes = sets.select(F.col(id_col), F.size("__sh").alias("sz"))
     # shingle is part of the second join key → stays an equi join (hash
     # partitioned on (id_b, shingle)), never a filter over a wide product.
     inter = (
@@ -172,17 +209,22 @@ def minhash_near_duplicates(
 ) -> DataFrame:
     """End-to-end banded MinHash-LSH near-dup detection:
     shingle → minhash → band → bucket-join candidates → exact-Jaccard verify.
+
+    Shuffle budget: the ONLY exchanges are the candidate-pair self-join and
+    the verification joins over the (small) candidate set. Shingling,
+    set-building, all 16 minhashes, and band signatures are per-row
+    projections — at 100 TB they stream through the scan with no exchange.
     """
-    # The shingle set feeds four distinct subtrees (signatures, pair sizes,
-    # and both sides of the intersection join); persisting it turns four
-    # tokenize+explode+distinct recomputes into one — the same
+    # The shingle-set arrays feed four subtrees (signatures, pair sizes, and
+    # both sides of the intersection join); persisting turns four
+    # tokenize+shingle recomputes into one — the same
     # materialize-the-set-representation step a 100 TB run would write to
     # intermediate storage.
-    sh = shingle_set(df, id_col, text_col, shingle_k).persist()
-    sigs = minhash_signatures(sh, id_col, num_perm, hash_fn)
+    sets = shingle_sets(df, id_col, text_col, shingle_k).persist()
+    sigs = minhash_signatures(sets, id_col, num_perm, hash_fn)
     banded = lsh_band_signatures(sigs, id_col, rows_per_band)
     pairs = lsh_candidate_pairs(banded, id_col)
-    return jaccard_verify(sh, pairs, id_col, threshold)
+    return jaccard_verify(sets, pairs, id_col, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -194,27 +236,29 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     Bit j of a token's hash = 1 iff hex digit j of md5(token) is in [8..f].
     The document SimHash sets bit j when the (+1/-1) vote sum over all token
-    *occurrences* is positive. Explode + groupBy = one shuffle on id; the
-    16-way bit expansion is a generated-column explode, all codegen'd.
+    *occurrences* is positive.
+
+    All 16 bit-vote sums are independent ``sum()`` aggregates in ONE
+    groupBy(id) — a single shuffle of one partially-aggregated row per
+    (partition, id), with no 16× row expansion (the explode-by-bit form
+    shuffles 16× the token rows and needs a second groupBy to fold bits
+    back into one value). The final bit-pack is a pure projection.
     """
     toks = tokens(text_col)
     tok_rows = fanout(df).select(F.col(id_col), F.explode(toks).alias("tok"))
-    hashed = tok_rows.withColumn("h", F.md5(F.col("tok")))
-    bit_rows = hashed.select(
-        F.col(id_col),
-        F.explode(F.sequence(F.lit(1), F.lit(16))).alias("j"),
-        F.col("h"),
-    ).withColumn(
-        "vote",
-        F.when(F.substring(F.col("h"), F.col("j"), 1).isin(*"89abcdef"), 1).otherwise(-1),
-    )
-    votes = bit_rows.groupBy(id_col, "j").agg(F.sum("vote").alias("v"))
-    bit_value = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(j - 1 AS INT))")
-    return votes.groupBy(id_col).agg(
-        F.sum(F.when(F.col("v") > 0, bit_value).otherwise(F.lit(0)))
-        .cast("long")
-        .alias("simhash")
-    )
+    hashed = tok_rows.select(F.col(id_col), F.md5(F.col("tok")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(F.substring(F.col("h"), j, 1).isin(*"89abcdef"), 1).otherwise(-1)
+        ).alias(f"v{j}")
+        for j in range(1, 17)
+    ]
+    wide = hashed.groupBy(id_col).agg(*votes)
+    packed = None
+    for j in range(1, 17):
+        term = F.when(F.col(f"v{j}") > 0, F.lit(1 << (j - 1))).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return wide.select(F.col(id_col), packed.cast("long").alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
