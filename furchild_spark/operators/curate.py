@@ -1,0 +1,238 @@
+"""Training-data curation operators: sessionization, deterministic splits,
+vocabulary/IDF, PII redaction, and duplicate-cluster assignment.
+
+These extend the LLM-pipeline family (dedup/similarity/text/multimodal) with
+the remaining ops a 100 TB pretraining-data pipeline runs between "raw
+corpus" and "training shards":
+
+- **sessionize / session_rollup** — gap-based session assignment over an
+  event stream (the batch twin of Structured Streaming's session windows).
+  One shuffle on the user key; the two window passes share the exchange.
+- **hash_split** — deterministic train/val/test assignment by md5 threshold.
+  Map-only, reproducible across engines and runs (no RNG, no sampleBy), and
+  stable under corpus growth: a document's split never changes when other
+  documents are added — the property that prevents eval-set contamination
+  across dataset versions.
+- **vocab_df_idf** — document-frequency vocabulary with IDF weights.
+  Per-document distinctness is established inside the row (array_distinct)
+  before the explode, so the only shuffle is the token groupBy.
+- **redact_pii** — URL/email/phone scrubbing as chained ``regexp_replace``
+  (RE2-compatible patterns, global replace in both Spark and DuckDB).
+  Map-only; at scale this fuses into the scan projection.
+- **connected_components** — duplicate-cluster assignment over near-dup
+  pairs by iterative min-label propagation. Each iteration is one join +
+  one groupBy (both keyed, no cartesian); iterations = graph diameter,
+  which for dedup graphs is tiny (dup clusters are near-cliques). Labels
+  are ``localCheckpoint``-ed per round so the plan does not grow with the
+  iteration count — the standard Spark formulation of the
+  large-star/small-star CC algorithm's inner step.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import tokens
+
+# RE2-safe patterns (work identically in Java regex and DuckDB's RE2)
+URL_RX = r"https?://[^\s]+"
+EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RX = r"\+?[0-9][0-9()\- ]{6,}[0-9]"
+
+
+# ---------------------------------------------------------------------------
+# sessionization
+# ---------------------------------------------------------------------------
+
+def sessionize(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Assign a per-user session sequence number: a new session starts when
+    the gap to the previous event exceeds ``gap_seconds``.
+
+    Gap arithmetic is exact-integer epoch micros (``unix_micros``), never
+    float epoch seconds — reproducible across engines. Both window passes
+    (lag, running sum) use the same partitioning, so Catalyst plans ONE
+    exchange on the user key followed by one sort.
+    """
+    order = [F.col(ts_col).asc(), *( [F.col(tiebreak_col).asc()] if tiebreak_col else [] )]
+    w = Window.partitionBy(user_col).orderBy(*order)
+    us = F.unix_micros(F.col(ts_col))
+    prev_us = F.lag(us).over(w)
+    is_new = F.when(
+        prev_us.isNull() | ((us - prev_us) > F.lit(gap_seconds * 1_000_000)), 1
+    ).otherwise(0)
+    running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.withColumn("__is_new", is_new).withColumn(
+        "session_seq", F.sum("__is_new").over(running).cast("long")
+    ).drop("__is_new")
+
+
+def session_rollup(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    gap_seconds: int = 1800,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Session-level aggregate: start/end, duration, event count, value sum.
+
+    The value sum goes through decimal(18,6) so it is order-insensitive
+    (double addition is not associative; decimal is exact). The groupBy key
+    (user, session_seq) is a refinement of the window partitioning — with
+    AQE the second exchange is local-only on the already-clustered data.
+    """
+    s = sessionize(df, user_col, ts_col, gap_seconds, tiebreak_col)
+    return s.groupBy(user_col, "session_seq").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        (
+            (F.unix_micros(F.max(ts_col)) - F.unix_micros(F.min(ts_col)))
+            / F.lit(1_000_000)
+        ).cast("long").alias("duration_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col(value_col).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("value_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic hash split
+# ---------------------------------------------------------------------------
+
+def split_thresholds(train_frac: float, val_frac: float) -> tuple[str, str]:
+    """8-hex-digit md5-prefix thresholds for (train, train+val). Comparing
+    the 32-char md5 hex against these lexicographically equals comparing the
+    128-bit value numerically, in any engine with bytewise string order."""
+    t1 = format(int(train_frac * 16**8), "08x")
+    t2 = format(int((train_frac + val_frac) * 16**8), "08x")
+    return t1, t2
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Add a deterministic ``split`` column ('train'/'val'/'test') by md5 of
+    the id. Map-only, seedless, stable under corpus growth."""
+    t1, t2 = split_thresholds(train_frac, val_frac)
+    h = F.md5(F.col(id_col).cast("string"))
+    return df.withColumn(
+        "split",
+        F.when(h < F.lit(t1), "train").when(h < F.lit(t2), "val").otherwise("test"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / document frequency / IDF
+# ---------------------------------------------------------------------------
+
+def vocab_df_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(token, df, idf) vocabulary table. Distinctness per document is
+    established in-row (``array_distinct``) before the explode, so the only
+    exchange is the token groupBy (partial-aggregated map-side). The corpus
+    size joins in as a broadcast single-row aggregate — no ``collect``."""
+    tok_rows = df.select(
+        F.explode(F.array_distinct(tokens(text_col))).alias("token")
+    )
+    dfreq = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.count(F.lit(1)).alias("__n"))
+    return (
+        dfreq.crossJoin(F.broadcast(n))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.col("__n").cast("double") / F.col("df").cast("double")), 6)
+            .alias("idf"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Scrub URLs, emails, phone numbers; count each. Replacement order is
+    URL → email → phone so an address inside a URL is counted once as a URL.
+    Pure ``regexp_replace``/``regexp_extract_all`` projections — map-only,
+    fused into the scan at scale."""
+    c = F.col(text_col)
+    n_urls = F.size(F.regexp_extract_all(c, F.lit(URL_RX), F.lit(0)))
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RX), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RX), F.lit(0)))
+    red = F.regexp_replace(c, URL_RX, "<URL>")
+    red = F.regexp_replace(red, EMAIL_RX, "<EMAIL>")
+    red = F.regexp_replace(red, PHONE_RX, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        n_urls.cast("long").alias("n_urls"),
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        red.alias("redacted_text"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-cluster connected components
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(node, cluster_id) for every node in ``pairs`` (id_a, id_b), where
+    cluster_id is the minimum node id reachable through the pair graph —
+    i.e. near-dup clusters from pairwise near-dup evidence.
+
+    Min-label propagation: each round every node takes the min of its own
+    label and its neighbors' labels. Rounds needed = graph diameter (dedup
+    clusters are near-cliques, so 2-4 in practice; ``max_iter`` bounds
+    pathological chains). Per round: one equi join + one groupBy — keyed
+    shuffles only. ``localCheckpoint`` truncates lineage so the physical
+    plan stays constant-size across rounds; the previous round's labels are
+    unpersisted eagerly. Driver-side state is two scalars (iteration count,
+    convergence flag) — no row data ever reaches the driver.
+    """
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                F.col("node"),
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("__changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))

@@ -25,3 +25,4 @@ from .catalog import QUERIES, Query, query, table  # noqa: F401
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import models_oracle  # noqa: F401,E402
+from . import curation  # noqa: F401,E402

@@ -1,0 +1,176 @@
+"""Curation-operator queries: sessionization, deterministic splits,
+vocabulary/IDF, PII redaction, duplicate-cluster connected components.
+
+All have full DuckDB oracles — including the iterative connected-components
+operator, whose fixpoint (min reachable node id per node) is re-derived in
+SQL with a recursive CTE: both engines compute the same unique fixpoint, so
+hash comparison is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from furchild_spark.operators import curate, dedup
+from .catalog import query, table
+from .llmops import _MINHASH_CTES, _TOKS
+
+
+# ---------------------------------------------------------------------------
+# sessionization over the event stream
+# ---------------------------------------------------------------------------
+
+@query(
+    "sessionize_events",
+    section="LLM-curation sessionization (gap-based, exact-integer micros)",
+    headline=True,
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), s AS (
+  SELECT user_id, session_seq,
+    MIN(ts) AS session_start, MAX(ts) AS session_end,
+    CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS BIGINT) AS duration_sec,
+    COUNT(*) AS n_events,
+    CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+  FROM (
+    SELECT *, SUM(is_new) OVER (
+      PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+      ROWS UNBOUNDED PRECEDING
+    ) AS session_seq FROM x
+  )
+  GROUP BY user_id, session_seq
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, session_start,
+  session_end, duration_sec, CAST(n_events AS BIGINT) AS n_events, value_sum
+FROM s
+""",
+)
+def sessionize_events(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return curate.session_rollup(
+        e, "user_id", "ts", "value", gap_seconds=1800, tiebreak_col="event_id"
+    ).select(
+        "user_id",
+        "session_seq",
+        "session_start",
+        "session_end",
+        "duration_sec",
+        F.col("n_events").cast("long").alias("n_events"),
+        "value_sum",
+    )
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/val/test split
+# ---------------------------------------------------------------------------
+
+_T1, _T2 = curate.split_thresholds(0.8, 0.1)
+
+@query(
+    "hash_split",
+    section="LLM-curation deterministic md5-threshold train/val/test split",
+    oracle=f"""
+SELECT doc_id,
+  CASE WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T1}' THEN 'train'
+       WHEN md5(CAST(doc_id AS VARCHAR)) < '{_T2}' THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
+""",
+)
+def hash_split(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curate.hash_split(d, "doc_id", 0.8, 0.1).select("doc_id", "split")
+
+
+# ---------------------------------------------------------------------------
+# vocabulary / document frequency / IDF
+# ---------------------------------------------------------------------------
+
+@query(
+    "vocab_idf",
+    section="LLM-curation vocabulary building (document frequency + IDF)",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, COUNT(*) AS df,
+  round(ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS idf
+FROM tok GROUP BY token
+""",
+)
+def vocab_idf(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curate.vocab_df_idf(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+@query(
+    "pii_redact",
+    section="LLM-curation PII scrubbing (URL/email/phone, RE2 patterns)",
+    oracle=f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{curate.URL_RX}')) AS BIGINT) AS n_urls,
+  CAST(len(regexp_extract_all(text, '{curate.EMAIL_RX}')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(text, '{curate.PHONE_RX}')) AS BIGINT) AS n_phones,
+  regexp_replace(
+    regexp_replace(
+      regexp_replace(text, '{curate.URL_RX}', '<URL>', 'g'),
+      '{curate.EMAIL_RX}', '<EMAIL>', 'g'),
+    '{curate.PHONE_RX}', '<PHONE>', 'g') AS redacted_text
+FROM documents
+""",
+)
+def pii_redact(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curate.redact_pii(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over MinHash near-dup pairs
+# ---------------------------------------------------------------------------
+
+@query(
+    "dup_clusters",
+    section="LLM-curation near-dup cluster assignment (iterative min-label CC)",
+    oracle=_MINHASH_CTES.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + f"""
+, verified AS (
+  SELECT id_a, id_b FROM (
+    SELECT i.id_a, i.id_b,
+      CAST(i.n_inter AS DOUBLE) / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+  ) WHERE jaccard >= 0.3
+),
+nodes AS (
+  SELECT id_a AS node FROM verified UNION SELECT id_b FROM verified
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+)
+SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src
+""",
+)
+def dup_clusters(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_perm=16, rows_per_band=4, shingle_k=3,
+        threshold=0.3, hash_fn="md5",
+    ).select("id_a", "id_b")
+    return curate.connected_components(pairs)

@@ -508,3 +508,35 @@ def streaming_window_rollup(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     return windowed_counts(e, "ts", "event_type", "1 hour", "2 hours")
+
+
+@query(
+    "session_window_rollup",
+    section="§2.8 streaming session windows (built-in session_window; batch twin, full oracle)",
+    oracle="""
+WITH x AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800 * 1000000
+         THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+)
+SELECT MIN(ts) AS session_start,
+  MAX(ts) + INTERVAL 1800 SECOND AS session_end,
+  user_id,
+  COUNT(*) AS n_events,
+  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+FROM (
+  SELECT *, SUM(is_new) OVER (
+    PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS UNBOUNDED PRECEDING
+  ) AS session_seq FROM x
+)
+GROUP BY user_id, session_seq
+""",
+)
+def session_window_rollup(spark, sf_dir):
+    from furchild_spark.streaming.ingest import session_window_rollup as swr
+
+    e = table(spark, sf_dir, "events")
+    return swr(e, "user_id", "ts", "value", gap="30 minutes")

@@ -119,6 +119,82 @@ def run_ingest(
     return writer.start()
 
 
+def session_window_rollup(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    gap: str = "30 minutes",
+    watermark_delay: str | None = None,
+) -> DataFrame:
+    """Per-user session rollup via Spark's built-in ``session_window`` —
+    the merging-interval session operator (an event extends its session to
+    ``ts + gap``; overlapping intervals merge). Runs identically in batch
+    and streaming; with a watermark, closed sessions emit once and their
+    state is evicted (bounded by the late horizon, not user count × time).
+
+    The batch twin of :func:`furchild_spark.operators.curate.session_rollup`
+    — same gap semantics at the boundary (a gap of exactly ``gap`` starts a
+    new session), different output shape (``session_end`` is ``last event +
+    gap``, the interval end, not the last event time). The value sum goes
+    through decimal so it is partition-order-insensitive."""
+    src = df.withWatermark(ts_col, watermark_delay) if watermark_delay else df
+    return (
+        src.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("sw"), F.col(user_col)
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(value_col).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            user_col,
+            F.col("n_events").cast("long").alias("n_events"),
+            "value_sum",
+        )
+    )
+
+
+def stateful_running_totals(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    running event count and value sum that survive across micro-batches in
+    the state store. Emits one row per key per micro-batch with the
+    cumulative totals (update semantics).
+
+    This is the §2.9 escape hatch for stateful logic the built-in windowed
+    aggregates can't express (counters, custom sessionizers, CDC folds):
+    Arrow-batched per-group pandas with explicit state, never row-at-a-time
+    Python. State is one tiny tuple per key; for unbounded key spaces a
+    production variant sets ``GroupStateTimeout.ProcessingTimeTimeout`` and
+    drops idle keys to keep the store bounded."""
+    import pandas as pd  # noqa: F401 (needed by the worker closure)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            s += float(pdf[value_col].sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "value_sum": [s]})
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        fn,
+        outputStructType=f"{key_col} string, n_events long, value_sum double",
+        stateStructType="n long, s double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_counts(
     stream_df: DataFrame,
     ts_col: str,

@@ -1,0 +1,116 @@
+"""Unit tests for the curation operators (operators/curate.py).
+
+The catalog oracle (tools/check_correctness.py, `sessionize_events`,
+`hash_split`, `vocab_idf`, `pii_redact`, `dup_clusters`) checks full-corpus
+parity vs DuckDB; these tests pin the semantics on small crafted inputs the
+synthetic corpus cannot exercise — real PII strings, exact gap boundaries,
+multi-hop duplicate chains.
+"""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from furchild_spark.operators import curate
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_sessionize_gap_boundary(spark):
+    # gaps: exactly 60s (same session), 61s (new session)
+    rows = [
+        Row(u=1, eid=1, ts=_ts(0, 0)),
+        Row(u=1, eid=2, ts=_ts(1, 0)),    # +60s  -> same session
+        Row(u=1, eid=3, ts=_ts(2, 1)),    # +61s  -> new session
+        Row(u=2, eid=4, ts=_ts(0, 0)),    # other user -> own session 1
+    ]
+    df = spark.createDataFrame(rows)
+    out = curate.sessionize(df, "u", "ts", gap_seconds=60, tiebreak_col="eid")
+    got = {r["eid"]: r["session_seq"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_session_rollup_values(spark):
+    rows = [
+        Row(u=1, eid=1, ts=_ts(0), v=1.5),
+        Row(u=1, eid=2, ts=_ts(10), v=2.25),
+        Row(u=1, eid=3, ts=_ts(59), v=10.0),  # 49 min gap -> new session
+    ]
+    df = spark.createDataFrame(rows)
+    out = curate.session_rollup(df, "u", "ts", "v", gap_seconds=1800, tiebreak_col="eid")
+    by_seq = {r["session_seq"]: r for r in out.collect()}
+    assert by_seq[1]["n_events"] == 2
+    assert by_seq[1]["value_sum"] == pytest.approx(3.75)
+    assert by_seq[1]["duration_sec"] == 600
+    assert by_seq[2]["n_events"] == 1
+    assert by_seq[2]["duration_sec"] == 0
+
+
+def test_hash_split_deterministic_and_stable(spark):
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    out = curate.hash_split(df, "doc_id", 0.8, 0.1)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    # md5 is uniform: 80/10/10 ±5pp at n=1000
+    assert 750 <= counts["train"] <= 850
+    # growth-stability: the first 500 ids keep their assignment verbatim
+    sub = curate.hash_split(
+        spark.range(0, 500).withColumnRenamed("id", "doc_id"), "doc_id", 0.8, 0.1
+    )
+    full = {r["doc_id"]: r["split"] for r in out.filter("doc_id < 500").collect()}
+    assert {r["doc_id"]: r["split"] for r in sub.collect()} == full
+
+
+def test_redact_pii_patterns(spark):
+    df = spark.createDataFrame(
+        [
+            Row(id=1, text="mail a@b.com or visit https://x.io/p?q=1 now"),
+            Row(id=2, text="call +971 50 123 4567 twice: 04-123-4567."),
+            Row(id=3, text="clean text with no pii at all"),
+        ]
+    )
+    out = {r["id"]: r for r in curate.redact_pii(df, "id", "text").collect()}
+    assert out[1]["n_emails"] == 1 and out[1]["n_urls"] == 1
+    assert out[1]["redacted_text"] == "mail <EMAIL> or visit <URL> now"
+    assert out[2]["n_phones"] == 2
+    assert "<PHONE>" in out[2]["redacted_text"]
+    assert "4567" not in out[2]["redacted_text"]
+    assert out[3]["redacted_text"] == "clean text with no pii at all"
+    assert out[3]["n_urls"] == out[3]["n_emails"] == out[3]["n_phones"] == 0
+
+
+def test_connected_components_multihop(spark):
+    # chain 1-2-3-4 (diameter 3, needs >1 propagation round) + pair 10-11
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4),
+         Row(id_a=10, id_b=11)]
+    )
+    got = {r["node"]: r["cluster_id"]
+           for r in curate.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_iteration_cap(spark):
+    # a long path exercises the max_iter bound: with enough rounds the
+    # far end still converges to the global min
+    n = 12
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(n)])
+    got = {r["node"]: r["cluster_id"]
+           for r in curate.connected_components(pairs, max_iter=20).collect()}
+    assert set(got.values()) == {0}
+
+
+def test_vocab_idf_counts(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="a c"),
+         Row(doc_id=3, text="c c d")]
+    )
+    got = {r["token"]: (r["df"], r["idf"])
+           for r in curate.vocab_df_idf(df, "doc_id", "text").collect()}
+    assert got["a"][0] == 2 and got["b"][0] == 1 and got["c"][0] == 2
+    assert got["d"][1] == pytest.approx(1.098612, abs=1e-6)  # ln(3/1)

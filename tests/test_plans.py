@@ -92,3 +92,51 @@ def test_dedup_window_is_single_shuffle(spark):
 def test_asof_join_no_cartesian(spark):
     p = plan_of(spark, "asof_click_attribution")
     assert "CartesianProduct" not in p
+
+
+@pytest.mark.parametrize("name", ["hash_split", "pii_redact"])
+def test_map_only_curation_ops_have_zero_exchanges(spark, name):
+    """Split assignment and PII scrubbing are pure projections — any
+    exchange in these plans means a scale regression (at 100 TB they must
+    fuse into the scan)."""
+    p = plan_of(spark, name)
+    assert _n_exchanges(p) == 0
+    assert "CartesianProduct" not in p
+
+
+def test_sessionize_shares_window_exchange(spark):
+    """lag + running-sum + session rollup: one exchange for both window
+    passes (same partitioning) plus one for the (user, session) groupBy."""
+    p = plan_of(spark, "sessionize_events")
+    assert _n_exchanges(p) <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_vocab_idf_single_token_shuffle(spark):
+    """Token DF groupBy is the only data shuffle (plus the 1-row corpus
+    count's SinglePartition exchange); the corpus-size join is broadcast."""
+    p = plan_of(spark, "vocab_idf")
+    assert _n_exchanges(p) <= 2
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_is_map_only_until_candidate_join(spark):
+    """Shingling, set-building, all 16 minhashes, and band signatures are
+    per-row projections; the first exchange in the plan belongs to the
+    candidate-pair self-join / verification, not signature building — so
+    the plan has no aggregate exchange feeding the band explode."""
+    from furchild_spark.operators import dedup
+    from furchild_spark.queries.catalog import table
+
+    d = table(spark, SF, "documents")
+    sets = dedup.shingle_sets(d, "doc_id", "text", 3)
+    sigs = dedup.minhash_signatures(sets, "doc_id", 16)
+    banded = dedup.lsh_band_signatures(sigs, "doc_id", 4)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        banded.explain("formatted")
+    p = buf.getvalue()
+    # no aggregate/join exchange: the only allowed exchange is fanout()'s
+    # RoundRobin spread of a too-few-splits local scan (a no-op at scale)
+    assert "hashpartitioning" not in p
+    assert "HashAggregate" not in p and "SortAggregate" not in p

@@ -135,3 +135,79 @@ def test_windowed_counts_append_and_late_drop(spark, dirs):
     # → dropped: the emitted results are unchanged (no re-open, no recount)
     _land(spark, src, [Row(source="a", ts=base + dt.timedelta(seconds=40))], "b2")
     assert drain() == {(0, "a"): 2, (0, "b"): 1}
+
+
+def test_session_window_rollup_streaming_merge_and_close(spark, dirs):
+    """Built-in session_window in a real stream: events within the gap merge
+    into one session; once the watermark passes session_end + delay the
+    session closes and emits exactly once."""
+    src, _, ckpt = dirs
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        Row(user="u1", ts=base, v=1.0),
+        Row(user="u1", ts=base + dt.timedelta(seconds=50), v=2.0),   # merges
+        Row(user="u1", ts=base + dt.timedelta(seconds=200), v=4.0),  # new session
+        Row(user="u2", ts=base + dt.timedelta(seconds=10), v=8.0),
+        # advances the watermark far enough to close everything above
+        Row(user="u3", ts=base + dt.timedelta(hours=2), v=0.5),
+    ]
+    _land(spark, src, rows, "b1")
+    stream = ingest.read_bronze_stream(spark, src, _schema(spark, rows))
+    agg = ingest.session_window_rollup(
+        stream, "user", "ts", "v", gap="1 minute", watermark_delay="5 minutes"
+    )
+    out_dir = os.path.join(os.path.dirname(ckpt), "sess_out")
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user"], r["session_start"].second): (r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    # u1 session 1: events at :00 and :50 merged (gap 60s); session 2 alone
+    assert got == {("u1", 0): (2, 3.0), ("u1", 200 % 60): (1, 4.0),
+                   ("u2", 10): (1, 8.0)}
+
+
+def test_stateful_running_totals_across_microbatches(spark, dirs):
+    """applyInPandasWithState keeps per-key totals in the state store: a
+    second backlog drain resumes from the checkpointed state, so totals are
+    cumulative across micro-batches, not per-batch."""
+    src, _, ckpt = dirs
+    rows1 = [Row(k="a", v=1.0), Row(k="a", v=2.0), Row(k="b", v=10.0)]
+    _land(spark, src, rows1, "b1")
+    stream = ingest.read_bronze_stream(spark, src, _schema(spark, rows1))
+    totals = ingest.stateful_running_totals(stream, "k", "v")
+
+    def drain(name):
+        # memory sink can't recover from a checkpoint; foreachBatch can —
+        # each drain writes its update rows to its own dir, state carries
+        # over through the shared checkpoint
+        out_dir = os.path.join(os.path.dirname(ckpt), name)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out_dir)
+
+        q = (
+            totals.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {
+            r["k"]: (r["n_events"], r["value_sum"])
+            for r in spark.read.parquet(out_dir).collect()
+        }
+
+    assert drain("rt1") == {"a": (2, 3.0), "b": (1, 10.0)}
+    _land(spark, src, [Row(k="a", v=4.0), Row(k="c", v=7.0)], "b2")
+    # batch 2 emits updates only for the touched keys, with CUMULATIVE totals
+    assert drain("rt2") == {"a": (3, 7.0), "c": (1, 7.0)}
