@@ -1366,10 +1366,93 @@ def model_dim_product(spark, sf_dir):
     return _runner(spark).ref("dim_product")
 
 
+# Full DuckDB port of the free-text HH:MM slot miner (staging.py
+# stg_delivery_slots; ref models/staging/stg_delivery_slots.sql).
+# Occurrence-indexed regexp_substr becomes regexp_extract_all(...)[n]
+# (1-indexed, NULL past the end — same as Spark's no-match null).
+_SQL_STG_DELIVERY_SLOTS = f"""
+WITH raw AS (
+  SELECT DISTINCT lower(trim(regexp_replace(
+      replace(replace(CAST(DELIVERY_TIME AS VARCHAR), '–', '-'), '—', '-'),
+      '\\s+', ' ', 'g'))) AS slot_txt
+  FROM {_b("transactions")}
+  WHERE DELIVERY_TIME IS NOT NULL
+    AND trim(CAST(DELIVERY_TIME AS VARCHAR)) <> ''
+), parsed AS (
+  SELECT slot_txt,
+    slot_txt LIKE '%am%' AS has_am,
+    slot_txt LIKE '%pm%' AS has_pm,
+    slot_txt LIKE '%morning%' AS has_morning,
+    slot_txt LIKE '%afternoon%' AS has_afternoon,
+    slot_txt LIKE '%evening%' AS has_evening,
+    TRY_CAST(regexp_extract_all(slot_txt, '[0-9]{{1,2}}')[1] AS INT) AS t1_hh_raw,
+    TRY_CAST(regexp_extract_all(slot_txt, '[0-9]{{1,2}}')[2] AS INT) AS t2_hh_raw,
+    regexp_extract_all(slot_txt, ':([0-9]{{2}})', 1)[1] AS t1_mm_raw,
+    regexp_extract_all(slot_txt, ':([0-9]{{2}})', 1)[2] AS t2_mm_raw
+  FROM raw
+), calc AS (
+  SELECT slot_txt, has_am, has_pm,
+    coalesce(t1_hh_raw, 0) AS t1_hh_raw,
+    coalesce(t2_hh_raw, 0) AS t2_hh_raw,
+    coalesce(t1_mm_raw, '00') AS t1_mm_raw,
+    coalesce(t2_mm_raw, '00') AS t2_mm_raw,
+    CASE WHEN has_am AND NOT has_pm THEN 'am'
+         WHEN has_pm AND NOT has_am THEN 'pm'
+         WHEN has_morning THEN 'am'
+         WHEN has_evening OR has_afternoon THEN 'pm' END AS hint
+  FROM parsed
+), to24 AS (
+  SELECT slot_txt, t1_mm_raw, t2_mm_raw,
+    lpad(CAST(CASE WHEN hint = 'am' THEN (CASE WHEN t1_hh_raw = 12 THEN 0 ELSE t1_hh_raw END)
+              WHEN hint = 'pm' THEN (CASE WHEN t1_hh_raw < 12 THEN t1_hh_raw + 12 ELSE t1_hh_raw END)
+              ELSE least(greatest(t1_hh_raw, 0), 23) END AS VARCHAR), 2, '0') AS t1_hh24,
+    lpad(CAST(CASE WHEN hint = 'am' THEN (CASE WHEN t2_hh_raw = 12 THEN 0 ELSE t2_hh_raw END)
+              WHEN hint = 'pm' THEN (CASE WHEN t2_hh_raw < 12 THEN t2_hh_raw + 12 ELSE t2_hh_raw END)
+              ELSE least(greatest(t2_hh_raw, 0), 23) END AS VARCHAR), 2, '0') AS t2_hh24,
+    (has_am OR has_pm) AS has_ampm,
+    slot_txt LIKE '%min%' AS has_minutes_word
+  FROM calc
+), canon AS (
+  SELECT slot_txt,
+    CASE WHEN len(regexp_extract_all(slot_txt, '[0-9]')) >= 2
+              AND (has_ampm OR slot_txt LIKE '%:%')
+         THEN t1_hh24 || ':' || lpad(t1_mm_raw, 2, '0') || '-'
+              || t2_hh24 || ':' || lpad(t2_mm_raw, 2, '0') END AS delivery_slot,
+    CASE WHEN regexp_full_match(t1_hh24, '(0[0-9]|1[0-9]|2[0-3]|[0-9])')
+         THEN t1_hh24 || ':' || lpad(t1_mm_raw, 2, '0') || ':00' END AS start_time,
+    CASE WHEN regexp_full_match(t2_hh24, '(0[0-9]|1[0-9]|2[0-3]|[0-9])')
+         THEN t2_hh24 || ':' || lpad(t2_mm_raw, 2, '0') || ':00' END AS end_time
+  FROM to24
+  WHERE NOT (has_minutes_word AND NOT has_ampm AND strpos(slot_txt, ':') = 0)
+)
+SELECT {_SK.format("delivery_slot")} AS delivery_slot_id,
+  slot_txt, delivery_slot, start_time, end_time,
+  CASE WHEN TRY_CAST(substring(start_time, 1, 2) AS INT) BETWEEN 5 AND 11 THEN 'morning'
+       WHEN TRY_CAST(substring(start_time, 1, 2) AS INT) BETWEEN 12 AND 16 THEN 'afternoon'
+       WHEN TRY_CAST(substring(start_time, 1, 2) AS INT) BETWEEN 17 AND 21 THEN 'evening'
+       ELSE 'other' END AS slot_period
+FROM canon
+"""
+
+
+@query(
+    "model__stg_delivery_slots",
+    section="model F1 F2 A8 (ref stg_delivery_slots.sql:1-60, free-text "
+    "HH:MM window miner, parse-distinct-then-join-back)",
+    oracle=_SQL_STG_DELIVERY_SLOTS,
+)
+def model_stg_delivery_slots(spark, sf_dir):
+    return _runner(spark).ref("stg_delivery_slots")
+
+
 @query(
     "model__dim_delivery_slot",
-    section="model §2.10 dim_delivery_slot (slot-parse columns; rows-only — "
-    "the HH:MM window miner is checked via its own staging fixtures)",
+    section="model §2.10 dim_delivery_slot (distinct slot dimension over the "
+    "mined windows)",
+    oracle=f"""
+SELECT DISTINCT delivery_slot_id, delivery_slot, start_time, end_time, slot_period
+FROM ({_SQL_STG_DELIVERY_SLOTS})
+""",
 )
 def model_dim_delivery_slot(spark, sf_dir):
     return _runner(spark).ref("dim_delivery_slot")
