@@ -107,13 +107,20 @@ def session_rollup(
 # deterministic hash split
 # ---------------------------------------------------------------------------
 
+def hex_threshold(frac: float) -> str:
+    """8-hex-digit md5-prefix threshold for a keep-fraction. Comparing the
+    32-char md5 hex against it lexicographically equals comparing the
+    128-bit value numerically, in any engine with bytewise string order.
+    frac ≥ 1.0 returns 'g' (> every hex digit, keeps everything — the
+    9-digit carry '100000000' would sort BELOW most 32-char hashes)."""
+    if frac >= 1.0:
+        return "g"
+    return format(int(frac * 16**8), "08x")
+
+
 def split_thresholds(train_frac: float, val_frac: float) -> tuple[str, str]:
-    """8-hex-digit md5-prefix thresholds for (train, train+val). Comparing
-    the 32-char md5 hex against these lexicographically equals comparing the
-    128-bit value numerically, in any engine with bytewise string order."""
-    t1 = format(int(train_frac * 16**8), "08x")
-    t2 = format(int((train_frac + val_frac) * 16**8), "08x")
-    return t1, t2
+    """Thresholds for (train, train+val) — see :func:`hex_threshold`."""
+    return hex_threshold(train_frac), hex_threshold(train_frac + val_frac)
 
 
 def hash_split(
@@ -130,6 +137,32 @@ def hash_split(
         "split",
         F.when(h < F.lit(t1), "train").when(h < F.lit(t2), "val").otherwise("test"),
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default_frac: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff md5(id) falls
+    under its stratum's threshold. Unlike ``sampleBy`` this is seedless and
+    replay-stable (same corpus → same sample, and a document's membership
+    never changes when other strata grow) — the property training-data
+    curation needs for reproducible mixtures. Map-only."""
+    thresh = None
+    for k, frac in fractions.items():
+        t = F.lit(hex_threshold(frac))
+        thresh = F.when(F.col(strata_col) == k, t) if thresh is None else thresh.when(
+            F.col(strata_col) == k, t
+        )
+    thresh = (
+        thresh.otherwise(F.lit(hex_threshold(default_frac)))
+        if thresh is not None
+        else F.lit(hex_threshold(default_frac))
+    )
+    return df.filter(F.md5(F.col(id_col).cast("string")) < thresh)
 
 
 # ---------------------------------------------------------------------------

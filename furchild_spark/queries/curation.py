@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from furchild_spark.operators import curate, dedup
+from furchild_spark.operators import curate, dedup, skew
 from .catalog import query, table
 from .llmops import _MINHASH_CTES, _TOKS
 
@@ -174,3 +174,84 @@ def dup_clusters(spark, sf_dir):
         threshold=0.3, hash_fn="md5",
     ).select("id_a", "id_b")
     return curate.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling (per-source mixture weights)
+# ---------------------------------------------------------------------------
+
+_STRATA = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_STRATA_DEFAULT = 0.1
+
+
+def _strata_case() -> str:
+    arms = " ".join(
+        f"WHEN source = '{k}' THEN '{curate.hex_threshold(f)}'"
+        for k, f in _STRATA.items()
+    )
+    return f"CASE {arms} ELSE '{curate.hex_threshold(_STRATA_DEFAULT)}' END"
+
+
+@query(
+    "stratified_sample",
+    section="LLM-curation deterministic stratified sampling (per-stratum md5 "
+    "thresholds — reproducible data mixtures)",
+    oracle=f"""
+SELECT doc_id, source FROM documents
+WHERE md5(CAST(doc_id AS VARCHAR)) < {_strata_case()}
+""",
+)
+def stratified_sample(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curate.stratified_hash_sample(
+        d, "doc_id", "source", _STRATA, _STRATA_DEFAULT
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# skew mitigation: salted join + salted exact distinct-count
+# ---------------------------------------------------------------------------
+
+@query(
+    "salted_join_rollup",
+    section="scale-skew salted equi join (hot-key pre-split + replicated dim; "
+    "result identical to the plain join)",
+    oracle="""
+SELECT o_orderpriority,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+)
+def salted_join_rollup(spark, sf_dir):
+    def _m(c):
+        return F.col(c).cast("decimal(18,2)")
+
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    joined = skew.salted_join(
+        li, o, on="l_orderkey", salt_from=["l_linenumber", "l_partkey"],
+        salt_factor=8,
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.sum(_m("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _m("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "skewed_distinct_count",
+    section="scale-skew salted two-phase EXACT countDistinct (distinct space "
+    "partitioned by hash(value) % factor; hot group spread over 16 reducers)",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+FROM events GROUP BY event_type
+""",
+)
+def skewed_distinct_count(spark, sf_dir):
+    e = table(spark, sf_dir, "events")
+    return skew.salted_distinct_count(e, "event_type", "user_id", salt_factor=16)

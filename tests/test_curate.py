@@ -105,6 +105,66 @@ def test_connected_components_iteration_cap(spark):
     assert set(got.values()) == {0}
 
 
+def test_salted_join_matches_plain_join(spark):
+    from furchild_spark.operators import skew
+
+    left = spark.createDataFrame(
+        [Row(k=1, line=i) for i in range(50)] + [Row(k=2, line=99)]
+    )
+    right = spark.createDataFrame([Row(k=1, name="hot"), Row(k=3, name="miss")])
+    got = skew.salted_join(left, right, on="k", salt_from="line", salt_factor=4)
+    plain = left.join(right, on="k")
+    assert got.count() == plain.count() == 50
+    assert sorted(got.columns) == sorted(plain.columns)
+    # inner-join semantics: unmatched keys on both sides drop
+    assert got.filter("k != 1").count() == 0
+
+
+def test_salted_join_left_outer(spark):
+    from furchild_spark.operators import skew
+
+    left = spark.createDataFrame([Row(k=1, line=1), Row(k=2, line=2)])
+    right = spark.createDataFrame([Row(k=1, name="x")])
+    got = {r["k"]: r["name"]
+           for r in skew.salted_join(left, right, "k", "line", how="left").collect()}
+    assert got == {1: "x", 2: None}
+
+
+def test_salted_distinct_count_exact(spark):
+    from furchild_spark.operators import skew
+
+    # hot group with duplicate values across salt buckets must not
+    # double-count: 100 events over 10 distinct users
+    rows = [Row(g="hot", u=f"u{i % 10}") for i in range(100)] + [
+        Row(g="cold", u="solo")
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r["g"]: r["n_distinct"]
+           for r in skew.salted_distinct_count(df, "g", "u", 16).collect()}
+    assert got == {"hot": 10, "cold": 1}
+
+
+def test_stratified_sample_membership_stable(spark):
+    df = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("src"),
+    )
+    full = curate.stratified_hash_sample(df, "doc_id", "src", {"a": 1.0, "b": 0.25})
+    ids_full = {r["doc_id"] for r in full.collect()}
+    # stratum a: fraction 1.0 keeps everything
+    assert all(i in ids_full for i in range(0, 400, 2))
+    # growing stratum a must not change stratum b's membership
+    bigger = df.unionByName(
+        spark.range(1000, 1400).select(
+            F.col("id").alias("doc_id"), F.lit("a").alias("src")
+        )
+    )
+    again = curate.stratified_hash_sample(bigger, "doc_id", "src", {"a": 1.0, "b": 0.25})
+    assert {r["doc_id"] for r in again.filter("src = 'b'").collect()} == {
+        i for i in ids_full if i % 2 == 1
+    }
+
+
 def test_vocab_idf_counts(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="a c"),

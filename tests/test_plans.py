@@ -120,6 +120,34 @@ def test_vocab_idf_single_token_shuffle(spark):
     assert "CartesianProduct" not in p
 
 
+def test_salted_join_salts_the_join_key(spark):
+    """The physical join key must include the salt (the whole point: the
+    hot key's rows hash to salt_factor different reducers), and the plan
+    must stay a keyed join — no broadcast of the replicated side would
+    defeat the test's purpose here (tiny input), so only shape is checked."""
+    p = plan_of(spark, "salted_join_rollup")
+    assert "__salt" in p
+    assert "CartesianProduct" not in p
+
+
+def test_skewed_distinct_count_two_phase(spark):
+    """Salted two-phase shape: the salt must be in the partial grouping
+    key, and the final per-group exchange only ever carries ≤ salt_factor
+    pre-counted rows per group. (countDistinct itself expands to a
+    distinct-then-count pair, so the plan shows 3 exchanges; the hot-group
+    property holds because each carries (group, salt)- or
+    (group, salt, value)-keyed data, never one reducer per group with the
+    full distinct set.)"""
+    p = plan_of(spark, "skewed_distinct_count")
+    assert "__salt" in p
+    assert 2 <= _n_exchanges(p) <= 3
+
+
+def test_stratified_sample_is_map_only(spark):
+    p = plan_of(spark, "stratified_sample")
+    assert _n_exchanges(p) == 0
+
+
 def test_minhash_is_map_only_until_candidate_join(spark):
     """Shingling, set-building, all 16 minhashes, and band signatures are
     per-row projections; the first exchange in the plan belongs to the
