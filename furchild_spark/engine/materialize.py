@@ -183,3 +183,35 @@ def _merge_full(
     fs.rename(staged, live)
     fs.delete(old, True)
     return read_table(spark, path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    path: str,
+    bucket_key: str | list[str],
+    num_buckets: int = 32,
+    sort_by: str | list[str] | None = None,
+) -> None:
+    """Materialize as a BUCKETED parquet table (catalog-registered, external
+    path): rows are hash-clustered into ``num_buckets`` files per partition
+    by ``bucket_key``, and the layout is recorded in the catalog.
+
+    This is the co-location contract the big fact⋈fact joins need at 100 TB:
+    two tables bucketed on the same key with the same bucket count join (and
+    groupBy on the key aggregates) with ZERO exchanges — the shuffle is paid
+    once at write time, then amortized over every downstream read
+    (tests/test_bucketing.py asserts the exchange-free plan). ``sort_by``
+    additionally orders within buckets so sort-merge joins skip their sort.
+    """
+    keys = [bucket_key] if isinstance(bucket_key, str) else list(bucket_key)
+    writer = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(num_buckets, *keys)
+    )
+    if sort_by is not None:
+        sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
+        writer = writer.sortBy(*sorts)
+    writer.saveAsTable(table_name)
