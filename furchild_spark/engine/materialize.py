@@ -215,3 +215,40 @@ def write_bucketed(
         sorts = [sort_by] if isinstance(sort_by, str) else list(sort_by)
         writer = writer.sortBy(*sorts)
     writer.saveAsTable(table_name)
+
+
+def compact(
+    spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-file compaction for parquet tables fed by streaming/incremental
+    sinks: rewrite the table into ``ceil(total_bytes / target)`` files using
+    the same crash-safe staged-dir swap as the merge path. Returns the new
+    file count.
+
+    Micro-batch merges and per-trigger appends accumulate files far below
+    the scan-efficient size; at 100 TB the resulting open/seek overhead and
+    tiny row groups dominate scan time. Compaction is a maintenance op —
+    data is unchanged (no shuffle: ``coalesce`` only glues splits), readers
+    see either the old or the new layout atomically.
+    """
+    fs, jvm = _fs(spark, path)
+    live = _hpath(jvm, path)
+    total = fs.getContentSummary(live).getLength()
+    n_files = max(1, -(-total // target_file_bytes))  # ceil
+
+    df = spark.read.parquet(path).coalesce(int(n_files))
+    df = df.localCheckpoint(eager=True)
+
+    staged, old = _hpath(jvm, path + "__staged"), _hpath(jvm, path + "__old")
+    if fs.exists(staged):
+        fs.delete(staged, True)
+    df.write.mode("overwrite").parquet(path + "__staged")
+    fs.rename(live, old)
+    fs.rename(staged, live)
+    fs.delete(old, True)
+    out_fs_files = [
+        f
+        for f in fs.listStatus(live)
+        if f.getPath().getName().startswith("part-")
+    ]
+    return len(out_fs_files)

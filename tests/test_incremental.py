@@ -199,3 +199,30 @@ def test_incremental_upsert_applies_update(spark, bronze_dir, tmp_path_factory):
     updated = after.filter(F.col("order_item_id") == victim).collect()
     assert len(updated) == 1
     assert float(updated[0]["unit_price"]) == 999.0
+
+
+def test_compact_shrinks_file_count_preserves_rows(spark, tmp_path):
+    """20 tiny files -> 1 after compaction; rows and values unchanged."""
+    path = str(tmp_path / "frag")
+    spark.range(0, 2000).withColumn("v", F.col("id") * 2).repartition(20).write.parquet(path)
+    assert len(glob.glob(os.path.join(path, "part-*"))) == 20
+
+    n_files = mat.compact(spark, path, target_file_bytes=1 << 30)
+    assert n_files == 1
+    assert len(glob.glob(os.path.join(path, "part-*"))) == 1
+    out = spark.read.parquet(path)
+    assert out.count() == 2000
+    assert out.agg(F.sum("v")).first()[0] == sum(2 * i for i in range(2000))
+    # no leftover staging/old dirs
+    assert not os.path.exists(path + "__staged") and not os.path.exists(path + "__old")
+
+
+def test_compact_respects_target_size(spark, tmp_path):
+    """A small target yields multiple output files (ceil(total/target))."""
+    path = str(tmp_path / "frag2")
+    spark.range(0, 50000).withColumn("pad", F.md5(F.col("id").cast("string"))).repartition(
+        30
+    ).write.parquet(path)
+    n_files = mat.compact(spark, path, target_file_bytes=64 * 1024)
+    assert 1 < n_files < 30
+    assert spark.read.parquet(path).count() == 50000
