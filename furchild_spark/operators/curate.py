@@ -190,6 +190,35 @@ def vocab_df_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: term frequency from the raw token
+    stream, IDF from :func:`vocab_df_idf`, score = round(tf · idf, 6),
+    ranked per document with a lexicographic tiebreak (deterministic across
+    engines). The tf groupBy and the per-document top-k window both key on
+    high-cardinality columns; the idf side joins in on the token key."""
+    tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    tf = tok_rows.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = vocab_df_idf(df, id_col, text_col).select("token", "idf")
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("token")
+    )
+    return (
+        tf.join(idf, on="token")
+        .withColumn("score", F.round(F.col("tf").cast("double") * F.col("idf"), 6))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col(id_col),
+            F.col("rank").cast("long").alias("rank"),
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            "score",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------

@@ -244,6 +244,81 @@ def salted_join_rollup(spark, sf_dir):
 
 
 @query(
+    "tfidf_top_terms",
+    section="LLM-curation TF-IDF keyword extraction (tf x idf, per-doc top-k)",
+    oracle=f"""
+WITH tok AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+), dtok AS (
+  SELECT doc_id, unnest(list_distinct({_TOKS})) AS token FROM documents
+), idf AS (
+  SELECT token,
+    round(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)), 6) AS idf
+  FROM dtok GROUP BY token
+), scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf,
+    round(CAST(tf.tf AS DOUBLE) * idf.idf, 6) AS score
+  FROM tf JOIN idf USING (token)
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, token, CAST(tf AS BIGINT) AS tf, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC
+  ) AS rank FROM scored
+) WHERE rank <= 3
+""",
+)
+def tfidf_top_terms(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curate.tfidf_top_terms(d, "doc_id", "text", k=3)
+
+
+# ---------------------------------------------------------------------------
+# time-bucketed range join (interval predicate as a keyed join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "range_join_cooccurrence",
+    section="scale-rangejoin time-bucketed interval join (±30s co-occurrence; "
+    "keyed equi join + residual filter, never a nested loop)",
+    oracle="""
+SELECT a.event_id AS err_id, COUNT(*) AS n_nearby,
+  COUNT(DISTINCT b.event_type) AS n_types
+FROM events a
+JOIN events b
+  ON b.ts >= a.ts - INTERVAL 30 SECOND
+ AND b.ts <= a.ts + INTERVAL 30 SECOND
+ AND b.event_id <> a.event_id
+WHERE a.event_type = 'error'
+GROUP BY a.event_id
+""",
+)
+def range_join_cooccurrence(spark, sf_dir):
+    from furchild_spark.operators.rangejoin import bucketed_range_join
+
+    e = table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), F.col("ts").alias("err_ts")
+    )
+    others = e.select(
+        F.col("event_id").alias("other_id"),
+        F.col("ts").alias("other_ts"),
+        F.col("event_type").alias("other_type"),
+    )
+    j = bucketed_range_join(errors, others, "err_ts", "other_ts", -30, 30)
+    return (
+        j.filter(F.col("err_id") != F.col("other_id"))
+        .groupBy("err_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_nearby"),
+            F.countDistinct("other_type").alias("n_types"),
+        )
+    )
+
+
+@query(
     "skewed_distinct_count",
     section="scale-skew salted two-phase EXACT countDistinct (distinct space "
     "partitioned by hash(value) % factor; hot group spread over 16 reducers)",

@@ -165,6 +165,77 @@ def test_stratified_sample_membership_stable(spark):
     }
 
 
+def test_bucketed_range_join_boundaries(spark):
+    from furchild_spark.operators.rangejoin import bucketed_range_join
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([Row(lid=1, lts=base)])
+    right = spark.createDataFrame(
+        [
+            Row(rid=10, rts=base - dt.timedelta(seconds=31)),   # out (below)
+            Row(rid=11, rts=base - dt.timedelta(seconds=30)),   # in (boundary)
+            Row(rid=12, rts=base),                              # in
+            Row(rid=13, rts=base + dt.timedelta(seconds=30)),   # in (boundary)
+            Row(rid=14, rts=base + dt.timedelta(seconds=31)),   # out (above)
+            # far away but same 60s bucket arithmetic family
+            Row(rid=15, rts=base + dt.timedelta(hours=1)),
+        ]
+    )
+    got = {
+        r["rid"]
+        for r in bucketed_range_join(left, right, "lts", "rts", -30, 30).collect()
+    }
+    assert got == {11, 12, 13}
+
+
+def test_bucketed_range_join_matches_across_bucket_edge(spark):
+    """A pair whose timestamps straddle a bucket boundary must still match
+    (the 2-bucket replication exists exactly for this)."""
+    from furchild_spark.operators.rangejoin import bucketed_range_join
+
+    t_left = dt.datetime(2024, 1, 1, 12, 0, 59)
+    t_right = dt.datetime(2024, 1, 1, 12, 1, 1)  # +2s, next 60s bucket
+    left = spark.createDataFrame([Row(lid=1, lts=t_left)])
+    right = spark.createDataFrame([Row(rid=2, rts=t_right)])
+    assert bucketed_range_join(left, right, "lts", "rts", -30, 30).count() == 1
+
+
+def test_bucketed_range_join_plan_is_keyed(spark):
+    """The interval predicate must compile to an equi join on the bucket,
+    never a BroadcastNestedLoopJoin/cartesian."""
+    import contextlib
+    import io
+
+    from furchild_spark.operators.rangejoin import bucketed_range_join
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([Row(lid=i, lts=base) for i in range(3)])
+    right = spark.createDataFrame([Row(rid=i, rts=base) for i in range(3)])
+    df = bucketed_range_join(left, right, "lts", "rts", -30, 30)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "__bucket" in p
+
+
+def test_tfidf_top_terms_ranking(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="rare rare common"),
+            Row(doc_id=2, text="common"),
+            Row(doc_id=3, text="common other"),
+        ]
+    )
+    out = curate.tfidf_top_terms(df, "doc_id", "text", k=2).collect()
+    top1 = {r["doc_id"]: r["token"] for r in out if r["rank"] == 1}
+    # 'rare' (df=1, tf=2) dominates 'common' (df=3) for doc 1
+    assert top1[1] == "rare"
+    # doc 2's only token is 'common' with idf ln(3/3)=0 → score 0 but ranked
+    assert top1[2] == "common"
+
+
 def test_vocab_idf_counts(spark):
     df = spark.createDataFrame(
         [Row(doc_id=1, text="a b a"), Row(doc_id=2, text="a c"),
