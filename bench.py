@@ -7,7 +7,15 @@ JSON line:
 
 Each query is fully materialized via the noop sink (no collect → no
 driver-side bottleneck in the measurement; executors do all the work,
-exactly like a real write)."""
+exactly like a real write).
+
+Timing policy: one full pass over every query, then re-timing passes
+(slowest queries first, keeping the per-query minimum) only while the time
+budget allows ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 390s). Single-shot
+timings on this box show multi-second spikes on identical plans (environment
+noise — GC logs stay <15ms), so re-times recover the plan's real cost; the
+budget guarantees the JSON line is always printed well inside any caller's
+timeout, even when the host is throttled."""
 
 from __future__ import annotations
 
@@ -27,40 +35,47 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
+    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "390"))
+    max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
 
+    t_start = time.monotonic()
     spark = get_spark(app_name="furchild_spark_bench")
     # warmup: JVM/codegen spin-up on a trivial action, outside the clock
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
-    timings: dict[str, float] = {}
-    # Two passes, report per-query best. Single-shot timings on this box
-    # show multi-second spikes on identical plans (env noise, not GC — GC
-    # logs stay <15ms); best-of-2 recovers the plan's real cost.
-    passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
-    total = 0.0
-    for name in sorted(QUERIES):
+    def run_once(name: str) -> float:
         q = QUERIES[name]
-        best = float("inf")
-        for _ in range(passes):
-            t0 = time.perf_counter()
-            q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            # each pass pays its own intermediate materialization: persisted
-            # subtrees (operator-level + Runner cache_refs) are dropped so
-            # the best-of-N is a cold-cache plan time, not a cache read
-            spark.catalog.clearCache()
-        dt = round(best, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+        q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        # each timing pays its own intermediate materialization: persisted
+        # subtrees (operator-level + Runner cache_refs) are dropped so the
+        # result is a cold-cache plan time, not a cache read
+        spark.catalog.clearCache()
+        return dt
 
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        timings[name] = run_once(name)
+        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    # re-time while budget remains, worst-first: env spikes inflate a few
+    # queries per pass; best-of-N converges on the plan's real cost
+    for _ in range(max_passes - 1):
+        for name in sorted(timings, key=timings.get, reverse=True):
+            if time.monotonic() - t_start > budget - 1.5 * timings[name]:
+                break
+            timings[name] = min(timings[name], run_once(name))
+            print(f"# retime {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "catalog_total_wall",
-                "value": round(total, 3),
+                "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": {k: round(v, 3) for k, v in timings.items()},
                 "sf": sf,
             }
         )
