@@ -190,6 +190,51 @@ def vocab_df_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into token-bounded sliding-window chunks — the
+    sequence-preparation step between a cleaned corpus and training shards.
+
+    Chunk i covers tokens ``[i·step, i·step + max_tokens)`` with
+    ``step = max_tokens − overlap``; every token appears in at least one
+    chunk and consecutive chunks share ``overlap`` tokens. Entirely
+    in-row array algebra (sequence → slice → posexplode): map-only, no
+    shuffle, no UDF — at 100 TB chunking fuses into the corpus scan.
+    Documents with no tokens produce no chunks.
+    """
+    assert 0 <= overlap < max_tokens
+    step = max_tokens - overlap
+    staged = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    staged = staged.select(
+        F.col(id_col),
+        "__toks",
+        F.when(
+            F.size("__toks") > 0,
+            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(step)),
+        ).otherwise(F.array().cast("array<int>")).alias("__starts"),
+    )
+    chunks = staged.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                "__starts",
+                lambda s: F.slice(F.col("__toks"), s + 1, max_tokens),
+            )
+        ).alias("chunk_idx", "__chunk"),
+    )
+    return chunks.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size("__chunk").cast("long").alias("n_tokens"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame, id_col: str, text_col: str, k: int = 3
 ) -> DataFrame:

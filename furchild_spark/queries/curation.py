@@ -275,6 +275,31 @@ def tfidf_top_terms(spark, sf_dir):
     return curate.tfidf_top_terms(d, "doc_id", "text", k=3)
 
 
+@query(
+    "chunk_documents",
+    section="LLM-curation sliding-window chunking (token-bounded, map-only "
+    "sequence preparation)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
+  FROM tok WHERE len(t) > 0
+), ch AS (
+  SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
+    list_slice(t, s + 1, s + 32) AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx,
+  CAST(len(chunk) AS BIGINT) AS n_tokens,
+  array_to_string(chunk, ' ') AS chunk_text
+FROM ch
+""",
+)
+def chunk_documents(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    return curate.chunk_documents(d, "doc_id", "text", max_tokens=32, overlap=8)
+
+
 # ---------------------------------------------------------------------------
 # time-bucketed range join (interval predicate as a keyed join)
 # ---------------------------------------------------------------------------

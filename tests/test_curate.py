@@ -165,6 +165,27 @@ def test_stratified_sample_membership_stable(spark):
     }
 
 
+def test_chunk_documents_windows_and_overlap(spark):
+    # 10 tokens, max 4, overlap 2 -> step 2: starts 0,2,4,6,8
+    text = " ".join(f"t{i}" for i in range(10))
+    df = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="")])
+    out = curate.chunk_documents(df, "doc_id", "text", max_tokens=4, overlap=2)
+    rows = sorted(
+        ((r["chunk_idx"], r["chunk_text"], r["n_tokens"]) for r in out.collect())
+    )
+    assert rows[0] == (0, "t0 t1 t2 t3", 4)
+    assert rows[1] == (1, "t2 t3 t4 t5", 4)  # 2-token overlap with chunk 0
+    assert rows[-1] == (4, "t8 t9", 2)       # trailing partial chunk
+    assert len(rows) == 5
+    # empty document -> no chunks
+    assert out.filter("doc_id = 2").count() == 0
+    # every token covered
+    covered = set()
+    for _, txt, _ in rows:
+        covered.update(txt.split())
+    assert covered == {f"t{i}" for i in range(10)}
+
+
 def test_bucketed_range_join_boundaries(spark):
     from furchild_spark.operators.rangejoin import bucketed_range_join
 
