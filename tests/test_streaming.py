@@ -175,6 +175,32 @@ def test_session_window_rollup_streaming_merge_and_close(spark, dirs):
                    ("u2", 10): (1, 8.0)}
 
 
+def test_stream_static_enrichment_join(spark, dirs):
+    """Stream-static join: each micro-batch enriches against a (broadcast)
+    static dimension — the streaming twin of the facts⋈dims pattern. Rows
+    with no dim match pass through with nulls (left join semantics)."""
+    src, _, ckpt = dirs
+    rows = [Row(k="a", v=1.0), Row(k="b", v=2.0), Row(k="zz", v=9.0)]
+    _land(spark, src, rows, "b1")
+    dim = F.broadcast(
+        spark.createDataFrame([Row(k="a", label="alpha"), Row(k="b", label="beta")])
+    )
+    stream = ingest.read_bronze_stream(spark, src, _schema(spark, rows))
+    enriched = stream.join(dim, on="k", how="left")
+    out_dir = os.path.join(os.path.dirname(ckpt), "enrich_out")
+    q = (
+        enriched.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r["k"]: r["label"] for r in spark.read.parquet(out_dir).collect()}
+    assert got == {"a": "alpha", "b": "beta", "zz": None}
+
+
 def test_stateful_running_totals_across_microbatches(spark, dirs):
     """applyInPandasWithState keeps per-key totals in the state store: a
     second backlog drain resumes from the checkpointed state, so totals are
