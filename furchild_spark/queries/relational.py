@@ -14,6 +14,36 @@ from furchild_spark.functions import shims
 from furchild_spark.operators.asof import asof_join
 from .catalog import query, table
 
+@query(
+    "set_ops_topk",
+    section="§2.6 set ops + deterministic top-k (UNION ALL / INTERSECT / "
+    "EXCEPT, final ORDER BY + LIMIT; reference has none — engine capability)",
+    oracle="""
+SELECT tag, o_custkey FROM (
+  SELECT 'both' AS tag, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  )
+  UNION ALL
+  SELECT 'urgent_only' AS tag, o_custkey FROM (
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH'
+  )
+) ORDER BY tag ASC, o_custkey ASC LIMIT 100
+""",
+)
+def set_ops_topk(spark, sf_dir):
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey").distinct()
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select("o_custkey").distinct()
+    both = urgent.intersect(high).select(F.lit("both").alias("tag"), "o_custkey")
+    only = urgent.subtract(high).select(F.lit("urgent_only").alias("tag"), "o_custkey")
+    # LIMIT is deterministic because the ORDER BY is a total order
+    return both.unionAll(only).orderBy(F.asc("tag"), F.asc("o_custkey")).limit(100)
+
+
 # money domain: exact decimal sums, double at the boundary (see queries/__init__)
 def _m(c):
     return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
