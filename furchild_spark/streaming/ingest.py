@@ -119,6 +119,32 @@ def run_ingest(
     return writer.start()
 
 
+def streaming_exact_dedup(
+    stream_df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    delay: str = "7 days",
+) -> DataFrame:
+    """Streaming corpus dedup: the streaming twin of
+    ``operators.dedup.exact_dedup`` — documents whose normalized-text
+    fingerprint was already seen (within the watermark horizon) are dropped
+    as they arrive, so downstream training-data shards never ingest the
+    duplicate in the first place.
+
+    State holds one md5 per DISTINCT document seen within ``delay`` — the
+    watermark evicts older fingerprints, bounding state by the dedup
+    horizon, not corpus size. (Exact global dedup over all history is the
+    batch operator's job; streaming dedup exists to stop the continuous
+    firehose's redundancy near the source.)"""
+    from furchild_spark.operators.text import normalize_text
+
+    return (
+        stream_df.withColumn("fingerprint", F.md5(normalize_text(text_col)))
+        .withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def session_window_rollup(
     df: DataFrame,
     user_col: str,

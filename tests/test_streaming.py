@@ -175,6 +175,46 @@ def test_session_window_rollup_streaming_merge_and_close(spark, dirs):
                    ("u2", 10): (1, 8.0)}
 
 
+def test_streaming_exact_dedup_across_batches(spark, dirs):
+    """Duplicate documents (same normalized text) are dropped as they
+    arrive — including across micro-batches through the state store — while
+    whitespace/case variants of the SAME text count as duplicates and
+    genuinely new text passes."""
+    src, _, ckpt = dirs
+    base = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows1 = [
+        Row(doc_id=1, text="The Quick Fox", ts=base),
+        Row(doc_id=2, text="  the   quick fox ", ts=base),      # dup (normalized)
+        Row(doc_id=3, text="something else", ts=base),
+    ]
+    _land(spark, src, rows1, "b1")
+    stream = ingest.read_bronze_stream(spark, src, _schema(spark, rows1))
+    deduped = ingest.streaming_exact_dedup(stream, "text", "ts", delay="7 days")
+    out_dir = os.path.join(os.path.dirname(ckpt), "dedup_out")
+
+    def drain():
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(r["doc_id"] for r in spark.read.parquet(out_dir).collect())
+
+    assert drain() == [1, 3]  # doc 2 deduped within the batch
+    # batch 2: another copy of the fox text (cross-batch dup) + new text
+    _land(
+        spark, src,
+        [Row(doc_id=4, text="THE QUICK FOX", ts=base + dt.timedelta(hours=1)),
+         Row(doc_id=5, text="brand new", ts=base + dt.timedelta(hours=1))],
+        "b2",
+    )
+    assert drain() == [1, 3, 5]  # doc 4 dropped by the state store
+
+
 def test_stream_static_enrichment_join(spark, dirs):
     """Stream-static join: each micro-batch enriches against a (broadcast)
     static dimension — the streaming twin of the facts⋈dims pattern. Rows
