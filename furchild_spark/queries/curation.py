@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from furchild_spark.operators import curate, dedup, skew
 from .catalog import query, table
-from .llmops import _MINHASH_CTES, _TOKS
+from ._oracle_fragments import _MINHASH_CTES, _TOKS
 
 
 # ---------------------------------------------------------------------------

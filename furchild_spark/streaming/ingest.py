@@ -65,12 +65,18 @@ def merge_sink(
     path: str, unique_key: str, ts_col: str, partition_by: tuple[str, ...] = ()
 ) -> Callable[[DataFrame, int], None]:
     """foreachBatch sink: upsert each micro-batch into the parquet table at
-    ``path`` with the batch engine's merge (new row wins on key match).
-    First batch bootstraps the table with a plain overwrite.
+    ``path`` with the batch engine's merge. First batch bootstraps the
+    table with a plain overwrite.
 
     A single micro-batch can carry several versions of one key (backlog
     drain); they're collapsed to the latest by ``ts_col`` first so the
-    merge's unique-key invariant holds."""
+    merge's unique-key invariant holds. ACROSS batches the merge is
+    conditional on ``ts_col`` too (``keep_newer_ts``): the watermark dedup
+    upstream does not guarantee ordered delivery, so a late file carrying
+    an older version of a key must not overwrite the newer row already in
+    the table — the merge keeps whichever version is newest, making the
+    sink order-insensitive (ties go to the incoming row, so redelivery of
+    the newest version stays idempotent)."""
     from pyspark.sql import Window
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -82,7 +88,10 @@ def merge_sink(
             .drop("__rn")
         )
         if mat.parquet_exists(spark, path):
-            mat.merge_upsert(spark, path, latest, unique_key, partition_by)
+            mat.merge_upsert(
+                spark, path, latest, unique_key, partition_by,
+                keep_newer_ts=ts_col,
+            )
         else:
             mat.overwrite(spark, path, latest, partition_by)
 
@@ -100,12 +109,15 @@ def run_ingest(
     partition_by: tuple[str, ...] = (),
     watermark_delay: str = "7 days",
     available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ):
     """End-to-end ingest: bronze stream → watermarked key-dedup →
     incremental merge. ``available_now=True`` drains the current backlog
     and stops (the micro-batch analogue of one dbt incremental run);
-    ``False`` runs continuously."""
-    stream = read_bronze_stream(spark, src_dir, schema)
+    ``False`` runs continuously. ``max_files_per_trigger`` bounds each
+    micro-batch (availableNow still drains the whole backlog, in several
+    triggers)."""
+    stream = read_bronze_stream(spark, src_dir, schema, max_files_per_trigger)
     deduped = dedup_within_watermark(stream, unique_key, ts_col, watermark_delay)
     writer = (
         deduped.writeStream.foreachBatch(
