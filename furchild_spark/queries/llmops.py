@@ -15,9 +15,7 @@ from pyspark.sql import functions as F
 from furchild_spark.operators import dedup, multimodal, similarity, text
 from .catalog import query, table
 
-# The canonical normalization, as DuckDB SQL (mirror of text.normalize_text)
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
-_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x <> '')"
+from ._oracle_fragments import _MINHASH_CTES, _NORM, _TOKS  # noqa: F401
 
 
 # ---------------------------------------------------------------------------
@@ -166,39 +164,6 @@ def doc_fingerprint(spark, sf_dir):
 # MinHash + LSH banded near-dup (full pipeline, full oracle)
 # ---------------------------------------------------------------------------
 
-_MINHASH_CTES = f"""
-WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh0 AS (
-  SELECT doc_id,
-    unnest(list_transform(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 1 END),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-  FROM tok
-),
-sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
-perms AS (SELECT unnest(range(0, 16)) AS p),
-mh AS (
-  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS minhash
-  FROM sh CROSS JOIN perms GROUP BY doc_id, p
-),
-bands AS (
-  SELECT doc_id, CAST(p // 4 AS INT) AS band,
-         md5(string_agg(minhash, ',' ORDER BY p)) AS band_sig
-  FROM mh GROUP BY doc_id, CAST(p // 4 AS INT)
-),
-cand AS (
-  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
-  WHERE a.doc_id < b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-inter AS (
-  SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-  FROM cand c
-  JOIN sh sa ON sa.doc_id = c.id_a
-  JOIN sh sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
-  GROUP BY c.id_a, c.id_b
-)
-"""
 
 
 @query(
@@ -329,10 +294,15 @@ def _plane_dot_sql(plane: list[int]) -> str:
     )
 
 
-_LSH_BUCKET_SQL = " + ".join(
-    f"(CASE WHEN {_plane_dot_sql(p)} > 0 THEN {2 ** i} ELSE 0 END)"
-    for i, p in enumerate(_PLANES)
-)
+def _bucket_sql(planes) -> str:
+    """SQL mirror of similarity.bucket_from_q over a plane slice."""
+    return " + ".join(
+        f"(CASE WHEN {_plane_dot_sql(p)} > 0 THEN {2 ** i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+
+
+_LSH_BUCKET_SQL = _bucket_sql(_PLANES)
 
 
 @query(
@@ -389,32 +359,49 @@ def multimodal_meta(spark, sf_dir):
 # embedding-cosine near-dup (vector member of the dedup family)
 # ---------------------------------------------------------------------------
 
+# 16 planes in 2 bands of 8 (256 buckets per band) — the banded multi-probe
+# default of similarity.cosine_neardup_pairs; candidate iff all 8 planes of
+# SOME band agree (OR-of-ANDs, mirror of the MinHash banding)
+_PLANES16 = similarity.deterministic_planes(num_planes=16, dim=64, seed=42)
+_NEARDUP_SIG0 = _bucket_sql(_PLANES16[0:8])
+_NEARDUP_SIG1 = _bucket_sql(_PLANES16[8:16])
+
+
 @query(
     "embedding_cosine_neardup",
-    section="LLM-dedup embedding-cosine near-dup (LSH-bucketed candidates, exact verify)",
+    section="LLM-dedup embedding-cosine near-dup (banded hyperplane-LSH candidates, exact verify)",
     oracle=f"""
-WITH e AS (
+WITH e AS MATERIALIZED (
   SELECT vec_id, embedding,
-    CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket,
+    CAST({_NEARDUP_SIG0} AS BIGINT) AS sig0,
+    CAST({_NEARDUP_SIG1} AS BIGINT) AS sig1,
     sqrt(CAST({_DOT.format(a='embedding', b='embedding')} AS DOUBLE)) AS nrm
   FROM embeddings
+),
+cand AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.sig0 = b.sig0 AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM e a JOIN e b ON a.sig1 = b.sig1 AND a.vec_id < b.vec_id
 )
-SELECT bucket, id_a, id_b, cosine FROM (
-  SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-    round(CAST({_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
-          / (a.nrm * b.nrm), 6) AS cosine
-  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+SELECT id_a, id_b, cosine FROM (
+  SELECT c.id_a, c.id_b,
+    round(CAST({_DOT.format(a='ea.embedding', b='eb.embedding')} AS DOUBLE)
+          / (ea.nrm * eb.nrm), 6) AS cosine
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b
 ) WHERE cosine >= 0.3
 """,
 )
 def embedding_cosine_neardup(spark, sf_dir):
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.cosine_neardup_pairs(
-        emb, "vec_id", "embedding", threshold=0.3, num_planes=4, seed=42, dim=64
+        emb, "vec_id", "embedding", threshold=0.3,
+        num_planes=16, num_bands=2, seed=42, dim=64,
     )
-    return out.select(
-        F.col("bucket").cast("long").alias("bucket"), "id_a", "id_b", "cosine"
-    )
+    return out.select("id_a", "id_b", "cosine")
 
 
 # ---------------------------------------------------------------------------

@@ -168,3 +168,70 @@ def test_minhash_is_map_only_until_candidate_join(spark):
     # RoundRobin spread of a too-few-splits local scan (a no-op at scale)
     assert "hashpartitioning" not in p
     assert "HashAggregate" not in p and "SortAggregate" not in p
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """VERDICT r2: corpus→centroid assignment must never shuffle the
+    corpus. The map-only formulation broadcasts the one-row centroid array
+    (BroadcastHashJoin on a constant key) and takes the argmax in-row; the
+    only exchanges allowed are the centroid aggregation's SinglePartition
+    collect (8 rows) and the broadcast itself — no hashpartitioning
+    shuffle and no row_number window. (Catalyst constant-folds the
+    `__one = 1` equi-key into a condition-free BroadcastNestedLoopJoin
+    whose build side is the single centroid-array row — that IS the
+    intended broadcast, not an O(n·m) blowup, so BNLJ is allowed here;
+    a CartesianProduct of two distributed sides is not.)"""
+    from furchild_spark.operators import similarity
+    from furchild_spark.queries.catalog import table
+
+    emb = table(spark, SF, "embeddings")
+    cents = similarity.centroid_array(emb, "vec_id", "embedding", 8)
+    assign = similarity.ivf_assign(emb, cents, "vec_id", "embedding")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assign.explain("formatted")
+    p = buf.getvalue()
+    assert "hashpartitioning" not in p
+    assert "Window" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_neardup_banding_bounds_candidates(spark):
+    """The banded hyperplane LSH must generate candidates from a keyed
+    equi-join on (band, signature) — per-band bucket count is 2^r, so the
+    join key must carry the band signature, and no cross product may
+    appear. Also checks the pair-dedup aggregation exists (a pair caught
+    by both bands must emit once)."""
+    p = plan_of(spark, "embedding_cosine_neardup")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "bk" in p  # the (band, sig) struct join key
+
+
+def test_no_spark_action_during_ann_plan_construction(spark):
+    """VERDICT r2: catalog-function *construction* must not run Spark jobs
+    (the round-2 `.first()` dim probes). Constructing every ANN/dedup
+    entry's DataFrame under a dedicated job group must schedule zero jobs
+    in that group. The one legitimate construction-time job — parquet
+    schema inference on the FIRST read of a table — is excluded by warming
+    the memoized table() cache before the audit."""
+    names = [
+        "ann_cosine_topk",
+        "embedding_lsh_buckets",
+        "embedding_cosine_neardup",
+        "ann_ivf_topk",
+        "minhash_neardup",
+        "exact_dedup",
+    ]
+    for name in names:
+        QUERIES[name].fn(spark, SF)  # warm table() schema-inference cache
+    sc = spark.sparkContext
+    group = "plan-construction-audit"
+    sc.setJobGroup(group, "audit", interruptOnCancel=False)
+    try:
+        for name in names:
+            QUERIES[name].fn(spark, SF)  # build only — no action
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        sc.setJobGroup("", "")
+    assert list(jobs) == [], f"plan construction ran Spark jobs: {jobs}"
