@@ -54,7 +54,7 @@ def recover(spark: SparkSession, path: str) -> bool:
     fs, jvm = _fs(spark, path)
     live, old = _hpath(jvm, path), _hpath(jvm, path + "__old")
     if not fs.exists(live) and fs.exists(old):
-        fs.rename(old, live)
+        _rename_or_raise(fs, old, live)
         return True
     return False
 
@@ -75,8 +75,51 @@ def parquet_exists(spark: SparkSession, path: str) -> bool:
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read back a materialized table; mergeSchema so append_new_columns
-    evolution is visible across files written by different runs."""
+    evolution is visible across files written by different runs.
+
+    Concurrent-reader safety across the staged-dir swap: in the window
+    between the two commit renames the live dir does not exist, but the
+    previous committed version is intact at ``__old`` — prefer it, so a
+    reader never observes a half-renamed table. (The remaining race — the
+    writer deleting ``__old`` between our existence check and the scan —
+    is inherent to plain-filesystem tables; a transactional format
+    (Delta/Iceberg) is the upgrade path for multi-writer clusters.)"""
+    fs, jvm = _fs(spark, path)
+    if not fs.exists(_hpath(jvm, path)) and fs.exists(_hpath(jvm, path + "__old")):
+        return spark.read.option("mergeSchema", "true").parquet(path + "__old")
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def _rename_or_raise(fs, src, dst) -> None:
+    """Hadoop ``FileSystem.rename`` signals some failures (existing
+    destination on HDFS, missing source) by returning False instead of
+    raising; treating that as success would silently skip a commit while
+    e.g. a streaming checkpoint still advances past the batch. Fail loudly
+    so the caller (and its checkpoint) sees the broken commit."""
+    if not fs.rename(src, dst):
+        raise IOError(f"commit rename failed: {src} -> {dst}")
+
+
+def _swap_in(spark: SparkSession, path: str, staged_suffix: str = "__staged") -> None:
+    """Atomically-ish promote ``path__staged`` to ``path``: clear any stale
+    ``__old`` left by a crash after a previous swap's second rename, then
+    live → ``__old``, staged → live, drop ``__old``. A crash between the
+    renames is repaired by :func:`recover`; readers in the window fall back
+    to ``__old`` via :func:`read_table`."""
+    fs, jvm = _fs(spark, path)
+    staged, live, old = (
+        _hpath(jvm, path + staged_suffix),
+        _hpath(jvm, path),
+        _hpath(jvm, path + "__old"),
+    )
+    if fs.exists(old):
+        # stale from a crash between a previous swap's second rename and
+        # its delete — the live dir is the committed version; clear it so
+        # rename(live, old) cannot nest-or-fail on an existing destination
+        fs.delete(old, True)
+    _rename_or_raise(fs, live, old)
+    _rename_or_raise(fs, staged, live)
+    fs.delete(old, True)
 
 
 def overwrite(
@@ -95,16 +138,48 @@ def merge_upsert(
     updates: DataFrame,
     unique_key: str,
     partition_by: tuple[str, ...] = (),
+    keep_newer_ts: str | None = None,
 ) -> DataFrame:
     """Upsert ``updates`` into the parquet table at ``path`` on ``unique_key``.
 
     WHEN MATCHED → update (the new row wins), WHEN NOT MATCHED → insert;
     identical to the reference's dbt incremental merge semantics.
+
+    ``keep_newer_ts``: name of a timestamp column — when set, a matched
+    update only replaces the existing row if its timestamp is >= the
+    existing row's (WHEN MATCHED **AND** ``u.ts >= e.ts``). This makes the
+    merge safe under out-of-order delivery: a late-arriving file carrying
+    an OLDER version of a key can no longer clobber a newer row (the
+    failure mode of blind new-row-wins in streaming micro-batch sinks).
+    Ties go to the update (idempotent redelivery of the newest version).
     """
     recover(spark, path)
     if partition_by:
-        return _merge_partition_scoped(spark, path, updates, unique_key, partition_by)
-    return _merge_full(spark, path, updates, unique_key)
+        return _merge_partition_scoped(
+            spark, path, updates, unique_key, partition_by, keep_newer_ts
+        )
+    return _merge_full(spark, path, updates, unique_key, keep_newer_ts)
+
+
+def _drop_stale_updates(
+    existing: DataFrame, updates: DataFrame, unique_key: str, keep_newer_ts: str | None
+) -> DataFrame:
+    """Filter out updates older than the already-materialized row for
+    their key (one pruned join on (key, ts) — the conditional-merge
+    predicate expressed relationally)."""
+    if keep_newer_ts is None:
+        return updates
+    ex_ts = existing.select(
+        F.col(unique_key), F.col(keep_newer_ts).alias("__existing_ts")
+    )
+    return (
+        updates.join(ex_ts, on=unique_key, how="left")
+        .filter(
+            F.col("__existing_ts").isNull()
+            | (F.col(keep_newer_ts) >= F.col("__existing_ts"))
+        )
+        .drop("__existing_ts")
+    )
 
 
 def _merge_partition_scoped(
@@ -113,6 +188,7 @@ def _merge_partition_scoped(
     updates: DataFrame,
     unique_key: str,
     partition_by: tuple[str, ...],
+    keep_newer_ts: str | None = None,
 ) -> DataFrame:
     """Merge touching only the partitions present in ``updates``.
 
@@ -141,6 +217,9 @@ def _merge_partition_scoped(
             )
             row_cond = c if row_cond is None else (row_cond & c)
         cond = row_cond if cond is None else (cond | row_cond)
+    updates = _drop_stale_updates(
+        existing.filter(cond), updates, unique_key, keep_newer_ts
+    )
     kept = existing.filter(cond).join(
         updates.select(unique_key).distinct(), unique_key, "left_anti"
     )
@@ -158,30 +237,25 @@ def _merge_partition_scoped(
 
 
 def _merge_full(
-    spark: SparkSession, path: str, updates: DataFrame, unique_key: str
+    spark: SparkSession,
+    path: str,
+    updates: DataFrame,
+    unique_key: str,
+    keep_newer_ts: str | None = None,
 ) -> DataFrame:
     """Global merge with a crash-safe directory swap."""
     existing = read_table(spark, path)
+    updates = _drop_stale_updates(existing, updates, unique_key, keep_newer_ts)
     kept = existing.join(updates.select(unique_key).distinct(), unique_key, "left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
 
     fs, jvm = _fs(spark, path)
-    staged, live, old = (
-        _hpath(jvm, path + "__staged"),
-        _hpath(jvm, path),
-        _hpath(jvm, path + "__old"),
-    )
+    staged = _hpath(jvm, path + "__staged")
     if fs.exists(staged):  # leftover from a crashed write — never the live copy
         fs.delete(staged, True)
 
     merged.write.mode("overwrite").parquet(path + "__staged")
-
-    # commit: live → __old, staged → live, drop __old. A crash after the
-    # first rename is repaired by recover(); a crash after the second
-    # leaves only a stale __old to garbage-collect.
-    fs.rename(live, old)
-    fs.rename(staged, live)
-    fs.delete(old, True)
+    _swap_in(spark, path)
     return read_table(spark, path)
 
 
@@ -239,13 +313,11 @@ def compact(
     df = spark.read.parquet(path).coalesce(int(n_files))
     df = df.localCheckpoint(eager=True)
 
-    staged, old = _hpath(jvm, path + "__staged"), _hpath(jvm, path + "__old")
+    staged = _hpath(jvm, path + "__staged")
     if fs.exists(staged):
         fs.delete(staged, True)
     df.write.mode("overwrite").parquet(path + "__staged")
-    fs.rename(live, old)
-    fs.rename(staged, live)
-    fs.delete(old, True)
+    _swap_in(spark, path)
     out_fs_files = [
         f
         for f in fs.listStatus(live)

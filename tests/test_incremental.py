@@ -226,3 +226,56 @@ def test_compact_respects_target_size(spark, tmp_path):
     n_files = mat.compact(spark, path, target_file_bytes=64 * 1024)
     assert 1 < n_files < 30
     assert spark.read.parquet(path).count() == 50000
+
+
+# ---------------------------------------------------------------------------
+# swap-commit safety (ADVICE r2: stale __old, rename returns, mid-swap reads)
+# ---------------------------------------------------------------------------
+
+def test_stale_old_dir_is_cleared_before_next_swap(spark, tmp_path):
+    """Crash AFTER the second rename but BEFORE the __old delete leaves a
+    stale __old next to a committed live dir; the next merge must clear it
+    and commit normally (local-FS rename into an existing dir would nest,
+    HDFS would return false)."""
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, _mk(spark, [("a", "p1", 1)]))
+    os.makedirs(path + "__old")
+    with open(path + "__old/zombie.txt", "w") as f:
+        f.write("leftover")
+    out = mat.merge_upsert(spark, path, _mk(spark, [("b", "p1", 2)]), "k")
+    assert {r["k"] for r in out.collect()} == {"a", "b"}
+    assert not os.path.exists(path + "__old")
+    assert not os.path.exists(path + "__staged")
+
+
+def test_read_table_falls_back_to_old_mid_swap(spark, tmp_path):
+    """A reader arriving in the window between the two commit renames
+    (live missing, __old holding the previous version) must see the
+    previous committed table, not a path-not-found error."""
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, _mk(spark, [("a", "p1", 1)]))
+    os.rename(path, path + "__old")  # freeze the mid-swap state
+    got = {r["k"]: r["v"] for r in mat.read_table(spark, path).collect()}
+    assert got == {"a": 1}
+
+
+def test_merge_keep_newer_ts_rejects_stale_update(spark, tmp_path):
+    """Conditional upsert: an update older (by ts) than the materialized
+    row must NOT clobber it; same-or-newer ts wins (idempotent
+    redelivery)."""
+    def mk(rows):
+        return spark.createDataFrame(rows, "k string, ts timestamp, v int")
+
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 1, 2)
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, mk([("a", t1, 10), ("b", t0, 1)]))
+    out = mat.merge_upsert(
+        spark, path,
+        mk([("a", t0, 99),   # stale — loses to the newer row already there
+            ("b", t0, 2),    # tie — incoming wins (redelivery idempotency)
+            ("c", t1, 3)]),  # new key — inserts
+        "k", keep_newer_ts="ts",
+    )
+    got = {r["k"]: r["v"] for r in out.collect()}
+    assert got == {"a": 10, "b": 2, "c": 3}
