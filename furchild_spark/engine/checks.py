@@ -54,10 +54,11 @@ def relationships(df: DataFrame, col: str, to_df: DataFrame, to_col: str) -> Dat
 
 
 def expression_is_true(df: DataFrame, expression: Column | str) -> DataFrame:
-    """dbt_utils.expression_is_true: rows where the expression is NOT true
-    (NULL counts as failure, matching dbt's `where not (expr)` over
-    three-valued logic ... dbt uses `where not(expr)` which keeps NULLs
-    out; mirror that: only FALSE rows fail)."""
+    """dbt_utils.expression_is_true: rows where the expression evaluates to
+    FALSE. NULL results are NOT failures — dbt compiles the test to
+    ``where not (expr)``, and under three-valued logic ``not (NULL)`` is
+    NULL, which a WHERE clause filters out; ``e == False`` mirrors that
+    exactly."""
     e = F.expr(expression) if isinstance(expression, str) else expression
     return df.filter(e == False)  # noqa: E712 — excludes NULL like dbt
 

@@ -308,6 +308,11 @@ def connected_components(
     plan stays constant-size across rounds; the previous round's labels are
     unpersisted eagerly. Driver-side state is two scalars (iteration count,
     convergence flag) — no row data ever reaches the driver.
+
+    Raises ``RuntimeError`` if labels are still changing when ``max_iter``
+    is exhausted (a longer-diameter graph than expected): silently
+    returning the non-converged labels would hand the caller WRONG cluster
+    ids that are indistinguishable from converged ones.
     """
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
@@ -341,5 +346,8 @@ def connected_components(
         changed = new_labels.filter(F.col("__changed")).limit(1).count()
         labels = new_labels.drop("__changed")
         if changed == 0:
-            break
-    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+            return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in max_iter={max_iter} rounds "
+        "(graph diameter exceeds the bound); raise max_iter for long-chain graphs"
+    )

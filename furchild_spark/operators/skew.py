@@ -39,8 +39,19 @@ def salted_join(
     rows — use a high-cardinality payload column (line number, event id).
     The salt is deterministic, so speculative retries and shuffle replays
     route every row to the same sub-key. Result set is EXACTLY the plain
-    join's (salt columns never leak into the output).
+    join's (salt columns never leak into the output) — which holds only
+    for join types where unmatched RIGHT rows are never emitted: with
+    ``right``/``full``/``right_semi`` an unmatched right row would surface
+    once per replica (``salt_factor`` copies), so those types are rejected.
+    To salt a right-outer join, swap the sides and use ``left``.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}): only {sorted(allowed)} preserve plain-join "
+            "semantics when the right side is replicated"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     salt_cols = [salt_from] if isinstance(salt_from, str) else list(salt_from)
     l_salted = left.withColumn(

@@ -266,3 +266,23 @@ def test_vocab_idf_counts(spark):
            for r in curate.vocab_df_idf(df, "doc_id", "text").collect()}
     assert got["a"][0] == 2 and got["b"][0] == 1 and got["c"][0] == 2
     assert got["d"][1] == pytest.approx(1.098612, abs=1e-6)  # ln(3/1)
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """A diameter-8 chain cannot converge in 2 rounds; silently returning
+    partial labels would be wrong — the operator must raise (ADVICE r2)."""
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(8)])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        curate.connected_components(pairs, max_iter=2)
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    """Right/full outer would emit unmatched right rows once per salt
+    replica — the operator must refuse those join types (ADVICE r2)."""
+    from furchild_spark.operators import skew
+
+    left = spark.createDataFrame([Row(k="a", x=1)])
+    right = spark.createDataFrame([Row(k="a", y=2), Row(k="b", y=3)])
+    for how in ("right", "full", "outer", "right_outer"):
+        with pytest.raises(ValueError, match="salted_join"):
+            skew.salted_join(left, right, on="k", salt_from="x", how=how)
