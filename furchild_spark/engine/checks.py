@@ -230,10 +230,18 @@ class CheckResult:
         return self.failures == 0 or self.severity == "warn"
 
 
-def run_checks(ref: Callable[[str], DataFrame], checks: list[Check] | None = None) -> list[CheckResult]:
-    """Execute the suite against a ``ref`` resolver (e.g. ``runner.ref``)."""
+def run_checks(
+    ref: Callable[[str], DataFrame],
+    checks: list[Check] | None = None,
+    models: set[str] | None = None,
+) -> list[CheckResult]:
+    """Execute the suite against a ``ref`` resolver (e.g. ``runner.ref``).
+    ``models`` restricts to checks attached to those models (dbt's node
+    selection: tests run only for selected nodes)."""
     results = []
-    for c in checks or CHECKS:
+    for c in (CHECKS if checks is None else checks):
+        if models is not None and c.model not in models:
+            continue
         df = ref(c.model)
         if c.name == "stg_packages_fk_shipment_id_to_shipments":
             failures = relationships(
@@ -242,4 +250,60 @@ def run_checks(ref: Callable[[str], DataFrame], checks: list[Check] | None = Non
         else:
             failures = c.fn(df).count()
         results.append(CheckResult(c.name, c.model, c.severity, failures))
+    return results
+
+
+# ---------------------------------------------------------------------------
+# source freshness suite (schema.yml source-level config, ported 1:1)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class FreshnessSpec:
+    """One source's freshness contract. The reference declares the
+    source-level thresholds warn 24h / error 72h
+    (models/staging/schema.yml:13-15) and pins ``loaded_at_field:
+    _AIRBYTE_EXTRACTED_AT`` on the ingest-audited bronze tables
+    (schema.yml:28,50)."""
+
+    source: str
+    loaded_at_col: str = "_AIRBYTE_EXTRACTED_AT"
+    warn_after_hours: float = 24
+    error_after_hours: float = 72
+
+
+FRESHNESS: list[FreshnessSpec] = [
+    FreshnessSpec("transactions"),
+    FreshnessSpec("transaction_items"),
+]
+
+
+@dataclass(frozen=True)
+class FreshnessResult:
+    source: str
+    status: str  # fresh | warn | error
+    lag_hours: float
+
+
+def run_freshness(
+    source: Callable[[str], DataFrame],
+    now,
+    specs: list[FreshnessSpec] | None = None,
+) -> list[FreshnessResult]:
+    """Evaluate each spec against its bronze source (one tiny agg scan per
+    source — the max(loaded_at) aggregate is map-side-combined, so this is
+    cheap even on a 100 TB source). ``now`` is a datetime (the Runner's
+    frozen clock) or a Column."""
+    now_col = now if isinstance(now, Column) else F.lit(now).cast("timestamp")
+    results = []
+    for spec in (FRESHNESS if specs is None else specs):
+        row = source_freshness(
+            source(spec.source),
+            spec.loaded_at_col,
+            now_col,
+            spec.warn_after_hours,
+            spec.error_after_hours,
+        ).first()
+        results.append(
+            FreshnessResult(spec.source, row["status"], row["lag_hours"])
+        )
     return results

@@ -199,3 +199,78 @@ class Runner:
         for name in names or self.registry.names():
             out[name] = self.ref(name)
         return out
+
+    def build(
+        self,
+        names: list[str] | None = None,
+        checks=None,
+        freshness=None,
+        raise_on_error: bool = True,
+    ) -> "BuildResult":
+        """``dbt build`` lifecycle: source freshness gate → materialize the
+        DAG → run the data-test suite, with dbt severity semantics
+        (reference ``dbt_project.yml`` + ``models/staging/schema.yml:13-15``).
+
+        1. Freshness first — a source whose lag exceeds ``error_after``
+           aborts before any model builds (stale bronze would silently
+           propagate into every mart); ``warn`` statuses are reported but
+           don't block, mirroring ``dbt source freshness`` gating a
+           scheduled ``dbt build``.
+        2. Models materialize per their configs (:meth:`run`).
+        3. Checks attached to the built models execute; ``error``-severity
+           failures are collected (every check still runs — one broken
+           model shouldn't hide the rest of the report) and raised as one
+           :class:`BuildError`; ``warn`` failures surface in the result.
+        """
+        from . import checks as C
+
+        fresh = C.run_freshness(self.source, self.now, freshness)
+        stale = [f for f in fresh if f.status == "error"]
+        if stale and raise_on_error:
+            raise BuildError(
+                "stale sources (error_after exceeded): "
+                + ", ".join(f"{f.source} lag={f.lag_hours:.1f}h" for f in stale)
+            )
+        models = {} if stale else self.run(names)
+        check_results = (
+            []
+            if stale
+            else C.run_checks(self.ref, checks, models=set(models) or None)
+        )
+        result = BuildResult(models=models, checks=check_results, freshness=fresh)
+        if raise_on_error and result.errors:
+            raise BuildError(
+                "failing error-severity checks: "
+                + ", ".join(
+                    f"{r.name} ({r.failures} rows)" for r in result.errors
+                )
+            )
+        return result
+
+
+class BuildError(RuntimeError):
+    """A build-blocking failure: stale source past error_after, or an
+    error-severity check with failure rows."""
+
+
+@dataclass
+class BuildResult:
+    """What a :meth:`Runner.build` run produced, dbt-artifact-style."""
+
+    models: dict[str, DataFrame]
+    checks: list
+    freshness: list
+
+    @property
+    def errors(self) -> list:
+        return [
+            r
+            for r in self.checks
+            if r.severity == "error" and r.failures > 0
+        ] + [f for f in self.freshness if f.status == "error"]
+
+    @property
+    def warnings(self) -> list:
+        return [
+            r for r in self.checks if r.severity == "warn" and r.failures > 0
+        ] + [f for f in self.freshness if f.status == "warn"]

@@ -95,3 +95,81 @@ def test_stg_order_items_dedup_keep_latest(spark):
     winner = out.filter(F.col("order_item_id") == str(dup["ID"])).collect()
     assert len(winner) == 1
     assert float(winner[0]["price"]) == 12345.0
+
+
+# ---------------------------------------------------------------------------
+# Runner.build(): the dbt-build lifecycle (freshness gate → DAG → test suite)
+# ---------------------------------------------------------------------------
+
+def test_build_full_dag_with_checks_and_freshness(runner):
+    """VERDICT r2 #5: one entry point runs the whole DAG plus every ported
+    test with warn/error semantics. Fixture data must build clean: all
+    models materialize, every check in the suite executes, no
+    error-severity failures, and both freshness-gated sources report
+    within threshold (runner.now = INGEST + 1 day, warn_after = 24h)."""
+    res = runner.build()
+    assert set(res.models) == set(runner.registry.names())
+    assert len(res.checks) == len(C.CHECKS)
+    assert not res.errors, f"build errors: {res.errors}"
+    assert {f.source for f in res.freshness} == {
+        "transactions", "transaction_items"
+    }
+    assert all(f.status in ("fresh", "warn") for f in res.freshness)
+
+
+def test_build_raises_on_error_severity_check(spark):
+    """An error-severity check with failure rows must fail the build; the
+    same failure at warn severity must not (dbt severity semantics)."""
+    from furchild_spark.engine.registry import (
+        BuildError, ModelRegistry, Runner,
+    )
+
+    reg = ModelRegistry()
+
+    @reg.model(name="m", materialized="view")
+    def m(ctx):
+        return ctx.source("src")
+
+    src = spark.createDataFrame([(1,), (None,)], "id int")
+    mk = lambda sev: [  # noqa: E731
+        C.Check("m_id_not_null", "m", lambda df: df.filter(F.col("id").isNull()),
+                severity=sev)
+    ]
+    r = Runner(spark, reg, sources={"src": src}, warehouse_dir=None,
+               now=dt.datetime(2024, 1, 1))
+    with pytest.raises(BuildError, match="m_id_not_null"):
+        r.build(checks=mk("error"), freshness=[])
+    res = r.build(checks=mk("warn"), freshness=[])
+    assert [w.name for w in res.warnings] == ["m_id_not_null"]
+    # raise_on_error=False reports instead of raising
+    res2 = r.build(checks=mk("error"), freshness=[], raise_on_error=False)
+    assert [e.name for e in res2.errors] == ["m_id_not_null"]
+
+
+def test_build_freshness_gate_blocks_stale_source(spark):
+    """A source whose loaded_at lag exceeds error_after must abort the
+    build BEFORE any model materializes (stale bronze must not propagate
+    downstream)."""
+    from furchild_spark.engine.registry import (
+        BuildError, ModelRegistry, Runner,
+    )
+
+    reg = ModelRegistry()
+    built = []
+
+    @reg.model(name="m", materialized="view")
+    def m(ctx):
+        built.append(1)
+        return ctx.source("src")
+
+    src = spark.createDataFrame(
+        [(dt.datetime(2024, 1, 1),)], "_AIRBYTE_EXTRACTED_AT timestamp"
+    )
+    r = Runner(spark, reg, sources={"src": src}, warehouse_dir=None,
+               now=dt.datetime(2024, 1, 10))  # 216h lag > 72h error_after
+    specs = [C.FreshnessSpec("src")]
+    with pytest.raises(BuildError, match="stale sources"):
+        r.build(freshness=specs)
+    assert not built, "models must not build past a failed freshness gate"
+    res = r.build(freshness=specs, raise_on_error=False)
+    assert res.freshness[0].status == "error" and not res.models
