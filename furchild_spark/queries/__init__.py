@@ -33,3 +33,4 @@ from . import models_oracle  # noqa: F401,E402
 from . import streaming_e2e  # noqa: F401,E402
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
+from . import analytics  # noqa: F401,E402  # engine extras — safe to truncate

@@ -1,0 +1,242 @@
+"""Engine-capability entries beyond the reference's own model surface:
+multidimensional aggregation (ROLLUP), window frames, pivot, and
+Gopher/C4-style document quality rules for the training-data pipeline.
+
+The reference (a dbt project) has no equivalents — these are the analytic
+and curation primitives a user of a PySpark engine expects on top of the
+ported models, so they register LAST (queries/__init__.py import order):
+if a driver correctness run truncates again, the reference-parity entries
+keep their rows and only these engine extras fall off the end.
+
+Same cross-engine hash rules as the rest of the catalog (see
+queries/__init__.py): exact decimal sums cast to double at the boundary,
+BIGINT counts, IEEE-deterministic double division only on identical
+operands, explicit tiebreaks on every window ordering.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .catalog import query, table
+
+
+def _m(c):
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
+
+
+# ---------------------------------------------------------------------------
+# multidimensional aggregation — ROLLUP with grouping_id
+# ---------------------------------------------------------------------------
+
+@query(
+    "rollup_revenue",
+    section="engine extra (multidim agg; complements A1-A4)",
+    oracle="""
+SELECT coalesce(o_orderpriority, '(all)') AS priority,
+  coalesce(o_orderstatus, '(all)') AS status,
+  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+  COUNT(*) AS n_orders,
+  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+""",
+)
+def rollup_revenue(spark, sf_dir):
+    """Priority × status revenue with subtotal + grand-total rows in one
+    pass. Spark plans ROLLUP as a single Expand + hash agg — one shuffle
+    for all grouping sets, with map-side partial aggregation, so at 100 TB
+    this costs the same as the finest-grained groupBy alone. grouping_id
+    bit order (first col = MSB) matches DuckDB's GROUPING(a, b)."""
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_m("o_totalprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("(all)")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("(all)")).alias("status"),
+            "gid",
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# window frames — running total + bounded moving average
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_frames",
+    section="engine extra (frame-bounded windows; complements W1-W4)",
+    oracle="""
+SELECT event_id, user_id,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_total,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w_3 AS DOUBLE)
+    / CAST(COUNT(*) OVER w_3 AS DOUBLE) AS moving_avg_3,
+  CAST(COUNT(*) OVER w_3 AS BIGINT) AS frame_rows
+FROM events
+WHERE event_type = 'purchase'
+WINDOW
+  w_run AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+  w_3 AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""",
+)
+def window_frames(spark, sf_dir):
+    """Per-user running revenue and 3-event moving average. Both frames
+    share one partitioning (user_id) and one sort (ts, event_id) — Spark
+    computes them in a single Window exchange+sort, no second shuffle.
+    Sums are exact decimal (double addition is order-sensitive across
+    partitions); the avg divides two identical operands → IEEE-identical
+    in both engines. Explicit event_id tiebreak makes frames unique."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    order = [F.asc("ts"), F.asc("event_id")]
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_3 = Window.partitionBy("user_id").orderBy(*order).rowsBetween(-2, 0)
+    frame_rows = F.count(F.lit(1)).over(w_3)
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(_m("value")).over(w_run).cast("double").alias("running_total"),
+        (F.sum(_m("value")).over(w_3).cast("double") / frame_rows.cast("double")).alias(
+            "moving_avg_3"
+        ),
+        frame_rows.cast("long").alias("frame_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pivot — wide per-entity feature counts
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "pivot_event_counts",
+    section="engine extra (pivot; training-feature construction)",
+    oracle="""
+SELECT user_id,
+  COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+  COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+  COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+  COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+  COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+  COUNT(*) AS total
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_event_counts(spark, sf_dir):
+    """Per-user event-type count vector (the classic feature-matrix
+    construction), written as conditional counts over a KNOWN value list
+    rather than ``DataFrame.pivot``. Two reasons, both scale:
+
+    - ``.pivot()`` without values runs a distinct-scan job at plan time (a
+      driver-blocking action this catalog forbids), and even with values
+      Spark plans it as TWO aggregations — groupBy(user, type) + pivotfirst
+      — i.e. two exchanges.
+    - ``count(when(...))`` compiles to ONE hash agg with map-side partial
+      combine: single shuffle on user_id, the minimum any per-user
+      aggregate can do (asserted in tests/test_plans.py)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        *[
+            F.count(F.when(F.col("event_type") == t, F.lit(1))).alias(t)
+            for t in EVENT_TYPES
+        ],
+        F.count(F.lit(1)).alias("total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gopher/C4-style quality rules — in-row repetition metrics
+# ---------------------------------------------------------------------------
+
+_SPLIT = "string_split(lower(trim(text)), ' ')"
+
+
+@query(
+    "quality_rules",
+    section="engine extra (doc quality gates; complements text_stats)",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, {_SPLIT} AS toks,
+    list_transform(range(1, len({_SPLIT})),
+                   i -> {_SPLIT}[i] || ' ' || {_SPLIT}[i+1]) AS bg
+  FROM documents
+), m AS (
+  SELECT doc_id,
+    CAST(len(toks) AS BIGINT) AS n_tokens,
+    CASE WHEN len(bg) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE 1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / CAST(len(bg) AS DOUBLE)
+    END AS dup_bigram_frac,
+    CASE WHEN len(toks) = 0 THEN CAST(0.0 AS DOUBLE)
+         ELSE CAST(list_max(list_transform(list_distinct(toks),
+                u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE)
+              / CAST(len(toks) AS DOUBLE)
+    END AS top_token_frac
+  FROM t
+)
+SELECT doc_id, n_tokens, dup_bigram_frac, top_token_frac,
+  (n_tokens >= 20 AND dup_bigram_frac <= 0.6 AND top_token_frac <= 0.2)
+    AS passes
+FROM m
+""",
+)
+def quality_rules(spark, sf_dir):
+    """Gopher/C4-style repetition gates, entirely IN-ROW: duplicate-bigram
+    fraction and most-frequent-token dominance via higher-order array
+    functions — no explode, no shuffle, map-only over the corpus (the
+    only plan shape that survives 100 TB of documents; asserted in
+    tests/test_plans.py). The per-row distinct×filter count is O(k²) on
+    k≈60 tokens — trivial next to the scan.
+
+    Tokenization here is deliberately the plain lower/trim/split the
+    oracle can mirror exactly (documents.text is single-spaced); the
+    richer normalize_text path is covered by text_stats."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), " ")
+    d = d.select("doc_id", toks.alias("toks"))
+    n = F.size("toks")
+    bg = F.when(n >= 2, F.expr(
+        "transform(sequence(0, size(toks) - 2),"
+        " i -> concat(element_at(toks, i + 1), ' ', element_at(toks, i + 2)))"
+    )).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", "toks", bg.alias("bg"))
+    nbg = F.size("bg")
+    dup_bigram = F.when(nbg == 0, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct("bg")).cast("double") / nbg.cast("double")
+    )
+    top_count = F.array_max(
+        F.transform(
+            F.array_distinct("toks"),
+            lambda u: F.size(F.filter(F.col("toks"), lambda x: x == u)),
+        )
+    )
+    top_frac = F.when(n == 0, F.lit(0.0)).otherwise(
+        top_count.cast("double") / n.cast("double")
+    )
+    out = d.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        dup_bigram.alias("dup_bigram_frac"),
+        top_frac.alias("top_token_frac"),
+    )
+    return out.withColumn(
+        "passes",
+        (F.col("n_tokens") >= 20)
+        & (F.col("dup_bigram_frac") <= 0.6)
+        & (F.col("top_token_frac") <= 0.2),
+    )

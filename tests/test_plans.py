@@ -235,3 +235,37 @@ def test_no_spark_action_during_ann_plan_construction(spark):
         jobs = sc.statusTracker().getJobIdsForGroup(group)
         sc.setJobGroup("", "")
     assert list(jobs) == [], f"plan construction ran Spark jobs: {jobs}"
+
+
+def test_quality_rules_is_map_only(spark):
+    """The Gopher-style repetition metrics are in-row array expressions —
+    the plan must contain no exchange at all (at 100 TB the quality gate
+    is a pure scan-side map, pipelined with the parquet read)."""
+    p = plan_of(spark, "quality_rules")
+    assert _n_exchanges(p) == 0
+    # column pruning: only doc_id/text leave the scan
+    assert "n_chars" not in p and "source" not in p
+
+
+def test_rollup_revenue_is_single_shuffle(spark):
+    """ROLLUP plans as Expand + one hash agg: all three grouping sets share
+    a single exchange with map-side partial aggregation."""
+    p = plan_of(spark, "rollup_revenue")
+    assert _n_exchanges(p) == 1
+    assert "Expand" in p and "partial_" in p
+
+
+def test_window_frames_share_one_exchange(spark):
+    """Both frames (running total, 3-row moving avg) use the same
+    partitioning and sort — Spark must plan them in ONE Window operator
+    over one exchange, not re-shuffle per frame family."""
+    p = plan_of(spark, "window_frames")
+    assert _n_exchanges(p) == 1
+
+
+def test_pivot_event_counts_is_single_shuffle(spark):
+    """Explicit pivot values → one hash agg of conditional counts; no
+    plan-time distinct-discovery job and a single exchange."""
+    p = plan_of(spark, "pivot_event_counts")
+    assert _n_exchanges(p) == 1
+    assert "partial_" in p
