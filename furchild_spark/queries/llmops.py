@@ -470,6 +470,54 @@ def ann_ivf_topk(spark, sf_dir):
                       "neighbor_id", "sim")
 
 
+@query(
+    "ann_lsh_topk",
+    section="LLM-similarity hyperplane-LSH ANN top-k (bucket-pruned equi join)",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+    CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+    CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, q.bucket AS bucket, neighbor_id,
+    round(CAST({_DOT.format(a='qv', b='cv')} AS DOUBLE)
+          / (sqrt(CAST({_DOT.format(a='qv', b='qv')} AS DOUBLE))
+             * sqrt(CAST({_DOT.format(a='cv', b='cv')} AS DOUBLE))), 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, bucket, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+  SELECT query_id, bucket, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_lsh_topk(spark, sf_dir):
+    """The third ANN strategy next to brute-force (exact baseline) and IVF
+    (centroid lists): random-hyperplane buckets prune the candidate set to
+    the query's bucket — at 100 TB a keyed equi join touching ~1/2^planes
+    of the corpus per query. dim is threaded through so plan construction
+    schedules no Spark job (similarity.py:426 fallback never fires)."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_planes=4, seed=42, dim=64
+    )
+    return out.select(
+        "query_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "sim",
+    )
+
+
 # ---------------------------------------------------------------------------
 # streaming window rollup — batch execution of the SAME logical plan the
 # streaming layer runs (furchild_spark.streaming.ingest.windowed_counts);

@@ -35,6 +35,7 @@ def plan_of(spark, name: str) -> str:
         "exact_dedup",
         "dupe_groups",
         "ann_ivf_topk",
+        "ann_lsh_topk",
     ],
 )
 def test_no_cartesian_candidate_generation(spark, name):
@@ -220,6 +221,7 @@ def test_no_spark_action_during_ann_plan_construction(spark):
         "embedding_lsh_buckets",
         "embedding_cosine_neardup",
         "ann_ivf_topk",
+        "ann_lsh_topk",
         "minhash_neardup",
         "exact_dedup",
     ]
