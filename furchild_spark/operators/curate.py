@@ -294,7 +294,7 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def connected_components(
-    pairs: DataFrame, max_iter: int = 20
+    pairs: DataFrame, max_iter: int = 20, checkpoint_interval: int = 1
 ) -> DataFrame:
     """(node, cluster_id) for every node in ``pairs`` (id_a, id_b), where
     cluster_id is the minimum node id reachable through the pair graph —
@@ -305,15 +305,26 @@ def connected_components(
     clusters are near-cliques, so 2-4 in practice; ``max_iter`` bounds
     pathological chains). Per round: one equi join + one groupBy — keyed
     shuffles only. ``localCheckpoint`` truncates lineage so the physical
-    plan stays constant-size across rounds; the previous round's labels are
-    unpersisted eagerly. Driver-side state is two scalars (iteration count,
+    plan stays constant-size across rounds; a superseded round's blocks
+    are reclaimed by Spark's ContextCleaner once the old DataFrame is
+    unreachable. Driver-side state is two scalars (iteration count,
     convergence flag) — no row data ever reaches the driver.
+
+    ``checkpoint_interval`` (VERDICT r2): materialize + convergence-check
+    every k-th round instead of every round. At 100 TB each checkpoint
+    writes the full label set to executor storage, so k=2-3 halves/thirds
+    that cost; between checkpoints the plan grows by k join+agg layers
+    (keep k small). Convergence detection stays sound — propagation is
+    monotone, so a no-change round implies fixpoint; checking only every
+    k-th round costs at most k-1 extra (cheap, already-converged) rounds.
 
     Raises ``RuntimeError`` if labels are still changing when ``max_iter``
     is exhausted (a longer-diameter graph than expected): silently
     returning the non-converged labels would hand the caller WRONG cluster
     ids that are indistinguishable from converged ones.
     """
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
     sym = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionByName(
@@ -326,7 +337,7 @@ def connected_components(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["dst"] == labels["node"])
             .groupBy("src")
@@ -342,11 +353,16 @@ def connected_components(
                 (F.col("nbr_label") < F.col("label")).alias("__changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
-        labels = new_labels.drop("__changed")
-        if changed == 0:
-            return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+        # the final round always checkpoints + checks, so non-convergence
+        # at max_iter can never slip out unverified
+        if (i + 1) % checkpoint_interval == 0 or i == max_iter - 1:
+            new_labels = new_labels.localCheckpoint(eager=True)
+            changed = new_labels.filter(F.col("__changed")).limit(1).count()
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+        else:
+            labels = new_labels.drop("__changed")
     raise RuntimeError(
         f"connected_components did not converge in max_iter={max_iter} rounds "
         "(graph diameter exceeds the bound); raise max_iter for long-chain graphs"

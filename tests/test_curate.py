@@ -286,3 +286,33 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "outer", "right_outer"):
         with pytest.raises(ValueError, match="salted_join"):
             skew.salted_join(left, right, on="k", salt_from="x", how=how)
+
+
+def test_connected_components_checkpoint_interval(spark):
+    """Same labels regardless of checkpoint cadence: a 6-node chain needs
+    several propagation rounds, and interval=3 must converge to the
+    identical clustering as the per-round default (monotone propagation —
+    skipping checks can only delay detection, never change the fixpoint)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "id_a long, id_b long"
+    )
+    expect = {(i, 0) for i in range(6)}
+    for k in (1, 3):
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in curate.connected_components(
+                pairs, checkpoint_interval=k
+            ).collect()
+        }
+        assert got == expect, f"interval={k}"
+
+
+def test_connected_components_interval_still_raises_at_cap(spark):
+    """The final round checkpoints+checks even off-cadence, so a
+    non-converged long chain still raises instead of returning wrong
+    labels."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        curate.connected_components(pairs, max_iter=3, checkpoint_interval=2)
