@@ -31,6 +31,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from . import materialize as mat
+from . import snapshot as snap
 
 DEFAULT_VARS = {
     # reference dbt_project.yml:12-14
@@ -47,6 +48,10 @@ class Model:
     unique_key: str | None = None
     partition_by: tuple[str, ...] = ()
     tags: tuple[str, ...] = ()
+    # snapshot-materialization config (dbt snapshot block equivalents)
+    snapshot_strategy: str = "timestamp"
+    updated_at: str | None = None
+    check_cols: tuple[str, ...] | None = None
 
 
 class ModelRegistry:
@@ -60,6 +65,9 @@ class ModelRegistry:
         unique_key: str | None = None,
         partition_by: tuple[str, ...] = (),
         tags: tuple[str, ...] = (),
+        snapshot_strategy: str = "timestamp",
+        updated_at: str | None = None,
+        check_cols: tuple[str, ...] | None = None,
     ):
         def deco(fn):
             model_name = name or fn.__name__
@@ -70,6 +78,9 @@ class ModelRegistry:
                 unique_key=unique_key,
                 partition_by=tuple(partition_by),
                 tags=tuple(tags),
+                snapshot_strategy=snapshot_strategy,
+                updated_at=updated_at,
+                check_cols=tuple(check_cols) if check_cols else None,
             )
             return fn
 
@@ -185,6 +196,20 @@ class Runner:
         path = self._path(model.name)
         if path is None or model.materialized in ("view", "ephemeral"):
             return df
+        if model.materialized == "snapshot":
+            # SCD2: applies on EVERY run (dbt `dbt snapshot` semantics) —
+            # the first run initializes, later runs version-merge
+            assert model.unique_key, f"snapshot model {model.name} needs unique_key"
+            return snap.snapshot_merge(
+                self.spark,
+                path,
+                df,
+                model.unique_key,
+                strategy=model.snapshot_strategy,
+                updated_at=model.updated_at,
+                check_cols=list(model.check_cols) if model.check_cols else None,
+                now=self.now,
+            )
         if model.materialized == "incremental" and ctx.is_incremental():
             assert model.unique_key, f"incremental model {model.name} needs unique_key"
             merged = mat.merge_upsert(
