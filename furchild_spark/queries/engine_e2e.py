@@ -1,0 +1,166 @@
+"""Driver-checkable END-TO-END entries for the engine's WRITE paths.
+
+Round 2's verdict marked the materializer rows (§2 S3 table write, S6
+incremental merge, S8 schema evolution) "local-pytest-verified only":
+every driver entry ran view-only. These entries exercise the real write
+machinery — parquet materialization, the crash-safe staged-dir swap
+merge, unionByName/mergeSchema evolution, and the SCD2 snapshot chain —
+inside a temp warehouse, then return the final TABLE (read back from
+disk, not the in-memory plan) for the driver's hash compare against a
+relational DuckDB oracle of the same end state.
+
+Determinism: inputs are slices of the shared parquet tables; per-row
+double arithmetic (×1.1, +100.0) is IEEE-deterministic; version
+timestamps are frozen literals; and row/file order never matters because
+the driver sorts before hashing.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .catalog import query, table
+
+_ORDER_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+@query(
+    "incremental_merge_e2e",
+    section="S6 S3 (ref fct_orders.sql:1-5,213-215 incremental MERGE + lookback)",
+    oracle="""
+WITH init AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    o_totalprice * 1.1 AS o_totalprice, o_orderdate
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM init
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+""",
+)
+def incremental_merge_e2e(spark, sf_dir):
+    """The reference's incremental pattern end-to-end on disk: initial
+    load of history, then a merge whose update window OVERLAPS the table
+    (the 7-day-lookback shape — lookback rows are updates, newer rows are
+    inserts). The same merge is applied TWICE: the second application is
+    byte-identical input, so a changed result would expose a
+    non-idempotent merge (the property the reference's re-runnable
+    ``dbt run`` depends on). Result is read back from the swapped-in
+    parquet dir — the committed table, not a plan."""
+    from furchild_spark.engine import materialize as mat
+
+    base = tempfile.mkdtemp(prefix="furchild_merge_e2e_")
+    path = f"{base}/orders_inc"
+
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    initial = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    updates = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-12-01").cast("timestamp")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+
+    mat.overwrite(spark, path, initial)  # S3: table materialization
+    mat.merge_upsert(spark, path, updates, "o_orderkey")  # S6: merge
+    mat.merge_upsert(spark, path, updates, "o_orderkey")  # idempotent re-run
+    return mat.read_table(spark, path).select(*_ORDER_COLS)
+
+
+@query(
+    "snapshot_scd2_e2e",
+    section="engine extra: SCD2 snapshot chain (dbt snapshot check strategy)",
+    oracle="""
+WITH base AS (
+  SELECT c_custkey, c_acctbal, c_mktsegment FROM customer
+),
+mut AS (
+  SELECT c_custkey,
+    CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100.0 ELSE c_acctbal END
+      AS c_acctbal,
+    c_mktsegment
+  FROM customer
+)
+SELECT c_custkey, c_acctbal, c_mktsegment,
+  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+  TIMESTAMP '2024-02-01 00:00:00' AS valid_to
+FROM base WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment,
+  TIMESTAMP '2024-02-01 00:00:00', NULL
+FROM mut WHERE c_custkey % 10 = 0
+UNION ALL
+SELECT c_custkey, c_acctbal, c_mktsegment,
+  TIMESTAMP '2024-01-01 00:00:00', NULL
+FROM base WHERE c_custkey % 10 <> 0
+""",
+)
+def snapshot_scd2_e2e(spark, sf_dir):
+    """Two snapshot runs over customer with a deterministic 10% mutation
+    between them: mutated keys end with a CLOSED version (valid_to =
+    second run's clock) plus an open successor; untouched keys keep their
+    original open row. The oracle reconstructs the exact interval chain
+    relationally. scd_id is dropped from the compare (its md5 input
+    includes an engine-formatted timestamp string); uniqueness and
+    determinism of scd_id are pytest-covered in tests/test_snapshot.py."""
+    import datetime as dt
+
+    from furchild_spark.engine import materialize as mat
+    from furchild_spark.engine.snapshot import snapshot_merge
+
+    base = tempfile.mkdtemp(prefix="furchild_snap_e2e_")
+    path = f"{base}/cust_hist"
+    cols = ["c_custkey", "c_acctbal", "c_mktsegment"]
+
+    c = table(spark, sf_dir, "customer").select(*cols)
+    mutated = c.withColumn(
+        "c_acctbal",
+        F.when(F.col("c_custkey") % 10 == 0, F.col("c_acctbal") + F.lit(100.0))
+        .otherwise(F.col("c_acctbal")),
+    )
+    snapshot_merge(spark, path, c, "c_custkey", strategy="check",
+                   check_cols=["c_acctbal", "c_mktsegment"],
+                   now=dt.datetime(2024, 1, 1))
+    snapshot_merge(spark, path, mutated, "c_custkey", strategy="check",
+                   check_cols=["c_acctbal", "c_mktsegment"],
+                   now=dt.datetime(2024, 2, 1))
+    return mat.read_table(spark, path).select(*cols, "valid_from", "valid_to")
+
+
+@query(
+    "schema_evolution_e2e",
+    section="S8 (ref dbt_project.yml:34 on_schema_change=append_new_columns)",
+    oracle="""
+SELECT s_suppkey, s_nationkey,
+  CASE WHEN s_suppkey % 2 = 0 THEN length(s_name) ELSE NULL END AS name_len
+FROM supplier
+""",
+)
+def schema_evolution_e2e(spark, sf_dir):
+    """append_new_columns evolution on disk: the initial table lacks
+    ``name_len``; a later merge carries it. unionByName(allowMissing)
+    backfills NULL for untouched rows and the mergeSchema read surfaces
+    the widened schema — the reference's on_schema_change contract."""
+    from furchild_spark.engine import materialize as mat
+
+    base = tempfile.mkdtemp(prefix="furchild_evolve_e2e_")
+    path = f"{base}/supplier_evo"
+
+    s = table(spark, sf_dir, "supplier")
+    initial = s.select("s_suppkey", "s_nationkey")
+    widened = (
+        s.filter(F.col("s_suppkey") % 2 == 0)
+        .select(
+            "s_suppkey",
+            "s_nationkey",
+            F.length("s_name").cast("long").alias("name_len"),
+        )
+    )
+    mat.overwrite(spark, path, initial)
+    mat.merge_upsert(spark, path, widened, "s_suppkey")
+    out = mat.read_table(spark, path)
+    return out.select("s_suppkey", "s_nationkey", F.col("name_len").cast("long").alias("name_len"))
