@@ -355,6 +355,36 @@ def multimodal_meta(spark, sf_dir):
     )
 
 
+@query(
+    "multimodal_frame_sample",
+    section="LLM-multimodal video frame-sampling plumbing (posexplode fanout)",
+    oracle="""
+SELECT doc_id AS id, 'video' AS modality,
+  CAST(unnest(range(0, length(text) % 24 + 1, 8)) AS BIGINT) AS frame_idx,
+  CAST(length(text) AS BIGINT) AS byte_len,
+  md5(text) AS checksum
+FROM documents
+""",
+)
+def multimodal_frame_sample(spark, sf_dir):
+    """Every-8th-frame sampling plan: payload → stub decode (n_frames) →
+    one row per sampled frame index. The explode happens AFTER the
+    payload is dropped to metadata, so the fanout shuffles only small
+    rows — the shape that lets per-frame decode repartition freely at
+    100 TB without moving video bytes."""
+    d = table(spark, sf_dir, "documents")
+    payloads = multimodal.attach_payload(d, "doc_id", "text", modality="video")
+    feats = multimodal.extract_features(payloads, decode_stub=True)
+    sampled = multimodal.frame_sample_plan(feats, every_nth=8)
+    return sampled.select(
+        "id",
+        "modality",
+        F.col("frame_idx").cast("long"),
+        F.col("byte_len").cast("long"),
+        "checksum",
+    )
+
+
 # ---------------------------------------------------------------------------
 # embedding-cosine near-dup (vector member of the dedup family)
 # ---------------------------------------------------------------------------
