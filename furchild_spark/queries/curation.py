@@ -173,7 +173,9 @@ def dup_clusters(spark, sf_dir):
         d, "doc_id", "text", num_perm=16, rows_per_band=4, shingle_k=3,
         threshold=0.3, hash_fn="md5",
     ).select("id_a", "id_b")
-    return curate.connected_components(pairs)
+    # near-dup clusters are near-cliques (diameter 2-3): checking every
+    # 2nd round halves checkpoint materializations at identical labels
+    return curate.connected_components(pairs, checkpoint_interval=2)
 
 
 # ---------------------------------------------------------------------------
