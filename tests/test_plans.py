@@ -271,3 +271,26 @@ def test_pivot_event_counts_is_single_shuffle(spark):
     p = plan_of(spark, "pivot_event_counts")
     assert _n_exchanges(p) == 1
     assert "partial_" in p
+
+
+def test_catalog_wide_no_cartesian_products(spark):
+    """Catalog-WIDE lint, not a per-entry sample: every entry's physical
+    plan is cartesian-free, and nested-loop joins appear only where a
+    broadcast of a provably tiny side is the intended design. A new entry
+    that accidentally plans a cross product fails here before it ever
+    reaches the driver. (Write-path *_e2e entries are excluded — building
+    them executes real writes, and their interior plans are the same
+    merge/snapshot machinery covered by their own tests.)"""
+    bnlj_ok = {
+        "vocab_idf",       # broadcast 1-row corpus-count join
+        "tfidf_top_terms", # same scalar broadcast
+        "ann_cosine_topk", # deliberate brute-force baseline
+        "ann_ivf_topk",    # 8-row centroid-array broadcast
+    }
+    for name in QUERIES:
+        if name.endswith("_e2e"):
+            continue
+        p = plan_of(spark, name)
+        assert "CartesianProduct" not in p, f"{name}: cartesian product"
+        if name not in bnlj_ok:
+            assert "BroadcastNestedLoopJoin" not in p, f"{name}: unexpected BNLJ"
