@@ -52,6 +52,13 @@ def main() -> None:
         # subtrees (operator-level + Runner cache_refs) are dropped so the
         # result is a cold-cache plan time, not a cache read
         spark.catalog.clearCache()
+        # localCheckpoint blocks (CC label rounds, merge lineage breaks)
+        # are RDD-level, invisible to clearCache; left alone they pile up
+        # across 97 entries and the resulting memory pressure shows as
+        # multi-second GC spikes in later queries' timings
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().values().iterator()
+        while it.hasNext():
+            it.next().unpersist(False)
         return dt
 
     timings: dict[str, float] = {}

@@ -240,3 +240,96 @@ def quality_rules(spark, sf_dir):
         & (F.col("dup_bigram_frac") <= 0.6)
         & (F.col("top_token_frac") <= 0.2),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-mixture report — the per-source accounting a training run starts from
+# ---------------------------------------------------------------------------
+
+@query(
+    "mixture_report",
+    section="engine extra (training-data mixture accounting per source × lang)",
+    oracle="""
+SELECT source, lang,
+  COUNT(*) AS n_docs,
+  SUM(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS total_tokens,
+  CAST(SUM(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS DOUBLE)
+    / CAST(COUNT(*) AS DOUBLE) AS avg_doc_tokens
+FROM documents
+GROUP BY source, lang
+""",
+)
+def mixture_report(spark, sf_dir):
+    """Docs and token totals per (source, lang) — the table you weight a
+    training mixture from. Token counts are computed in-row (map-side)
+    then summed with partial aggregation: one shuffle keyed on the tiny
+    (source, lang) domain, exact integer sums (no double accumulation)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).cast("long")
+    return (
+        d.select("source", "lang", n_tokens.alias("n_tokens"))
+        .groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (
+                F.sum("n_tokens").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("avg_doc_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — assign docs to fixed-token-budget training bins
+# ---------------------------------------------------------------------------
+
+@query(
+    "pack_sequences",
+    section="engine extra (greedy sequence packing via window cumsum)",
+    oracle="""
+SELECT doc_id, shard, n_tokens,
+  CAST(floor((cum_tokens - n_tokens) / 512.0) AS BIGINT) AS bin_id
+FROM (
+  SELECT doc_id, shard, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY shard ORDER BY doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS cum_tokens
+  FROM (
+    SELECT doc_id,
+      CAST(doc_id % 8 AS BIGINT) AS shard,
+      CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT) AS n_tokens
+    FROM documents
+  )
+)
+""",
+)
+def pack_sequences(spark, sf_dir):
+    """Deterministic sequence packing: docs are sharded (doc_id % 8 —
+    in production a hash), ordered within the shard, and binned by the
+    running token count so every bin holds ~512 tokens of consecutive
+    docs. One window exchange per shard — no sequential driver loop, no
+    Python — which is what makes packing feasible over 100 TB: each
+    shard's cumsum is independent, so shards scale out linearly. The
+    ``cum - n`` form bins by each doc's START offset (a doc straddling a
+    boundary belongs to the bin it started in — greedy first-fit)."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).cast("long")
+    staged = d.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        n_tokens.alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return staged.select(
+        "doc_id",
+        "shard",
+        "n_tokens",
+        F.floor((cum - F.col("n_tokens")) / F.lit(512.0)).cast("long").alias("bin_id"),
+    )

@@ -173,13 +173,17 @@ def schema_evolution_e2e(spark, sf_dir):
 WITH init AS (
   SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
     strftime(o_orderdate, '%Y-%m') AS o_month
-  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
 ),
 upd AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
     o_totalprice * 1.1 AS o_totalprice, o_orderdate,
     strftime(o_orderdate, '%Y-%m') AS o_month
-  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+    AND o_orderdate < TIMESTAMP '1997-04-01'
 )
 SELECT * FROM upd
 UNION ALL
@@ -193,7 +197,10 @@ def partitioned_merge_e2e(spark, sf_dir):
     month partitions, so the merge reads (partition-pruned) and rewrites
     (dynamic partition overwrite) ONLY those directories; history outside
     the window is never scanned. Applied twice to prove idempotency, read
-    back from disk with partition-column recovery."""
+    back from disk with partition-column recovery. The window is one
+    year of history + a 4-month update span (13 month-partitions, 12→16
+    after inserts) — enough to prove pruning + dynamic overwrite without
+    paying a whole-table rewrite in every bench run."""
     from furchild_spark.engine import materialize as mat
 
     base = tempfile.mkdtemp(prefix="furchild_pmerge_e2e_")
@@ -201,9 +208,13 @@ def partitioned_merge_e2e(spark, sf_dir):
 
     month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS, month)
-    initial = o.filter(F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    initial = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
     updates = o.filter(
-        F.col("o_orderdate") >= F.lit("1996-12-01").cast("timestamp")
+        (F.col("o_orderdate") >= F.lit("1996-12-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
 
     mat.overwrite(spark, path, initial, partition_by=("o_month",))
