@@ -48,6 +48,10 @@ def _tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.shuffle.partitions", "8" if small else "32")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NTZ→LTZ casts (events.ts) and date_trunc/window results must not
+        # depend on the host's local timezone — pin the session to UTC, the
+        # same frame DuckDB's naive timestamps live in.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
         pass  # conf locked down — plans are still correct, just slower
 
@@ -79,20 +83,33 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     each call, which both slows the 87-entry correctness loop and would
     count as a plan-construction action.
 
-    ``events.ts`` is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-    reader rejects; read it as nanos-long (legacy conf, runtime-settable)
-    and truncate to microseconds with *integer* division (``DIV`` — a
-    double division would lose precision on epoch-nanos magnitudes).
-    DuckDB's reader does the identical ns→us truncation natively, so
-    oracles see the same instants.
+    ``events.ts`` has been generated as either TIMESTAMP(MICROS) (reads
+    natively) or TIMESTAMP(NANOS), which Spark's vectorized reader
+    rejects; for the latter, read it as nanos-long (legacy conf,
+    runtime-settable) and truncate to microseconds with *integer*
+    division (``DIV`` — a double division would lose precision on
+    epoch-nanos magnitudes). DuckDB's reader does the identical ns→us
+    truncation natively, so oracles see the same instants either way.
+    The branch keys off the post-read dtype (the legacy conf only
+    rewrites NANOS columns, so MICROS data still arrives as timestamp).
     """
     key = (id(spark._jsparkSession), sf_dir, name)
     if key not in _TABLE_CACHE:
         if name == "events":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-                "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
-            )
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            ts_type = dict(df.dtypes).get("ts")
+            if ts_type == "bigint":
+                df = df.withColumn(
+                    "ts", F.expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))")
+                )
+            elif ts_type == "timestamp_ntz":
+                # MICROS parquet without isAdjustedToUTC reads as NTZ; the
+                # catalog's timestamp math (unix_micros, as-of gaps, window
+                # aggs) is written against LTZ instants. Under the pinned
+                # UTC session TZ this cast maps wall-clock → the identical
+                # instant DuckDB sees.
+                df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
