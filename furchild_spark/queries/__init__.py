@@ -24,14 +24,48 @@ Cross-engine hash-parity rules (learned the hard way, enforced throughout):
 from .catalog import QUERIES, Query, query, table  # noqa: F401
 
 # Registration order IS the driver's execution order (queries() preserves
-# dict insertion). Round 2's driver run stopped after the first 50 entries,
-# leaving the curation family and the models_oracle tail unchecked — so the
-# previously-unchecked families register FIRST, guaranteeing them a
-# CORRECTNESS row even if a future run truncates again.
+# dict insertion), and the driver's correctness run has historically
+# truncated after ~50 entries. Import order here no longer decides the
+# window: _PRIORITY below explicitly re-orders QUERIES after all modules
+# have registered.
 from . import curation  # noqa: F401,E402
 from . import models_oracle  # noqa: F401,E402
 from . import streaming_e2e  # noqa: F401,E402
 from . import engine_e2e  # noqa: F401,E402  # write-path proofs (S3/S6/S8)
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
-from . import analytics  # noqa: F401,E402  # engine extras — safe to truncate
+from . import analytics  # noqa: F401,E402  # engine extras
+
+# Driver-window priority (round 4): the entries with NO driver CORRECTNESS
+# row at current HEAD go first — 8 registered after round 3's run started,
+# then the 41 whose only green row is round 2 (code has moved since). The
+# 50 entries round 3 proved at (near-)HEAD come last; if the run truncates
+# again, r4 ∪ r3 still covers all 99 at current code.
+_PRIORITY = [
+    # never driver-checked (added late in round 3)
+    "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
+    "pack_sequences", "pivot_event_counts", "quality_rules",
+    "rollup_revenue", "window_frames",
+    # r2-green only — driver evidence predates round-3 commits
+    "ann_cosine_topk", "ann_ivf_topk", "anti_join_no_urgent",
+    "asof_click_attribution", "case_math", "channel_ltv",
+    "cohort_percentiles", "customer_kpis", "datediff_family",
+    "decimal_domain", "dedup_latest_event", "dedup_nulls_ordering",
+    "distinct_pairs", "doc_fingerprint", "dupe_groups",
+    "embedding_cosine_neardup", "embedding_lsh_buckets", "exact_dedup",
+    "freshness_check", "json_extract", "lang_id", "ltv_windows",
+    "minhash_neardup", "monthly_revenue", "multimodal_meta",
+    "ngram_jaccard", "normalize_order_id", "order_line_rollup",
+    "order_sequence", "pricing_summary", "regexp_tokens",
+    "revenue_by_region", "session_window_rollup", "set_ops_topk",
+    "simhash", "streaming_window_rollup", "string_hygiene",
+    "surrogate_keys", "text_stats", "token_count", "try_casts",
+]
+
+_missing = [n for n in _PRIORITY if n not in QUERIES]
+if _missing:  # a rename would silently demote an entry out of the window
+    raise RuntimeError(f"priority entries missing from catalog: {_missing}")
+_reordered = {n: QUERIES[n] for n in _PRIORITY}
+_reordered.update({n: q for n, q in QUERIES.items() if n not in _reordered})
+QUERIES.clear()
+QUERIES.update(_reordered)

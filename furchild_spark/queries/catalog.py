@@ -44,16 +44,26 @@ def _tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir or "")
     sf = float(m.group(1)) if m else None
     small = sf is not None and sf <= 0.011
+    # NTZ→LTZ casts (events.ts) and date_trunc/window results must not
+    # depend on the host's local timezone — pin the session to UTC, the
+    # same frame DuckDB's naive timestamps live in. This pin is a
+    # CORRECTNESS dependency (unlike the perf confs below), so it gets its
+    # own try/except and fails loudly: silently running under a non-UTC
+    # session TZ would diverge from the oracle on every timestamp column.
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception as exc:
+        if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+            raise RuntimeError(
+                "cannot pin spark.sql.session.timeZone=UTC; timestamp "
+                "results would depend on the host timezone"
+            ) from exc
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "8" if small else "32")
         spark.conf.set("spark.sql.adaptive.enabled", "true")
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # NTZ→LTZ casts (events.ts) and date_trunc/window results must not
-        # depend on the host's local timezone — pin the session to UTC, the
-        # same frame DuckDB's naive timestamps live in.
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     except Exception:
-        pass  # conf locked down — plans are still correct, just slower
+        pass  # perf confs locked down — plans are still correct, just slower
 
 
 def query(name: str, *, oracle: str | None = None, headline: bool = False,
@@ -108,7 +118,13 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
                 # catalog's timestamp math (unix_micros, as-of gaps, window
                 # aggs) is written against LTZ instants. Under the pinned
                 # UTC session TZ this cast maps wall-clock → the identical
-                # instant DuckDB sees.
+                # instant DuckDB sees. The pin is load-bearing here, so
+                # verify it rather than trust that _tune_for_sf ran.
+                if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+                    raise RuntimeError(
+                        "timestamp_ntz cast requires "
+                        "spark.sql.session.timeZone=UTC (oracle parity)"
+                    )
                 df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         else:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
