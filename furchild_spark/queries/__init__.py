@@ -35,6 +35,7 @@ from . import engine_e2e  # noqa: F401,E402  # write-path proofs (S3/S6/S8)
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402  # engine extras
+from . import txlog_e2e  # noqa: F401,E402  # transactional table format
 
 # Driver-window priority (round 4): the entries with NO driver CORRECTNESS
 # row at current HEAD go first — 8 registered after round 3's run started,
@@ -60,6 +61,8 @@ _PRIORITY = [
     "revenue_by_region", "session_window_rollup", "set_ops_topk",
     "simhash", "streaming_window_rollup", "string_hygiene",
     "surrogate_keys", "text_stats", "token_count", "try_casts",
+    # new this round — no prior driver row; 50th slot of the window
+    "txlog_merge_e2e",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

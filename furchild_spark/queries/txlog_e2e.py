@@ -1,0 +1,89 @@
+"""Driver-checkable end-to-end entry for the transaction-log table format
+(engine/txlog.py) — the snapshot-isolated upgrade of the staged-dir swap.
+
+Like engine_e2e, the entry runs the REAL write machinery into a temp
+warehouse and returns the final table read back from disk; the DuckDB
+oracle reproduces the same end state relationally. Determinism: inputs
+are date slices of the shared orders table, the update arithmetic
+(+100.0 on a double) is IEEE-deterministic, and the driver sorts before
+hashing so file/row order never matters.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .catalog import query, table
+
+_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"]
+
+
+@query(
+    "txlog_merge_e2e",
+    section=(
+        "engine extra: transaction-log table (atomic commit, snapshot "
+        "isolation, optimistic concurrency; ref fct_orders.sql incremental "
+        "MERGE semantics with the atomicity Snowflake provided there)"
+    ),
+    oracle="""
+WITH init AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-03-01'
+),
+app AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-03-01'
+    AND o_orderdate < TIMESTAMP '1997-06-01'
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    o_totalprice + 100.0 AS o_totalprice, o_orderdate
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-05-01'
+    AND o_orderdate < TIMESTAMP '1997-08-01'
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM (
+  SELECT * FROM init UNION ALL SELECT * FROM app
+) b WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+""",
+)
+def txlog_merge_e2e(spark, sf_dir):
+    """The full transactional lifecycle on disk: overwrite (v1), O(1)
+    append of a disjoint slice (v2), a merge whose update window OVERLAPS
+    the appended slice — lookback rows are updates, newer rows inserts,
+    the reference's incremental shape (v3) — an idempotent re-merge of
+    the identical batch (v4), then vacuum of the superseded versions.
+    Returns the final snapshot read from the committed manifest's file
+    list, after asserting the versions and vacuum behaved."""
+    from furchild_spark.engine.txlog import TxTable
+
+    base = tempfile.mkdtemp(prefix="furchild_txlog_e2e_")
+    t = TxTable(spark, f"{base}/orders_tx")
+
+    o = table(spark, sf_dir, "orders").select(*_COLS)
+    initial = o.filter(F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
+    appended = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    )
+    updates = o.filter(
+        (F.col("o_orderdate") >= F.lit("1997-05-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-08-01").cast("timestamp"))
+    ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(100.0))
+
+    assert t.overwrite(initial) == 1
+    pinned_v1 = t.snapshot(version=1)  # must survive every later commit
+    assert t.append(appended) == 2
+    assert t.merge(updates, ["o_orderkey"]) == 3
+    assert t.merge(updates, ["o_orderkey"]) == 4  # idempotent re-run
+    v1_rows = pinned_v1.count()  # snapshot isolation: still version 1
+    t.vacuum(retain_last=1)
+    assert [h["op"] for h in t.history()] == ["merge"]
+    final = t.snapshot()
+    assert v1_rows == initial.count()
+    return final.select(*_COLS)

@@ -1,0 +1,147 @@
+"""Transaction-log table format (engine/txlog.py): the concurrent-reader
+atomicity the staged-dir swap lacks (VERDICT r3 gap #4).
+
+Property checklist:
+- readers never observe a partial commit (uncommitted data files and
+  crashed temp manifests are invisible);
+- a snapshot keeps returning ITS version's rows while later commits land
+  (snapshot isolation / time travel);
+- exactly one of two writers racing for a version wins (optimistic
+  concurrency via the hard-link claim), and merge() retries onto the
+  winner's snapshot;
+- append is O(1) — it reuses the prior manifest's files untouched;
+- vacuum removes only unreferenced commit dirs and expired manifests,
+  leaving retained snapshots readable.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from furchild_spark.engine.txlog import (
+    ConcurrentWriteError,
+    NoSuchVersionError,
+    TxTable,
+)
+
+
+@pytest.fixture()
+def tmp_table(spark):
+    base = tempfile.mkdtemp(prefix="txlog_test_")
+    return TxTable(spark, os.path.join(base, "t"))
+
+
+def _rows(n, start=0, val="a"):
+    return [Row(k=i, v=val) for i in range(start, start + n)]
+
+
+def test_overwrite_append_merge_contents(spark, tmp_table):
+    t = tmp_table
+    assert not t.exists()
+    t.overwrite(spark.createDataFrame(_rows(5)))
+    assert t.snapshot().count() == 5
+    t.append(spark.createDataFrame(_rows(3, start=5)))
+    assert t.snapshot().count() == 8
+    # merge: keys 4..6 replaced (v='b'), key 100 inserted
+    upd = spark.createDataFrame([Row(k=i, v="b") for i in (4, 5, 6, 100)])
+    t.merge(upd, ["k"])
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert len(got) == 9
+    assert all(got[i] == "b" for i in (4, 5, 6, 100))
+    assert all(got[i] == "a" for i in (0, 1, 2, 3, 7))
+    # idempotent re-merge of the identical batch
+    t.merge(upd, ["k"])
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == got
+    assert [h["op"] for h in t.history()] == [
+        "overwrite", "append", "merge", "merge",
+    ]
+
+
+def test_uncommitted_data_invisible(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(4)))
+    # a writer crashed after writing data files but before committing,
+    # and another crashed mid-manifest-write: readers see neither
+    t._write_data(spark.createDataFrame(_rows(50, start=100)))
+    with open(os.path.join(t.log_dir, "_tmp-deadbeef.json"), "w") as fh:
+        fh.write("{ half a manif")
+    assert t.current_version() == 1
+    assert t.snapshot().count() == 4
+
+
+def test_snapshot_isolation_and_time_travel(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(4)))
+    snap_v1 = t.snapshot()  # plan pinned to version 1's file list
+    t.overwrite(spark.createDataFrame(_rows(9, val="z")))
+    # the old plan still reads version 1's immutable files
+    assert snap_v1.count() == 4
+    assert t.snapshot().count() == 9
+    assert t.snapshot(version=1).count() == 4
+    assert {r["v"] for r in t.snapshot(version=2).collect()} == {"z"}
+    with pytest.raises(NoSuchVersionError):
+        t.snapshot(version=3)
+
+
+def test_exactly_one_writer_wins_a_version(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(2)))
+    base = t.current_version()
+    files, n = t._write_data(spark.createDataFrame(_rows(1, start=10)))
+    m = t._manifest_for(spark.createDataFrame(_rows(1, start=10)), "overwrite", files, n)
+    assert t._commit(dict(m), base) == base + 1
+    # the second writer computed against the same base: its claim MUST fail
+    with pytest.raises(ConcurrentWriteError):
+        t._commit(dict(m), base)
+
+
+def test_merge_retries_onto_winners_snapshot(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(4)))
+    # interleave: a competing writer lands version 2 between our merge's
+    # snapshot read and its commit — simulated by wrapping _commit to
+    # inject one conflict
+    real_commit = t._commit
+    state = {"injected": False}
+
+    def racing_commit(manifest, base_version):
+        if not state["injected"]:
+            state["injected"] = True
+            TxTable(t.spark, t.path).append(
+                t.spark.createDataFrame(_rows(2, start=50, val="w"))
+            )
+        return real_commit(manifest, base_version)
+
+    t._commit = racing_commit
+    t.merge(spark.createDataFrame([Row(k=0, v="b")]), ["k"])
+    t._commit = real_commit
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    # both the competing append (keys 50,51) and our merge survived
+    assert got[0] == "b" and got[50] == "w" and got[51] == "w"
+    assert len(got) == 6
+
+
+def test_append_is_o1_reuses_prior_files(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(4)))
+    before = set(t._read_manifest(1)["files"])
+    t.append(spark.createDataFrame(_rows(2, start=4)))
+    after = t._read_manifest(2)["files"]
+    assert before < set(after)  # strictly reused + extended
+
+
+def test_vacuum_retains_live_snapshots(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(3)))
+    t.overwrite(spark.createDataFrame(_rows(5, val="y")))
+    t.overwrite(spark.createDataFrame(_rows(7, val="z")))
+    removed = t.vacuum(retain_last=2)
+    assert len(removed) == 1  # version 1's commit dir
+    assert t.snapshot(version=2).count() == 5
+    assert t.snapshot(version=3).count() == 7
+    with pytest.raises(NoSuchVersionError):
+        t.snapshot(version=1)
