@@ -70,11 +70,29 @@ class TxTable:
         <path>/data/<commit-uuid>/part-*.parquet  # immutable data files
     """
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        cluster_by: tuple[str, ...] = (),
+        stats_cols: tuple[str, ...] = (),
+    ):
+        """``cluster_by``: repartition+sort new data files by these columns
+        so each covers a narrow value range; ``stats_cols``: columns whose
+        footer min/max go into the manifest for file skipping (defaults to
+        ``cluster_by``)."""
         self.spark = spark
         self.path = path.rstrip("/")
         self.log_dir = os.path.join(self.path, "_txlog")
         self.data_dir = os.path.join(self.path, "data")
+        self.cluster_by = tuple(cluster_by)
+        self.stats_cols = tuple(stats_cols) or self.cluster_by
+        # explicit file count for clustered writes: AQE coalescing folds a
+        # column-only repartition of small batches into one file, which
+        # destroys the narrow per-file ranges skipping depends on; an
+        # explicit N is preserved by AQE. None = let Spark/AQE size it
+        # (right at scale, where batches are far above coalescing targets).
+        self.target_files: int | None = None
 
     # -- log primitives ----------------------------------------------------
 
@@ -142,52 +160,153 @@ class TxTable:
             os.unlink(tmp)
         return version
 
-    def _write_data(self, df: DataFrame) -> tuple[list[str], int]:
+    def _write_data(self, df: DataFrame) -> tuple[list[dict], int]:
         """Write ``df`` as immutable parquet files under a fresh commit
-        dir; returns (relative file paths, row count). The files are
-        invisible to every reader until a manifest that lists them is
-        committed."""
+        dir; returns (file entries, row count). The files are invisible
+        to every reader until a manifest that lists them is committed.
+
+        When the table declares ``cluster_by``, rows are repartitioned and
+        sorted by those columns first, so each file covers a narrow value
+        range and the footer min/max stats below make file skipping
+        effective (the Delta/Iceberg data-skipping model — stats-based
+        skipping subsumes hive-style directory partitioning and keeps the
+        manifest's explicit file lists trivially readable).
+
+        Per-file min/max stats come from the parquet FOOTERS via pyarrow —
+        driver-side metadata reads, no Spark jobs over the data.
+        """
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_id)
+        if self.cluster_by:
+            cols = [F.col(c) for c in self.cluster_by]
+            df = (
+                df.repartitionByRange(self.target_files, *cols)
+                if self.target_files
+                else df.repartitionByRange(*cols)
+            ).sortWithinPartitions(*cols)
         df.write.parquet(out_dir)
-        files = sorted(
-            os.path.join("data", commit_id, name)
-            for name in os.listdir(out_dir)
-            if name.endswith(".parquet")
-        )
-        # Count AFTER the write, from the files themselves: one extra
-        # metadata-only job, and the manifest row count is the on-disk
-        # truth rather than a recomputation of a possibly non-deterministic
-        # input plan.
-        n = self.spark.read.parquet(out_dir).count() if files else 0
-        return files, n
+        entries = []
+        total_rows = 0
+        for name in sorted(os.listdir(out_dir)):
+            if not name.endswith(".parquet"):
+                continue
+            abspath = os.path.join(out_dir, name)
+            stats, rows = self._footer_stats(abspath)
+            total_rows += rows
+            entries.append(
+                {
+                    "path": os.path.join("data", commit_id, name),
+                    "rows": rows,
+                    "stats": stats,
+                }
+            )
+        return entries, total_rows
 
-    def _manifest_for(self, df: DataFrame, op: str, files: list[str], rows: int) -> dict:
+    def _footer_stats(self, abspath: str) -> tuple[dict, int]:
+        """(per-column [min, max] for stats_cols, row count) from the
+        parquet footer. Only JSON-stable scalar types (int/float/str) are
+        recorded; a column without usable stats is simply never pruned on
+        — skipping must always be CONSERVATIVE."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abspath).metadata
+        wanted = set(self.stats_cols)
+        agg: dict[str, list] = {}
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for ci in range(row_group.num_columns):
+                col = row_group.column(ci)
+                name = col.path_in_schema
+                if name not in wanted:
+                    continue
+                st = col.statistics
+                if st is None or not st.has_min_max:
+                    agg[name] = None  # one statless row group poisons the col
+                    continue
+                lo, hi = st.min, st.max
+                if isinstance(lo, bytes):
+                    lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+                if not isinstance(lo, (int, float, str)):
+                    agg[name] = None
+                    continue
+                prev = agg.get(name)
+                if name not in agg:
+                    agg[name] = [lo, hi]
+                elif prev is not None:
+                    agg[name] = [min(prev[0], lo), max(prev[1], hi)]
+        return {k: v for k, v in agg.items() if v is not None}, md.num_rows
+
+    def _manifest_for(self, df: DataFrame, op: str, files: list[dict], rows: int) -> dict:
         return {
             "op": op,
             "files": files,
             "num_files": len(files),
             "num_rows": rows,
             "schema": df.schema.jsonValue(),
+            "cluster_by": list(self.cluster_by),
         }
 
     # -- reads -------------------------------------------------------------
 
-    def snapshot(self, version: int | None = None) -> DataFrame:
+    @staticmethod
+    def _file_may_match(entry: dict, predicates) -> bool:
+        """Conservative skipping: drop a file only when its footer range
+        PROVES no row can satisfy every predicate."""
+        for col, op, val in predicates:
+            rng = entry.get("stats", {}).get(col)
+            if rng is None:
+                continue  # no stats -> cannot prune on this column
+            lo, hi = rng
+            if type(lo) is not type(val) and not (
+                isinstance(lo, (int, float)) and isinstance(val, (int, float))
+            ):
+                continue  # incomparable -> keep
+            if (
+                (op == "==" and not (lo <= val <= hi))
+                or (op == "<" and not lo < val)
+                or (op == "<=" and not lo <= val)
+                or (op == ">" and not hi > val)
+                or (op == ">=" and not hi >= val)
+            ):
+                return False
+        return True
+
+    def snapshot(self, version: int | None = None, where=None) -> DataFrame:
         """The table at ``version`` (default: latest). The returned plan
         reads an explicit immutable file list — concurrent commits and
-        vacuums of OTHER versions never change what it reads."""
+        vacuums of OTHER versions never change what it reads.
+
+        ``where`` is an optional list of ``(col, op, value)`` with op in
+        {==, <, <=, >, >=}: files whose footer ranges prove they cannot
+        match are skipped entirely (manifest-level data skipping) and the
+        same predicates are applied row-level, so the result equals
+        ``snapshot().filter(...)`` while scanning a subset of files.
+        """
         v = self.current_version() if version is None else version
         if v == 0:
             raise NoSuchVersionError(f"{self.path}: table has no commits")
         m = self._read_manifest(v)
         schema = StructType.fromJson(m["schema"])
-        files = [os.path.join(self.path, f) for f in m["files"]]
+        entries = m["files"]
+        if where:
+            entries = [e for e in entries if self._file_may_match(e, where)]
+        files = [os.path.join(self.path, e["path"]) for e in entries]
         if not files:
-            return self.spark.createDataFrame([], schema)
-        # explicit schema: no footer-sampling job, and late schema
-        # evolution in NEWER versions cannot leak into this snapshot
-        return self.spark.read.schema(schema).parquet(*files)
+            df = self.spark.createDataFrame([], schema)
+        else:
+            # explicit schema: no footer-sampling job, and late schema
+            # evolution in NEWER versions cannot leak into this snapshot
+            df = self.spark.read.schema(schema).parquet(*files)
+        for col, op, val in where or ():
+            expr = {
+                "==": F.col(col) == F.lit(val),
+                "<": F.col(col) < F.lit(val),
+                "<=": F.col(col) <= F.lit(val),
+                ">": F.col(col) > F.lit(val),
+                ">=": F.col(col) >= F.lit(val),
+            }[op]
+            df = df.filter(expr)
+        return df
 
     # -- writes ------------------------------------------------------------
 
@@ -210,7 +329,13 @@ class TxTable:
         manifest = self._manifest_for(df, "append", prior_files + files, prior_rows + rows)
         return self._commit(manifest, base)
 
-    def merge(self, updates: DataFrame, key_cols: list[str], max_retries: int = 3) -> int:
+    def merge(
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        max_retries: int = 3,
+        scope_col: str | None = None,
+    ) -> int:
         """Upsert by key with optimistic-concurrency retry: rows of the
         current snapshot whose key appears in ``updates`` are replaced;
         all other rows survive; new keys are inserted. Matches the
@@ -218,18 +343,31 @@ class TxTable:
         (reference models fct_orders.sql delete+insert by unique_key),
         with the atomicity Snowflake provided there.
 
-        Correct-first implementation rewrites the table (one anti-join +
-        union). The partition-scoped variant — rewrite only partitions
-        containing update keys and carry every other file forward
-        unchanged in the next manifest — is the 100 TB path and composes
-        with this commit protocol without changes to it.
+        Without ``scope_col`` the table is rewritten (one anti-join +
+        union) — correct at any scale but O(table) per merge.
+
+        With ``scope_col`` the merge is FILE-SCOPED — the 100 TB path:
+        only files whose footer range for ``scope_col`` intersects the
+        update batch's values are read and rewritten; every other file is
+        carried forward UNCHANGED in the next manifest, so merge cost is
+        O(touched data), not O(table). PRECONDITION (same as every
+        insert-overwrite/partition-scoped merge, including the
+        reference's lookback pattern): ``scope_col`` is functionally
+        stable per key — an existing key always arrives in update batches
+        with its original scope value. A key whose scope moved would
+        leave its old row alive in an untouched file.
+
+        The distinct scope values are collected to the driver — bounded
+        and standard for partition-scoped overwrite (cf.
+        ``materialize.py`` partition collection): update batches touch
+        few scope values by construction.
         """
         for attempt in range(max_retries + 1):
             base = self.current_version()
             if base == 0:
                 files, rows = self._write_data(updates)
                 manifest = self._manifest_for(updates, "merge", files, rows)
-            else:
+            elif scope_col is None:
                 current = self.snapshot(base)
                 survivors = current.join(
                     updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
@@ -237,12 +375,48 @@ class TxTable:
                 merged = survivors.unionByName(updates)
                 files, rows = self._write_data(merged)
                 manifest = self._manifest_for(merged, "merge", files, rows)
+            else:
+                files, rows = self._scoped_merge_files(
+                    updates, key_cols, scope_col, base
+                )
+                manifest = self._manifest_for(updates, "merge", files, rows)
             try:
                 return self._commit(manifest, base)
             except ConcurrentWriteError:
                 if attempt == max_retries:
                     raise
                 # lost the race: recompute against the winner's snapshot
+
+    def _scoped_merge_files(
+        self, updates: DataFrame, key_cols: list[str], scope_col: str, base: int
+    ) -> tuple[list[dict], int]:
+        """File lists for a file-scoped merge: (carried ∪ rewritten,
+        total rows). Skipping is conservative — a file without usable
+        stats counts as touched and gets rewritten."""
+        m = self._read_manifest(base)
+        values = [
+            r[0] for r in updates.select(scope_col).distinct().collect()
+        ]
+        touched, carried = [], []
+        for e in m["files"]:
+            rng = e.get("stats", {}).get(scope_col)
+            hit = rng is None or any(
+                self._file_may_match(e, [(scope_col, "==", v)]) for v in values
+            )
+            (touched if hit else carried).append(e)
+        schema = StructType.fromJson(m["schema"])
+        if touched:
+            paths = [os.path.join(self.path, e["path"]) for e in touched]
+            current = self.spark.read.schema(schema).parquet(*paths)
+            survivors = current.join(
+                updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+            )
+            merged = survivors.unionByName(updates)
+        else:
+            merged = updates
+        new_files, new_rows = self._write_data(merged)
+        carried_rows = sum(e["rows"] for e in carried)
+        return carried + new_files, carried_rows + new_rows
 
     # -- maintenance -------------------------------------------------------
 
@@ -259,7 +433,7 @@ class TxTable:
         referenced: set[str] = set()
         for v in keep_versions:
             for f in self._read_manifest(v)["files"]:
-                referenced.add(f.split("/")[1])  # data/<commit-id>/file
+                referenced.add(f["path"].split("/")[1])  # data/<commit-id>/file
         removed = []
         if os.path.isdir(self.data_dir):
             for commit_id in os.listdir(self.data_dir):

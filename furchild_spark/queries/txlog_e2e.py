@@ -24,23 +24,27 @@ _COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdat
     "txlog_merge_e2e",
     section=(
         "engine extra: transaction-log table (atomic commit, snapshot "
-        "isolation, optimistic concurrency; ref fct_orders.sql incremental "
-        "MERGE semantics with the atomicity Snowflake provided there)"
+        "isolation, optimistic concurrency, stats-based file skipping, "
+        "file-scoped merge; ref fct_orders.sql incremental MERGE semantics "
+        "with the atomicity Snowflake provided there)"
     ),
     oracle="""
 WITH init AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    strftime(o_orderdate, '%Y-%m') AS o_month
   FROM orders WHERE o_orderdate < TIMESTAMP '1997-03-01'
 ),
 app AS (
-  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    strftime(o_orderdate, '%Y-%m') AS o_month
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1997-03-01'
     AND o_orderdate < TIMESTAMP '1997-06-01'
 ),
 upd AS (
   SELECT o_orderkey, o_custkey, o_orderstatus,
-    o_totalprice + 100.0 AS o_totalprice, o_orderdate
+    o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+    strftime(o_orderdate, '%Y-%m') AS o_month
   FROM orders
   WHERE o_orderdate >= TIMESTAMP '1997-05-01'
     AND o_orderdate < TIMESTAMP '1997-08-01'
@@ -53,19 +57,23 @@ SELECT * FROM (
 """,
 )
 def txlog_merge_e2e(spark, sf_dir):
-    """The full transactional lifecycle on disk: overwrite (v1), O(1)
-    append of a disjoint slice (v2), a merge whose update window OVERLAPS
-    the appended slice — lookback rows are updates, newer rows inserts,
-    the reference's incremental shape (v3) — an idempotent re-merge of
-    the identical batch (v4), then vacuum of the superseded versions.
-    Returns the final snapshot read from the committed manifest's file
-    list, after asserting the versions and vacuum behaved."""
+    """The full transactional lifecycle on disk: overwrite clustered by
+    month (v1), O(1) append of a disjoint slice (v2), a FILE-SCOPED merge
+    whose update window OVERLAPS the appended slice — lookback rows are
+    updates, newer rows inserts, the reference's incremental shape — that
+    must carry pre-1997 files forward untouched (v3), an idempotent
+    re-merge of the identical batch (v4), then vacuum of the superseded
+    versions. Returns the final snapshot read from the committed
+    manifest's file list, after asserting versions, carry-forward, and
+    snapshot isolation behaved."""
     from furchild_spark.engine.txlog import TxTable
 
     base = tempfile.mkdtemp(prefix="furchild_txlog_e2e_")
-    t = TxTable(spark, f"{base}/orders_tx")
+    t = TxTable(spark, f"{base}/orders_tx", cluster_by=("o_month",))
+    t.target_files = 4  # multiple narrow-range files even at tiny sf
 
-    o = table(spark, sf_dir, "orders").select(*_COLS)
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    o = table(spark, sf_dir, "orders").select(*_COLS, month)
     initial = o.filter(F.col("o_orderdate") < F.lit("1997-03-01").cast("timestamp"))
     appended = o.filter(
         (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
@@ -79,11 +87,17 @@ def txlog_merge_e2e(spark, sf_dir):
     assert t.overwrite(initial) == 1
     pinned_v1 = t.snapshot(version=1)  # must survive every later commit
     assert t.append(appended) == 2
-    assert t.merge(updates, ["o_orderkey"]) == 3
-    assert t.merge(updates, ["o_orderkey"]) == 4  # idempotent re-run
+    before = {e["path"] for e in t._read_manifest(2)["files"]}
+    # o_month is functionally stable per o_orderkey (derived from the
+    # row's own o_orderdate), so the file-scoped precondition holds
+    assert t.merge(updates, ["o_orderkey"], scope_col="o_month") == 3
+    after = {e["path"] for e in t._read_manifest(3)["files"]}
+    carried = before & after
+    assert carried, "scoped merge must carry untouched month files forward"
+    assert t.merge(updates, ["o_orderkey"], scope_col="o_month") == 4
     v1_rows = pinned_v1.count()  # snapshot isolation: still version 1
     t.vacuum(retain_last=1)
     assert [h["op"] for h in t.history()] == ["merge"]
     final = t.snapshot()
     assert v1_rows == initial.count()
-    return final.select(*_COLS)
+    return final.select(*_COLS, "o_month")

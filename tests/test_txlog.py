@@ -128,10 +128,67 @@ def test_merge_retries_onto_winners_snapshot(spark, tmp_table):
 def test_append_is_o1_reuses_prior_files(spark, tmp_table):
     t = tmp_table
     t.overwrite(spark.createDataFrame(_rows(4)))
-    before = set(t._read_manifest(1)["files"])
+    before = {e["path"] for e in t._read_manifest(1)["files"]}
     t.append(spark.createDataFrame(_rows(2, start=4)))
-    after = t._read_manifest(2)["files"]
-    assert before < set(after)  # strictly reused + extended
+    after = {e["path"] for e in t._read_manifest(2)["files"]}
+    assert before < after  # strictly reused + extended
+
+
+def test_stats_skipping_prunes_files_and_matches_filter(spark):
+    base = tempfile.mkdtemp(prefix="txlog_stats_")
+    t = TxTable(
+        spark, os.path.join(base, "t"), cluster_by=("bucket",), stats_cols=("bucket", "k")
+    )
+    t.target_files = 4
+    df = spark.createDataFrame(
+        [Row(k=i, bucket=i // 25, v=str(i)) for i in range(100)]
+    )
+    t.overwrite(df)
+    m = t._read_manifest(1)
+    assert all(e["stats"].get("bucket") for e in m["files"])
+    pruned = [
+        e for e in m["files"] if t._file_may_match(e, [("bucket", "==", 2)])
+    ]
+    assert len(pruned) < len(m["files"])  # skipping actually skips files
+    got = {r["k"] for r in t.snapshot(where=[("bucket", "==", 2)]).collect()}
+    want = {r["k"] for r in t.snapshot().filter("bucket = 2").collect()}
+    assert got == want == set(range(50, 75))
+    # range predicates, conservative on both ends
+    got_rng = {
+        r["k"] for r in t.snapshot(where=[("k", ">=", 90), ("k", "<", 95)]).collect()
+    }
+    assert got_rng == set(range(90, 95))
+
+
+def test_scoped_merge_carries_untouched_files(spark):
+    base = tempfile.mkdtemp(prefix="txlog_scoped_")
+    t = TxTable(spark, os.path.join(base, "t"), cluster_by=("bucket",))
+    t.target_files = 4
+    df = spark.createDataFrame(
+        [Row(k=i, bucket=i // 25, v="a") for i in range(100)]
+    )
+    t.overwrite(df)
+    before = {e["path"]: e for e in t._read_manifest(1)["files"]}
+    # update batch touches ONLY bucket 1 (keys 30..34 replaced, 1000 added)
+    upd = spark.createDataFrame(
+        [Row(k=i, bucket=1, v="b") for i in (30, 31, 32, 33, 34, 1000)]
+    )
+    t.merge(upd, ["k"], scope_col="bucket")
+    after = {e["path"]: e for e in t._read_manifest(2)["files"]}
+    carried = set(before) & set(after)
+    assert carried  # untouched buckets' files survive BY REFERENCE
+    for p in carried:
+        assert before[p] == after[p]
+    # and the scoped merge result equals the full-rewrite semantics
+    got = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+    want = {(i, "a") for i in range(100) if i not in (30, 31, 32, 33, 34)}
+    want |= {(i, "b") for i in (30, 31, 32, 33, 34, 1000)}
+    assert got == want
+    # untouched files contain none of the update keys (the scope-stability
+    # precondition held, so no stale duplicates)
+    assert (
+        t.snapshot().groupBy("k").count().filter("count > 1").count() == 0
+    )
 
 
 def test_vacuum_retains_live_snapshots(spark, tmp_table):
