@@ -31,11 +31,16 @@ Stores", VLDB 2020):
 At 100 TB the wins are the same as in the published systems: O(1) commit
 regardless of table size, readers pinned to consistent snapshots during
 long scans, concurrent ingest without reader coordination, and time
-travel for reproducible training-data snapshots. The merge here rewrites
-the full table (correct first); the partition-scoped optimization in
-``materialize._merge_partition_scoped`` composes with this log by
-listing only replaced files in the next manifest — noted in
-:meth:`TxTable.merge`.
+travel for reproducible training-data snapshots. On top of the core
+protocol this module implements the four features that make the format
+usable at that scale: per-file footer min/max stats for manifest-level
+file skipping (:meth:`TxTable.snapshot` ``where=``), file-scoped merge
+that carries untouched files forward by reference
+(:meth:`TxTable.merge` ``scope_col=``), exactly-once streaming ingest
+via per-app batch watermarks committed atomically with their data
+(:meth:`TxTable.write_stream_batch` — the Delta ``txnAppId/txnVersion``
+pattern), and small-file compaction as a pure physical commit
+(:meth:`TxTable.compact`).
 """
 
 from __future__ import annotations
@@ -144,7 +149,18 @@ class TxTable:
         """
         os.makedirs(self.log_dir, exist_ok=True)
         version = base_version + 1
-        manifest = dict(manifest, version=version, base_version=base_version)
+        # application transaction watermarks (streaming exactly-once) are
+        # carried forward through EVERY commit so the latest manifest is
+        # the single source of truth for them
+        base_txns = (
+            self._read_manifest(base_version).get("txns", {}) if base_version else {}
+        )
+        manifest = dict(
+            manifest,
+            version=version,
+            base_version=base_version,
+            txns={**base_txns, **manifest.get("txns", {})},
+        )
         tmp = os.path.join(self.log_dir, f"_tmp-{uuid.uuid4().hex}.json")
         with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=1, sort_keys=True)
@@ -447,3 +463,122 @@ class TxTable:
             if name.startswith("_tmp-"):
                 os.unlink(os.path.join(self.log_dir, name))
         return removed
+
+    # -- streaming exactly-once --------------------------------------------
+
+    def last_txn(self, app_id: str) -> int:
+        """Highest batch id committed for ``app_id``; -1 if none."""
+        v = self.current_version()
+        if v == 0:
+            return -1
+        return int(self._read_manifest(v).get("txns", {}).get(app_id, -1))
+
+    def write_stream_batch(
+        self,
+        batch_df: DataFrame,
+        app_id: str,
+        batch_id: int,
+        key_cols: list[str] | None = None,
+        scope_col: str | None = None,
+        max_retries: int = 3,
+    ) -> int | None:
+        """Idempotent micro-batch commit — the Delta ``txnAppId/txnVersion``
+        pattern for exactly-once ``foreachBatch`` sinks.
+
+        Structured Streaming's contract is at-least-once redelivery of a
+        batch after failure: the sink must make re-processing a no-op. The
+        manifest carries a per-``app_id`` high-watermark of committed batch
+        ids (merged forward through every commit by ``_commit``); a batch
+        at or below the watermark returns None WITHOUT writing, so a
+        redelivered batch can never double-append, and the watermark
+        advances in the SAME atomic commit as the data it covers — there is
+        no window where data landed but the watermark didn't.
+
+        With ``key_cols`` the batch is applied as a merge (upsert) instead
+        of an append; ``scope_col`` opts into the file-scoped merge path.
+        """
+        for attempt in range(max_retries + 1):
+            if batch_id <= self.last_txn(app_id):
+                return None  # duplicate delivery — already committed
+            base = self.current_version()
+            if key_cols is None or base == 0:
+                prior = self._read_manifest(base)["files"] if base else []
+                prior_rows = self._read_manifest(base)["num_rows"] if base else 0
+                files, rows = self._write_data(batch_df)
+                manifest = self._manifest_for(
+                    batch_df, "stream_append", prior + files, prior_rows + rows
+                )
+            elif scope_col is None:
+                current = self.snapshot(base)
+                survivors = current.join(
+                    batch_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+                )
+                merged = survivors.unionByName(batch_df)
+                files, rows = self._write_data(merged)
+                manifest = self._manifest_for(merged, "stream_merge", files, rows)
+            else:
+                files, rows = self._scoped_merge_files(
+                    batch_df, key_cols, scope_col, base
+                )
+                manifest = self._manifest_for(batch_df, "stream_merge", files, rows)
+            manifest["txns"] = {app_id: batch_id}
+            try:
+                return self._commit(manifest, base)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                # a competing writer advanced the log; the duplicate check
+                # at the top of the loop re-reads the new watermark
+
+    def foreach_batch_sink(
+        self,
+        app_id: str,
+        key_cols: list[str] | None = None,
+        scope_col: str | None = None,
+    ):
+        """The function to pass to ``writeStream.foreachBatch`` for an
+        exactly-once transactional sink::
+
+            stream.writeStream.foreachBatch(
+                table.foreach_batch_sink("ingest-v1")
+            ).option("checkpointLocation", ...).start()
+        """
+
+        def sink(batch_df: DataFrame, batch_id: int) -> None:
+            self.write_stream_batch(
+                batch_df, app_id, int(batch_id), key_cols=key_cols, scope_col=scope_col
+            )
+
+        return sink
+
+    # -- compaction --------------------------------------------------------
+
+    def compact(self, small_file_bytes: int = 32 * 1024 * 1024) -> int | None:
+        """Rewrite files smaller than ``small_file_bytes`` into fewer,
+        clustered files; larger files are carried forward by reference.
+        Contents are bit-identical before and after — compaction is a pure
+        physical re-organization commit ("compact" op), needed at scale
+        because streaming appends accumulate one small commit-dir per
+        micro-batch. Returns the new version, or None if fewer than two
+        small files exist (nothing to gain)."""
+        base = self.current_version()
+        if base == 0:
+            return None
+        m = self._read_manifest(base)
+        small, carried = [], []
+        for e in m["files"]:
+            size = os.path.getsize(os.path.join(self.path, e["path"]))
+            (small if size < small_file_bytes else carried).append(e)
+        if len(small) < 2:
+            return None
+        schema = StructType.fromJson(m["schema"])
+        paths = [os.path.join(self.path, e["path"]) for e in small]
+        compacted_df = self.spark.read.schema(schema).parquet(*paths)
+        if not self.cluster_by:
+            compacted_df = compacted_df.coalesce(1)
+        files, rows = self._write_data(compacted_df)
+        carried_rows = sum(e["rows"] for e in carried)
+        manifest = self._manifest_for(
+            compacted_df, "compact", carried + files, carried_rows + rows
+        )
+        return self._commit(manifest, base)

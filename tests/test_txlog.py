@@ -202,3 +202,98 @@ def test_vacuum_retains_live_snapshots(spark, tmp_table):
     assert t.snapshot(version=3).count() == 7
     with pytest.raises(NoSuchVersionError):
         t.snapshot(version=1)
+
+
+def test_stream_batch_idempotence_and_restart(spark):
+    """The txnAppId/txnVersion pattern: a redelivered batch id is a no-op,
+    the watermark survives process restart (it lives in the manifest), and
+    two independent apps have independent watermarks."""
+    base = tempfile.mkdtemp(prefix="txlog_stream_")
+    t = TxTable(spark, os.path.join(base, "t"))
+    assert t.write_stream_batch(spark.createDataFrame(_rows(3)), "appA", 0) == 1
+    assert t.snapshot().count() == 3
+    # at-least-once redelivery of batch 0: MUST not double-append
+    assert t.write_stream_batch(spark.createDataFrame(_rows(3)), "appA", 0) is None
+    assert t.snapshot().count() == 3
+    assert t.write_stream_batch(spark.createDataFrame(_rows(2, start=3)), "appA", 1) == 2
+    # "restart": a fresh TxTable instance reads the watermark from the log
+    t2 = TxTable(spark, os.path.join(base, "t"))
+    assert t2.last_txn("appA") == 1
+    assert t2.write_stream_batch(spark.createDataFrame(_rows(2, start=3)), "appA", 1) is None
+    # another app's stream is tracked independently
+    assert t2.last_txn("appB") == -1
+    assert t2.write_stream_batch(spark.createDataFrame(_rows(1, start=90)), "appB", 0) == 3
+    assert t2.snapshot().count() == 6
+
+
+def test_stream_merge_batches_upsert(spark):
+    base = tempfile.mkdtemp(prefix="txlog_streamm_")
+    t = TxTable(spark, os.path.join(base, "t"))
+    t.write_stream_batch(spark.createDataFrame(_rows(4)), "app", 0, key_cols=["k"])
+    upd = spark.createDataFrame([Row(k=2, v="b"), Row(k=99, v="b")])
+    t.write_stream_batch(upd, "app", 1, key_cols=["k"])
+    got = {r["k"]: r["v"] for r in t.snapshot().collect()}
+    assert got == {0: "a", 1: "a", 2: "b", 3: "a", 99: "b"}
+    # redelivery of the merge batch is a no-op too
+    assert t.write_stream_batch(upd, "app", 1, key_cols=["k"]) is None
+    assert {r["k"]: r["v"] for r in t.snapshot().collect()} == got
+
+
+def test_foreach_batch_sink_end_to_end(spark, tmp_path):
+    """A real availableNow micro-batch run through writeStream.foreachBatch
+    into the transactional sink, drained twice over the same checkpoint:
+    the second drain processes only new files and the table stays
+    exactly-once even though the sink ran under Spark's at-least-once
+    contract."""
+    import glob as globmod
+    import shutil as shutilmod
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(rows, name):
+        out = str(tmp_path / f"stage_{name}")
+        spark.createDataFrame(rows).coalesce(1).write.parquet(out)
+        part = globmod.glob(os.path.join(out, "part-*.parquet"))[0]
+        shutilmod.move(part, str(src / f"{name}.parquet"))
+
+    land(_rows(3), "b1")
+    schema = spark.createDataFrame(_rows(1)).schema
+    t = TxTable(spark, str(tmp_path / "t"))
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(str(src))
+            .writeStream.foreachBatch(t.foreach_batch_sink("ingest"))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert t.snapshot().count() == 3
+    land(_rows(2, start=3), "b2")
+    drain()
+    assert t.snapshot().count() == 5
+    assert t.snapshot().select("k").distinct().count() == 5
+
+
+def test_compact_small_files(spark):
+    base = tempfile.mkdtemp(prefix="txlog_compact_")
+    t = TxTable(spark, os.path.join(base, "t"))
+    for b in range(4):  # 4 micro-batch appends -> >= 4 small files
+        t.write_stream_batch(spark.createDataFrame(_rows(5, start=5 * b)), "app", b)
+    rows_before = {tuple(r) for r in t.snapshot().collect()}
+    n_files_before = t._read_manifest(t.current_version())["num_files"]
+    v = t.compact()
+    assert v == 5
+    m = t._read_manifest(v)
+    assert m["num_files"] < n_files_before
+    assert {tuple(r) for r in t.snapshot().collect()} == rows_before
+    # compaction preserved the streaming watermark (carried by _commit)
+    assert t.last_txn("app") == 3
+    # and a redelivered old batch is still a no-op after compaction
+    assert t.write_stream_batch(spark.createDataFrame(_rows(5)), "app", 3) is None
