@@ -432,3 +432,108 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("bucket", "id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-corpus) dedup — dedupe a NEW batch against an existing
+# corpus without recomputing the corpus
+# ---------------------------------------------------------------------------
+
+def exact_dedup_incremental(
+    new_df: DataFrame, corpus_df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Rows of ``new_df`` that survive exact dedup against BOTH the
+    existing corpus and the batch itself (min-id survivor within the
+    batch) — the daily-ingest operation of a training-data pipeline.
+
+    Scale shape: the corpus side reduces to its DISTINCT fingerprints (in
+    production that is a maintained fingerprint table, not a rescan — the
+    projection here is what such a table materializes), so the dominant
+    cost is one anti-join keyed on the 128-bit fingerprint, map-side
+    combined on the batch side. Nothing about the corpus is rewritten.
+    """
+    fp = F.md5(normalize_text(text_col)).alias("fingerprint")
+    corpus_fps = corpus_df.select(fp).distinct()
+    batch = new_df.select(F.col(id_col), fp)
+    intra = batch.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))
+    survivors = intra.join(corpus_fps, on="fingerprint", how="left_anti")
+    return new_df.join(survivors.select(id_col), on=id_col, how="left_semi")
+
+
+def jaccard_verify_cross(
+    sets_new: DataFrame,
+    sets_old: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard for (id_new, id_old) candidate pairs whose sides come
+    from different corpora — the two-sided mirror of
+    :func:`jaccard_verify`, same equi-join shape."""
+    sh_new = sets_new.select(
+        F.col(id_col).alias("id_new"), F.explode("__sh").alias("shingle")
+    )
+    sh_old = sets_old.select(
+        F.col(id_col).alias("id_old"), F.explode("__sh").alias("shingle")
+    )
+    sz_new = sets_new.select(
+        F.col(id_col).alias("id_new"), F.size("__sh").alias("sz_new")
+    )
+    sz_old = sets_old.select(
+        F.col(id_col).alias("id_old"), F.size("__sh").alias("sz_old")
+    )
+    inter = (
+        pairs.join(sh_new, on="id_new")
+        .join(sh_old, on=["id_old", "shingle"])
+        .groupBy("id_new", "id_old")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sz_new, on="id_new")
+        .join(sz_old, on="id_old")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_new") + F.col("sz_old") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_new", "id_old", "n_inter", "jaccard")
+    )
+
+
+def minhash_neardup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 16,
+    rows_per_band: int = 4,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id_new, id_old, n_inter, jaccard) for NEW docs that are near-dups
+    of CORPUS docs: band signatures on both sides, candidates from the
+    banded new×corpus equi-join (never new×corpus all-pairs), exact
+    verify on the candidates only.
+
+    Scale shape: at 100 TB the corpus band signatures are a maintained
+    table (~num_bands rows per doc, written once at ingest) — the
+    signature recompute here stands in for reading it. The join is keyed
+    on (band, band_sig) with the NEW side small, so it broadcasts or
+    shuffles only the batch; corpus data files are never rewritten.
+    """
+    sets_new = shingle_sets(new_df, id_col, text_col, shingle_k).persist()
+    sets_old = shingle_sets(corpus_df, id_col, text_col, shingle_k).persist()
+    bands_new = lsh_band_signatures(
+        minhash_signatures(sets_new, id_col, num_perm, hash_fn), id_col, rows_per_band
+    ).select(F.col(id_col).alias("id_new"), "band", "band_sig")
+    bands_old = lsh_band_signatures(
+        minhash_signatures(sets_old, id_col, num_perm, hash_fn), id_col, rows_per_band
+    ).select(F.col(id_col).alias("id_old"), "band", "band_sig")
+    pairs = (
+        bands_new.join(bands_old, on=["band", "band_sig"])
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    return jaccard_verify_cross(sets_new, sets_old, pairs, id_col, threshold)

@@ -605,3 +605,80 @@ def session_window_rollup(spark, sf_dir):
 
     e = table(spark, sf_dir, "events")
     return swr(e, "user_id", "ts", "value", gap="30 minutes")
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs existing corpus (round 4)
+# ---------------------------------------------------------------------------
+
+# batch = every 5th doc, corpus = the rest (disjoint, deterministic)
+_BATCH_PRED = "doc_id % 5 = 0"
+_CORPUS_PRED = "doc_id % 5 <> 0"
+
+
+@query(
+    "exact_dedup_incremental",
+    section=(
+        "LLM-dedup incremental exact: new-batch survivors vs corpus "
+        "fingerprints (anti-join; corpus never rescanned at scale)"
+    ),
+    oracle=f"""
+WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents),
+corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE {_CORPUS_PRED}),
+batch AS (SELECT doc_id, fingerprint FROM fp WHERE {_BATCH_PRED}),
+intra AS (
+  SELECT fingerprint, MIN(doc_id) AS doc_id FROM batch GROUP BY fingerprint
+)
+SELECT i.doc_id, i.fingerprint
+FROM intra i LEFT JOIN corpus c ON c.fingerprint = i.fingerprint
+WHERE c.fingerprint IS NULL
+""",
+)
+def exact_dedup_incremental(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.expr(_BATCH_PRED))
+    corpus = d.filter(F.expr(_CORPUS_PRED))
+    out = dedup.exact_dedup_incremental(batch, corpus, "doc_id", "text")
+    return out.select(
+        "doc_id", F.md5(dedup.normalize_text("text")).alias("fingerprint")
+    )
+
+
+@query(
+    "minhash_neardup_incremental",
+    section=(
+        "LLM-dedup incremental MinHash: banded new-batch x corpus candidates "
+        "(never all-pairs), exact-Jaccard verify; corpus signatures are a "
+        "maintained table at scale"
+    ),
+    oracle=_MINHASH_CTES.replace(
+        """cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id < b.doc_id
+),""",
+        f"""cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.band_sig = b.band_sig
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+),""",
+    )
+    + """
+SELECT * FROM (
+  SELECT i.id_a AS id_new, i.id_b AS id_old, CAST(i.n_inter AS BIGINT) AS n_inter,
+    CAST(i.n_inter AS DOUBLE) / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.id_a
+  JOIN sizes zb ON zb.doc_id = i.id_b
+) WHERE jaccard >= 0.3
+""",
+)
+def minhash_neardup_incremental(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    batch = d.filter(F.expr(_BATCH_PRED))
+    corpus = d.filter(F.expr(_CORPUS_PRED))
+    out = dedup.minhash_neardup_incremental(
+        batch, corpus, "doc_id", "text",
+        num_perm=16, rows_per_band=4, shingle_k=3, threshold=0.3, hash_fn="md5",
+    )
+    return out.select("id_new", "id_old", F.col("n_inter").cast("long"), "jaccard")

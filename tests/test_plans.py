@@ -36,6 +36,8 @@ def plan_of(spark, name: str) -> str:
         "dupe_groups",
         "ann_ivf_topk",
         "ann_lsh_topk",
+        "exact_dedup_incremental",
+        "minhash_neardup_incremental",
     ],
 )
 def test_no_cartesian_candidate_generation(spark, name):
@@ -50,7 +52,14 @@ def test_no_cartesian_candidate_generation(spark, name):
 
 @pytest.mark.parametrize(
     "name",
-    ["minhash_neardup", "ngram_jaccard", "embedding_cosine_neardup", "exact_dedup"],
+    [
+        "minhash_neardup",
+        "ngram_jaccard",
+        "embedding_cosine_neardup",
+        "exact_dedup",
+        "exact_dedup_incremental",
+        "minhash_neardup_incremental",
+    ],
 )
 def test_no_nested_loop_joins_in_dedup(spark, name):
     p = plan_of(spark, name)
