@@ -537,3 +537,42 @@ def minhash_neardup_incremental(
         .distinct()
     )
     return jaccard_verify_cross(sets_new, sets_old, pairs, id_col, threshold)
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check — eval-set n-gram containment in the corpus
+# ---------------------------------------------------------------------------
+
+def contamination_check(
+    corpus_df: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram_k: int = 5,
+    min_hits: int = 1,
+) -> DataFrame:
+    """(corpus_id, eval_id, n_hits): corpus documents sharing at least
+    ``min_hits`` distinct ``ngram_k``-gram shingles with an eval document
+    — the decontamination sweep run before training so benchmark text is
+    excluded from the corpus. Asymmetric containment, NOT symmetric
+    near-dup: a 50-token eval question embedded verbatim in a 10k-token
+    web page is a hit that Jaccard-style dedup would score near zero.
+
+    Scale shape: eval benchmarks are tiny relative to the corpus, so the
+    eval shingle set is BROADCAST and the corpus side stays a map-only
+    scan → explode; the only exchange is the per-(corpus, eval) hit
+    count. Longer shingles (k ≥ 5 here, 8-13 in common practice) make
+    incidental n-gram collisions rare so hits mean real containment.
+    """
+    corpus_sh = shingle_set(corpus_df, id_col, text_col, ngram_k).select(
+        F.col(id_col).alias("corpus_id"), "shingle"
+    )
+    eval_sh = shingle_set(eval_df, id_col, text_col, ngram_k).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    return (
+        corpus_sh.join(F.broadcast(eval_sh), on="shingle")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .filter(F.col("n_hits") >= F.lit(min_hits))
+    )

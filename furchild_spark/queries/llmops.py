@@ -682,3 +682,41 @@ def minhash_neardup_incremental(spark, sf_dir):
         num_perm=16, rows_per_band=4, shingle_k=3, threshold=0.3, hash_fn="md5",
     )
     return out.select("id_new", "id_old", F.col("n_inter").cast("long"), "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (round 4)
+# ---------------------------------------------------------------------------
+
+@query(
+    "contamination_check",
+    section=(
+        "LLM-curation decontamination: eval-set 5-gram containment hits in "
+        "the corpus (broadcast eval shingles; corpus stays a map-only scan)"
+    ),
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh0 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, CASE WHEN len(t) >= 5 THEN len(t) - 3 ELSE 1 END),
+      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))
+      AS shingle
+  FROM tok
+),
+sh AS (SELECT DISTINCT doc_id, shingle FROM sh0),
+ev AS (SELECT doc_id AS eval_id, shingle FROM sh WHERE doc_id % 97 = 0),
+co AS (SELECT doc_id AS corpus_id, shingle FROM sh WHERE doc_id % 97 <> 0)
+SELECT co.corpus_id, ev.eval_id, COUNT(*) AS n_hits
+FROM co JOIN ev ON ev.shingle = co.shingle
+GROUP BY co.corpus_id, ev.eval_id
+HAVING COUNT(*) >= 1
+""",
+)
+def contamination_check(spark, sf_dir):
+    d = table(spark, sf_dir, "documents")
+    eval_set = d.filter(F.expr("doc_id % 97 = 0"))
+    corpus = d.filter(F.expr("doc_id % 97 <> 0"))
+    out = dedup.contamination_check(
+        corpus, eval_set, "doc_id", "text", ngram_k=5, min_hits=1
+    )
+    return out.select("corpus_id", "eval_id", F.col("n_hits").cast("long").alias("n_hits"))

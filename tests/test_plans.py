@@ -38,6 +38,7 @@ def plan_of(spark, name: str) -> str:
         "ann_lsh_topk",
         "exact_dedup_incremental",
         "minhash_neardup_incremental",
+        "contamination_check",
     ],
 )
 def test_no_cartesian_candidate_generation(spark, name):
@@ -64,6 +65,13 @@ def test_no_cartesian_candidate_generation(spark, name):
 def test_no_nested_loop_joins_in_dedup(spark, name):
     p = plan_of(spark, name)
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_contamination_broadcasts_eval_side(spark):
+    """The eval shingle set must broadcast — a shuffle join here would
+    exchange the full corpus shingle stream at 100 TB."""
+    p = plan_of(spark, "contamination_check")
+    assert "BroadcastHashJoin" in p
 
 
 def test_pricing_summary_pushdown_and_pruning(spark):
