@@ -101,3 +101,38 @@ def txlog_merge_e2e(spark, sf_dir):
     final = t.snapshot()
     assert v1_rows == initial.count()
     return final.select(*_COLS, "o_month")
+
+
+@query(
+    "orc_roundtrip_e2e",
+    section="S1 source formats: ORC source scan (vectorized reader, pushdown parity with parquet)",
+    oracle="""
+SELECT source, COUNT(*) AS n_docs,
+  CAST(SUM(CAST(length(text) AS DECIMAL(18,0))) AS BIGINT) AS total_chars,
+  CAST(MIN(doc_id) AS BIGINT) AS min_doc, CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM documents
+GROUP BY source
+""",
+)
+def orc_roundtrip_e2e(spark, sf_dir):
+    """documents → ORC on disk → vectorized ORC scan → rollup. The scan
+    must behave exactly like the parquet source (same rows, same
+    pushdown-friendly plan); the oracle aggregates the original table, so
+    any loss or mangling in the ORC write/read path breaks the hash."""
+    import tempfile
+
+    from furchild_spark.sources.readers import read_orc_source, write_orc
+
+    base = tempfile.mkdtemp(prefix="furchild_orc_e2e_")
+    path = f"{base}/documents_orc"
+    write_orc(table(spark, sf_dir, "documents"), path)
+    d = read_orc_source(spark, path)
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text").cast("decimal(18,0)")).cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

@@ -95,3 +95,14 @@ def _with_corrupt(spark: SparkSession, schema: StructType | str) -> StructType:
 
         schema = StructType(list(schema.fields) + [StructField(CORRUPT_COL, StringType())])
     return schema
+
+
+def read_orc_source(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (Spark's native vectorized ORC reader); exists so pipelines landing
+    ORC (the Hive-ecosystem default) plug into the same staging models."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
