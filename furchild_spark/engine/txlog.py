@@ -252,15 +252,36 @@ class TxTable:
                     agg[name] = [min(prev[0], lo), max(prev[1], hi)]
         return {k: v for k, v in agg.items() if v is not None}, md.num_rows
 
-    def _manifest_for(self, df: DataFrame, op: str, files: list[dict], rows: int) -> dict:
+    def _manifest_for(
+        self,
+        df: DataFrame,
+        op: str,
+        files: list[dict],
+        rows: int,
+        schema: StructType | None = None,
+    ) -> dict:
         return {
             "op": op,
             "files": files,
             "num_files": len(files),
             "num_rows": rows,
-            "schema": df.schema.jsonValue(),
+            "schema": (schema or df.schema).jsonValue(),
             "cluster_by": list(self.cluster_by),
         }
+
+    def _evolved_schema(self, df: DataFrame, base: int) -> StructType:
+        """append_new_columns evolution (the reference's on_schema_change
+        policy): existing columns keep their type and order, genuinely new
+        columns append at the end. Old data files simply lack the new
+        columns — the explicit-schema snapshot read fills them with null,
+        no rewrite of history."""
+        if base == 0:
+            return df.schema
+        old = StructType.fromJson(self._read_manifest(base)["schema"])
+        have = {f.name for f in old.fields}
+        return StructType(
+            list(old.fields) + [f for f in df.schema.fields if f.name not in have]
+        )
 
     # -- reads -------------------------------------------------------------
 
@@ -334,15 +355,33 @@ class TxTable:
             self.current_version(),
         )
 
-    def append(self, df: DataFrame) -> int:
+    def append(self, df: DataFrame, allow_evolution: bool = False) -> int:
         """Add rows (version N+1 = version N plus ``df``). O(1) in table
         size: the new manifest is the old file list + the new files —
-        nothing is rewritten or even read."""
+        nothing is rewritten or even read.
+
+        Schema discipline: a batch whose columns differ from the table
+        raises unless ``allow_evolution`` — then new columns append to the
+        table schema (append_new_columns) and HISTORY is untouched: old
+        files lack the column and read as null under the explicit-schema
+        snapshot. Dropping columns is never implicit."""
         base = self.current_version()
+        if base:
+            old = StructType.fromJson(self._read_manifest(base)["schema"])
+            missing = {f.name for f in old.fields} - {f.name for f in df.schema.fields}
+            new = {f.name for f in df.schema.fields} - {f.name for f in old.fields}
+            if missing or (new and not allow_evolution):
+                raise ValueError(
+                    f"{self.path}: append schema mismatch (missing={sorted(missing)}, "
+                    f"new={sorted(new)}); pass allow_evolution=True to add columns"
+                )
+        schema = self._evolved_schema(df, base)
         prior_files = self._read_manifest(base)["files"] if base else []
         files, rows = self._write_data(df)
         prior_rows = self._read_manifest(base)["num_rows"] if base else 0
-        manifest = self._manifest_for(df, "append", prior_files + files, prior_rows + rows)
+        manifest = self._manifest_for(
+            df, "append", prior_files + files, prior_rows + rows, schema=schema
+        )
         return self._commit(manifest, base)
 
     def merge(
@@ -351,6 +390,7 @@ class TxTable:
         key_cols: list[str],
         max_retries: int = 3,
         scope_col: str | None = None,
+        allow_evolution: bool = False,
     ) -> int:
         """Upsert by key with optimistic-concurrency retry: rows of the
         current snapshot whose key appears in ``updates`` are replaced;
@@ -388,14 +428,25 @@ class TxTable:
                 survivors = current.join(
                     updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
                 )
-                merged = survivors.unionByName(updates)
+                # evolution: new columns appended, survivors read null for
+                # them; a replaced row's unspecified columns become null
+                # (delete+insert semantics, as in the reference's MERGE)
+                merged = survivors.unionByName(
+                    updates, allowMissingColumns=allow_evolution
+                )
                 files, rows = self._write_data(merged)
-                manifest = self._manifest_for(merged, "merge", files, rows)
+                manifest = self._manifest_for(
+                    merged, "merge", files, rows,
+                    schema=self._evolved_schema(updates, base),
+                )
             else:
                 files, rows = self._scoped_merge_files(
-                    updates, key_cols, scope_col, base
+                    updates, key_cols, scope_col, base, allow_evolution
                 )
-                manifest = self._manifest_for(updates, "merge", files, rows)
+                manifest = self._manifest_for(
+                    updates, "merge", files, rows,
+                    schema=self._evolved_schema(updates, base),
+                )
             try:
                 return self._commit(manifest, base)
             except ConcurrentWriteError:
@@ -404,7 +455,12 @@ class TxTable:
                 # lost the race: recompute against the winner's snapshot
 
     def _scoped_merge_files(
-        self, updates: DataFrame, key_cols: list[str], scope_col: str, base: int
+        self,
+        updates: DataFrame,
+        key_cols: list[str],
+        scope_col: str,
+        base: int,
+        allow_evolution: bool = False,
     ) -> tuple[list[dict], int]:
         """File lists for a file-scoped merge: (carried ∪ rewritten,
         total rows). Skipping is conservative — a file without usable
@@ -427,7 +483,9 @@ class TxTable:
             survivors = current.join(
                 updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
-            merged = survivors.unionByName(updates)
+            merged = survivors.unionByName(
+                updates, allowMissingColumns=allow_evolution
+            )
         else:
             merged = updates
         new_files, new_rows = self._write_data(merged)

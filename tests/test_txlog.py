@@ -297,3 +297,28 @@ def test_compact_small_files(spark):
     assert t.last_txn("app") == 3
     # and a redelivered old batch is still a no-op after compaction
     assert t.write_stream_batch(spark.createDataFrame(_rows(5)), "app", 3) is None
+
+
+def test_schema_evolution_append_and_merge(spark):
+    base = tempfile.mkdtemp(prefix="txlog_evo_")
+    t = TxTable(spark, os.path.join(base, "t"))
+    t.overwrite(spark.createDataFrame(_rows(3)))
+    # strict append with a new column refuses...
+    widened = [Row(k=10, v="a", extra=1.5)]
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.append(spark.createDataFrame(widened))
+    # ...and a dropped column ALWAYS refuses (never implicit)
+    with pytest.raises(ValueError, match="missing"):
+        t.append(spark.createDataFrame([Row(k=11)]), allow_evolution=True)
+    # evolution appends the column; history reads null for it
+    t.append(spark.createDataFrame(widened), allow_evolution=True)
+    got = {r["k"]: (r["v"], r["extra"]) for r in t.snapshot().collect()}
+    assert got[10] == ("a", 1.5)
+    assert got[0] == ("a", None)  # old file, evolved read
+    assert len(got) == 4
+    # merge under evolution: replaced row's unspecified column nulls out
+    t.merge(
+        spark.createDataFrame([Row(k=0, v="b")]), ["k"], allow_evolution=True
+    )
+    got = {r["k"]: (r["v"], r["extra"]) for r in t.snapshot().collect()}
+    assert got[0] == ("b", None) and got[10] == ("a", 1.5)
