@@ -347,15 +347,25 @@ class TxTable:
 
     # -- writes ------------------------------------------------------------
 
-    def overwrite(self, df: DataFrame) -> int:
-        """Replace the table contents (version N+1 = exactly ``df``)."""
-        files, rows = self._write_data(df)
-        return self._commit(
-            self._manifest_for(df, "overwrite", files, rows),
-            self.current_version(),
-        )
+    def overwrite(self, df: DataFrame, max_retries: int = 3) -> int:
+        """Replace the table contents (version N+1 = exactly ``df``).
 
-    def append(self, df: DataFrame, allow_evolution: bool = False) -> int:
+        Losing a commit race costs only a manifest re-claim: the data
+        files are already on disk and an overwrite does not depend on the
+        base contents, so the retry re-reads the new head version and
+        re-commits the same file list."""
+        files, rows = self._write_data(df)
+        manifest = self._manifest_for(df, "overwrite", files, rows)
+        for attempt in range(max_retries + 1):
+            try:
+                return self._commit(dict(manifest), self.current_version())
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+
+    def append(
+        self, df: DataFrame, allow_evolution: bool = False, max_retries: int = 8
+    ) -> int:
         """Add rows (version N+1 = version N plus ``df``). O(1) in table
         size: the new manifest is the old file list + the new files —
         nothing is rewritten or even read.
@@ -375,14 +385,23 @@ class TxTable:
                     f"{self.path}: append schema mismatch (missing={sorted(missing)}, "
                     f"new={sorted(new)}); pass allow_evolution=True to add columns"
                 )
-        schema = self._evolved_schema(df, base)
-        prior_files = self._read_manifest(base)["files"] if base else []
         files, rows = self._write_data(df)
-        prior_rows = self._read_manifest(base)["num_rows"] if base else 0
-        manifest = self._manifest_for(
-            df, "append", prior_files + files, prior_rows + rows, schema=schema
-        )
-        return self._commit(manifest, base)
+        for attempt in range(max_retries + 1):
+            # concurrent appenders are the NORMAL case for parallel ingest:
+            # a loser re-reads the new head and re-commits the same already-
+            # written data files against it — no data rewrite, O(1) retry
+            base = self.current_version()
+            schema = self._evolved_schema(df, base)
+            prior_files = self._read_manifest(base)["files"] if base else []
+            prior_rows = self._read_manifest(base)["num_rows"] if base else 0
+            manifest = self._manifest_for(
+                df, "append", prior_files + files, prior_rows + rows, schema=schema
+            )
+            try:
+                return self._commit(manifest, base)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
 
     def merge(
         self,

@@ -322,3 +322,37 @@ def test_schema_evolution_append_and_merge(spark):
     )
     got = {r["k"]: (r["v"], r["extra"]) for r in t.snapshot().collect()}
     assert got[0] == ("b", None) and got[10] == ("a", 1.5)
+
+
+def test_concurrent_appenders_all_land(spark):
+    """Real thread-level races: 4 writers x 3 appends through the SAME
+    table path. The hard-link claim serializes versions; losers retry by
+    re-committing their already-written files, so every batch must land
+    exactly once regardless of interleaving."""
+    import threading
+
+    base = tempfile.mkdtemp(prefix="txlog_conc_")
+    path = os.path.join(base, "t")
+    TxTable(spark, path).overwrite(spark.createDataFrame(_rows(1, start=10_000)))
+    errors = []
+
+    def writer(wid):
+        try:
+            t = TxTable(spark, path)
+            for b in range(3):
+                t.append(spark.createDataFrame(_rows(2, start=1000 * wid + 10 * b)))
+        except Exception as exc:  # noqa: BLE001 — surfaced via the errors list
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = TxTable(spark, path)
+    assert t.current_version() == 13  # 1 overwrite + 12 appends, none lost
+    assert t.snapshot().count() == 1 + 4 * 3 * 2
+    # every writer's every batch is present exactly once
+    ks = sorted(r["k"] for r in t.snapshot().collect())
+    assert len(ks) == len(set(ks))
