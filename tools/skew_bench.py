@@ -1,0 +1,157 @@
+"""Micro-benchmark: prefix-filtered vs naive token self-join for
+ngram_jaccard under hot-token skew (the r3 'weak' flag, reproduced).
+
+Builds a corpus from sf0.1 documents with ONE universal stop token
+injected into every document (the k-squared blowup profile), optionally
+scaled N-fold by unioning id-shifted copies, and times:
+
+- naive:  explode distinct tokens, self-join on (bucket, tok), count
+          shared per pair (the pre-round-4 formulation);
+- prefix: operators.dedup.ngram_jaccard_pairs (AllPairs/PPJoin prefix
+          filtering, hot tokens ordered last and dropped from prefixes).
+
+Usage: python tools/skew_bench.py [--sparse] [--threshold T] [scale ...]
+(default: dense real corpus, T=0.1, scales 1 2 4). --sparse builds the
+pathological profile instead: documents that share ONLY stop tokens, so
+every naive join row is skew waste; with a realistic near-dup threshold
+(T >= 0.7) the prefix filter drops the stop tokens from every prefix
+while the naive join still pays the full k-squared row count.
+Each variant is timed twice (min reported) so codegen compilation does
+not pollute the comparison.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from furchild_spark.engine.session import get_spark  # noqa: E402
+from furchild_spark.operators import dedup  # noqa: E402
+from furchild_spark.operators.text import tokens  # noqa: E402
+from furchild_spark.operators.util import fanout  # noqa: E402
+
+
+def naive_pairs(df, id_col, text_col, bucket_col, threshold=0.1):
+    """The pre-round-4 formulation: token self-join with NO prefix filter."""
+    tok_rows = (
+        fanout(df)
+        .select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(id_col),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "bucket", F.col(id_col), F.explode(F.array_distinct("__toks")).alias("tok")
+        )
+        .persist()
+    )
+    sizes = tok_rows.groupBy("bucket", id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = tok_rows.select("bucket", F.col(id_col).alias("id_a"), "tok")
+    b = tok_rows.select("bucket", F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        a.join(b, on=["bucket", "tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("bucket", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select("bucket", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select("bucket", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, on=["bucket", "id_a"])
+        .join(sz_b, on=["bucket", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("bucket", "id_a", "id_b", "jaccard"),
+        tok_rows,
+    )
+
+
+def _sparse_corpus(spark, n_docs: int):
+    """Documents sharing ONLY three universal stop tokens: 20 unique
+    tokens each (derived from doc_id) + the stop tokens. Every naive join
+    row for a stop token is pure skew waste — no pair can reach a
+    realistic near-dup threshold."""
+    uniq = F.concat_ws(
+        " ", *[F.concat(F.lit(f"u{j}x"), F.col("id").cast("string")) for j in range(20)]
+    )
+    return spark.range(n_docs).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one_bucket").alias("source"),
+        F.concat(uniq, F.lit(" stopa stopb stopc")).alias("text"),
+    )
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    sparse = "--sparse" in args
+    args = [a for a in args if a != "--sparse"]
+    threshold = 0.1
+    if "--threshold" in args:
+        i = args.index("--threshold")
+        threshold = float(args[i + 1])
+        del args[i : i + 2]
+    scales = [int(x) for x in (args or ["1", "2", "4"])]
+    spark = get_spark(app_name="skew_bench")
+    base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet").select(
+        "doc_id", "source",
+        F.concat(F.col("text"), F.lit(" zzcommonstopword")).alias("text"),
+    )
+    base.count()
+
+    def timed(fn):
+        best, result = None, None
+        for _ in range(2):  # min-of-2: first run pays codegen compilation
+            t0 = time.perf_counter()
+            result = fn()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+            spark.catalog.clearCache()
+        return best, result
+
+    for scale in scales:
+        if sparse:
+            df = _sparse_corpus(spark, 5000 * scale)
+        else:
+            df = base
+            for i in range(1, scale):
+                df = df.unionByName(
+                    base.select(
+                        (F.col("doc_id") + F.lit(i * 10_000_000)).alias("doc_id"),
+                        "source",
+                        "text",
+                    )
+                )
+        df = df.persist()
+        n = df.count()
+
+        dt_prefix, n_pairs = timed(
+            lambda: dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", "source", threshold
+            ).count()
+        )
+        dt_naive, n_pairs_naive = timed(
+            lambda: naive_pairs(df, "doc_id", "text", "source", threshold)[0].count()
+        )
+        df.unpersist()
+
+        assert n_pairs == n_pairs_naive, (n_pairs, n_pairs_naive)
+        print(
+            f"mode={'sparse' if sparse else 'dense'} t={threshold} "
+            f"scale={scale} docs={n} pairs={n_pairs} "
+            f"prefix={dt_prefix:.2f}s naive={dt_naive:.2f}s "
+            f"naive/prefix={dt_naive / dt_prefix:.2f}x",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
