@@ -374,22 +374,37 @@ def ngram_jaccard_pairs(
     text_col: str,
     bucket_col: str,
     threshold: float = 0.1,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Token-set Jaccard for pairs *within a bucket* (e.g. same source /
     same LSH band) - the bucketing keeps the self-join keyed, never O(n^2)
     over the corpus.
 
-    Candidate generation is prefix-filtered (see
-    :func:`ngram_prefix_docs`): the self-join runs on (bucket,
-    prefix-token) only, so hot tokens - the sum-of-count(tok)^2 skew
-    profile of a naive token self-join - are excluded from the join by
-    every document that can afford to drop them. Candidate rows stay
-    NARROW - (bucket, id_a, id_b) - through the dedup shuffle; survivors
-    are verified exactly with ``bit_count(mask_a & mask_b)`` for the hot
-    part plus ``array_intersect`` over the (small) cold arrays. Exact
-    end-to-end: prefix filtering is lossless for Jaccard >= t under any
-    per-bucket total token order.
+    ``strategy="prefix"`` (default): candidate generation is
+    prefix-filtered (see :func:`ngram_prefix_docs`): the self-join runs
+    on (bucket, prefix-token) only, so hot tokens - the
+    sum-of-count(tok)^2 skew profile of a naive token self-join - are
+    excluded from the join by every document that can afford to drop
+    them. Candidate rows stay NARROW - (bucket, id_a, id_b) - through the
+    dedup shuffle; survivors are verified exactly with
+    ``bit_count(mask_a & mask_b)`` for the hot part plus
+    ``array_intersect`` over the (small) cold arrays. Exact end-to-end:
+    prefix filtering is lossless for Jaccard >= t under any per-bucket
+    total token order.
+
+    ``strategy="count"``: the relational formulation (full token
+    self-join + per-pair shared count, no verify step). ~25% faster on
+    dense corpora at LOW thresholds where ~every pair genuinely
+    qualifies and nothing is prunable - but its join row count is
+    sum-of-count(tok)^2 with NO skew bound, so a bucket-universal token
+    costs k^2 rows (measured quadratic blowup: tools/skew_bench.py).
+    Opt in only when the token-frequency profile is known to be flat.
+    Identical results either way.
     """
+    if strategy == "count":
+        return _ngram_jaccard_pairs_count(df, id_col, text_col, bucket_col, threshold)
+    if strategy != "prefix":
+        raise ValueError(f"unknown strategy {strategy!r} (prefix|count)")
     per_doc = ngram_prefix_docs(
         df, id_col, text_col, bucket_col, threshold
     ).persist()
@@ -428,6 +443,54 @@ def ngram_jaccard_pairs(
             "jaccard",
             n_inter.cast("double")
             / (F.col("sz_a") + F.col("sz_b") - n_inter).cast("double"),
+        )
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("bucket", "id_a", "id_b", "jaccard")
+    )
+
+
+
+def _ngram_jaccard_pairs_count(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bucket_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Relational-count strategy: full (bucket, token) self-join with a
+    partially-aggregated shared-token count per pair. Optimal when ~every
+    within-bucket pair is a genuine candidate; UNBOUNDED under hot-token
+    skew — see :func:`ngram_jaccard_pairs` for when to pick it."""
+    tok_rows = (
+        fanout(df)
+        .select(
+            F.col(bucket_col).alias("bucket"),
+            F.col(id_col),
+            tokens(text_col).alias("__toks"),
+        )
+        .select(
+            "bucket", F.col(id_col), F.explode(F.array_distinct("__toks")).alias("tok")
+        )
+        .persist()
+    )
+    sizes = tok_rows.groupBy("bucket", id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = tok_rows.select("bucket", F.col(id_col).alias("id_a"), "tok")
+    b = tok_rows.select("bucket", F.col(id_col).alias("id_b"), "tok")
+    inter = (
+        a.join(b, on=["bucket", "tok"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("bucket", "id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz_a = sizes.select("bucket", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
+    sz_b = sizes.select("bucket", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sz_a, on=["bucket", "id_a"])
+        .join(sz_b, on=["bucket", "id_b"])
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
         )
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("bucket", "id_a", "id_b", "jaccard")

@@ -37,41 +37,12 @@ from furchild_spark.operators.util import fanout  # noqa: E402
 
 
 def naive_pairs(df, id_col, text_col, bucket_col, threshold=0.1):
-    """The pre-round-4 formulation: token self-join with NO prefix filter."""
-    tok_rows = (
-        fanout(df)
-        .select(
-            F.col(bucket_col).alias("bucket"),
-            F.col(id_col),
-            tokens(text_col).alias("__toks"),
-        )
-        .select(
-            "bucket", F.col(id_col), F.explode(F.array_distinct("__toks")).alias("tok")
-        )
-        .persist()
-    )
-    sizes = tok_rows.groupBy("bucket", id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = tok_rows.select("bucket", F.col(id_col).alias("id_a"), "tok")
-    b = tok_rows.select("bucket", F.col(id_col).alias("id_b"), "tok")
-    inter = (
-        a.join(b, on=["bucket", "tok"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("bucket", "id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sz_a = sizes.select("bucket", F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"))
-    sz_b = sizes.select("bucket", F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"))
+    """The pre-round-4 formulation, now exposed as strategy="count"."""
     return (
-        inter.join(sz_a, on=["bucket", "id_a"])
-        .join(sz_b, on=["bucket", "id_b"])
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")).cast("double"),
-        )
-        .filter(F.col("jaccard") >= F.lit(threshold))
-        .select("bucket", "id_a", "id_b", "jaccard"),
-        tok_rows,
+        dedup.ngram_jaccard_pairs(
+            df, id_col, text_col, bucket_col, threshold, strategy="count"
+        ),
+        None,
     )
 
 
