@@ -627,11 +627,19 @@ def contamination_check(
     count. Longer shingles (k ≥ 5 here, 8-13 in common practice) make
     incidental n-gram collisions rare so hits mean real containment.
     """
-    corpus_sh = shingle_set(corpus_df, id_col, text_col, ngram_k).select(
-        F.col(id_col).alias("corpus_id"), "shingle"
+    # Persist the SET form before exploding (as minhash_near_duplicates
+    # does): without the materialization barrier, Catalyst collapses the
+    # staged projections and pushes the whole tokenize+shingle+explode
+    # expression below fanout's repartition — the tokenizer re-inlines
+    # into every shingle element AND the entire fan-out serializes into
+    # the single-task scan stage (measured 60× slower at sf0.1).
+    corpus_sets = shingle_sets(corpus_df, id_col, text_col, ngram_k).persist()
+    eval_sets = shingle_sets(eval_df, id_col, text_col, ngram_k).persist()
+    corpus_sh = corpus_sets.select(
+        F.col(id_col).alias("corpus_id"), F.explode("__sh").alias("shingle")
     )
-    eval_sh = shingle_set(eval_df, id_col, text_col, ngram_k).select(
-        F.col(id_col).alias("eval_id"), "shingle"
+    eval_sh = eval_sets.select(
+        F.col(id_col).alias("eval_id"), F.explode("__sh").alias("shingle")
     )
     return (
         corpus_sh.join(F.broadcast(eval_sh), on="shingle")
