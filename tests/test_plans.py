@@ -74,6 +74,15 @@ def test_contamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_contamination_shingle_sets_materialized(spark):
+    """The shingle-set projection must be persisted before the explode:
+    without the barrier Catalyst collapses the staged tokenizer into
+    every shingle element AND pushes the whole fan-out below the
+    repartition into the single-task scan stage (a measured 23× hit)."""
+    p = plan_of(spark, "contamination_check")
+    assert "InMemoryTableScan" in p
+
+
 def test_pricing_summary_pushdown_and_pruning(spark):
     p = plan_of(spark, "pricing_summary")
     # the shipdate filter reaches the parquet scan...
