@@ -307,13 +307,17 @@ def ngram_prefix_docs(
     Returns (bucket, id, sz, mask, cold, prefix); exact, no candidates
     lost.
     """
+    # persisted: scanned twice (dfreq aggregation + the hot broadcast
+    # join), and the barrier keeps the tokenize+hash projection parallel
+    # instead of collapsed below fanout's repartition into the one-task
+    # scan stage (the contamination_check lesson)
     base = fanout(df).select(
         F.col(bucket_col).alias("bucket"),
         F.col(id_col),
         F.array_distinct(
             F.transform(tokens(text_col), lambda t: F.xxhash64(t))
         ).alias("toks"),
-    )
+    ).persist()
     # per-bucket top-`hot_cap` tokens by document frequency: one token-row
     # aggregation, a tiny per-bucket top-k, then one array row per bucket.
     dfreq = (
