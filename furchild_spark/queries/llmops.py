@@ -720,3 +720,58 @@ def contamination_check(spark, sf_dir):
         corpus, eval_set, "doc_id", "text", ngram_k=5, min_hits=1
     )
     return out.select("corpus_id", "eval_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+# ---------------------------------------------------------------------------
+# training-batch assembly (round 4): epoch shuffle + length-bucketed batching
+# ---------------------------------------------------------------------------
+
+@query(
+    "epoch_shuffle",
+    section=(
+        "LLM-batching deterministic epoch shuffle (md5 order, reproducible "
+        "across engines/cluster sizes; one window exchange)"
+    ),
+    oracle="""
+SELECT doc_id,
+  CAST(row_number() OVER (
+    ORDER BY md5('42:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+  ) AS BIGINT) AS shuffle_rank
+FROM documents
+""",
+)
+def epoch_shuffle(spark, sf_dir):
+    from furchild_spark.operators.batching import epoch_shuffle as sh
+
+    d = table(spark, sf_dir, "documents")
+    return sh(d, "doc_id", epoch=42).select("doc_id", "shuffle_rank")
+
+
+@query(
+    "length_batching",
+    section=(
+        "LLM-batching length-bucketed batches (pad to band max, not corpus "
+        "max; single band-partitioned window pass)"
+    ),
+    oracle="""
+SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len,
+  CAST(length(text) // 64 AS BIGINT) AS length_bucket,
+  CAST((row_number() OVER w - 1) // 8 AS BIGINT) AS batch_id,
+  CAST((row_number() OVER w - 1) % 8 AS BIGINT) AS pos_in_batch
+FROM documents
+WINDOW w AS (
+  PARTITION BY length(text) // 64
+  ORDER BY length(text) ASC, doc_id ASC
+)
+""",
+)
+def length_batching(spark, sf_dir):
+    from furchild_spark.operators.batching import length_bucketed_batches
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "doc_len", F.length("text").cast("long")
+    )
+    out = length_bucketed_batches(d, "doc_id", "doc_len", batch_size=8, bucket_width=64)
+    return out.select(
+        "doc_id", "doc_len", "length_bucket", "batch_id", "pos_in_batch"
+    )
