@@ -74,6 +74,15 @@ def test_contamination_broadcasts_eval_side(spark):
     assert "BroadcastHashJoin" in p
 
 
+def test_epoch_shuffle_rank_is_sharded(spark):
+    """The global shuffle rank must decompose into per-shard windows —
+    a plain Window.orderBy(key) would funnel the corpus through ONE task.
+    (The 256-row shard-offset prefix sum is the only SinglePartition
+    window allowed in this plan.)"""
+    p = plan_of(spark, "epoch_shuffle")
+    assert "hashpartitioning(__shard" in p
+
+
 def test_contamination_shingle_sets_materialized(spark):
     """The shingle-set projection must be persisted before the explode:
     without the barrier Catalyst collapses the staged tokenizer into
