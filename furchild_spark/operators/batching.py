@@ -73,28 +73,61 @@ def length_bucketed_batches(
     length_col: str,
     batch_size: int,
     bucket_width: int = 64,
+    sub_shard_chars: int = 2,
 ) -> DataFrame:
     """Assign (length_bucket, batch_id, pos_in_batch): sequences are
     grouped into ``bucket_width``-sized length bands, ordered
-    deterministically within each band (length, id), and chopped into
-    batches of ``batch_size`` — the standard padding-minimization
-    batching (pad only to the band's max, not the corpus max).
+    deterministically within each band by ``(length, md5(id), id)``, and
+    chopped into batches of ``batch_size`` — the standard
+    padding-minimization batching (pad only to the band's max, not the
+    corpus max).
 
-    One window exchange partitioned by the length band. Batch ids are
-    unique only within a band; (length_bucket, batch_id) is the global
-    key, which keeps the operator a single pass — a globally-unique dense
-    batch id would need a second pass over band counts for zero benefit
-    to the loader.
+    A window partitioned only by the band serializes a fat band into one
+    task — and fat bands are the REALISTIC case (post-chunking corpora
+    concentrate at one length). The md5-of-id tiebreak exists precisely
+    so the band rank can decompose like :func:`epoch_shuffle`'s: the
+    hash's hex prefix sub-shards every (band, length) group uniformly
+    and MONOTONICALLY in the band order, so per-(band, length, sub-shard)
+    row_numbers (parallel) plus an exclusive prefix sum over the small
+    per-group count table (broadcast back) reproduce the exact band
+    rank. Any deterministic total order is equally valid for batching;
+    this one is the order that distributes.
+
+    Batch ids are unique only within a band; (length_bucket, batch_id)
+    is the global key — a globally-dense batch id would cost an extra
+    corpus pass for zero benefit to the loader.
     """
-    bucket = (F.col(length_col) / F.lit(bucket_width)).cast("long").alias(
-        "length_bucket"
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.select(
+        F.col(id_col),
+        F.col(length_col),
+        (F.col(length_col) / F.lit(bucket_width)).cast("long").alias("length_bucket"),
+        h.alias("__h"),
+        F.conv(F.substring(h, 1, sub_shard_chars), 16, 10)
+        .cast("long")
+        .alias("__sub"),
     )
-    w = Window.partitionBy("length_bucket").orderBy(
-        F.col(length_col).asc(), F.col(id_col).asc()
+    w = Window.partitionBy("length_bucket", length_col, "__sub").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
     )
-    rn = F.row_number().over(w) - F.lit(1)
+    ranked = base.withColumn("__rn", F.row_number().over(w))
+    counts = base.groupBy("length_bucket", length_col, "__sub").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_off = (
+        Window.partitionBy("length_bucket")
+        .orderBy(F.col(length_col).asc(), F.col("__sub").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__offset", F.coalesce(F.sum("__n").over(w_off), F.lit(0))
+    ).select("length_bucket", length_col, "__sub", "__offset")
+    band_rn = F.col("__offset") + F.col("__rn") - F.lit(1)
     return (
-        df.select(F.col(id_col), F.col(length_col), bucket)
-        .withColumn("batch_id", (rn / F.lit(batch_size)).cast("long"))
-        .withColumn("pos_in_batch", (rn % F.lit(batch_size)).cast("long"))
+        ranked.join(F.broadcast(offsets), on=["length_bucket", length_col, "__sub"])
+        .withColumn("batch_id", (band_rn / F.lit(batch_size)).cast("long"))
+        .withColumn("pos_in_batch", (band_rn % F.lit(batch_size)).cast("long"))
+        .select(
+            id_col, length_col, "length_bucket", "batch_id", "pos_in_batch"
+        )
     )

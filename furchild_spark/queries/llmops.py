@@ -761,7 +761,7 @@ SELECT doc_id, CAST(length(text) AS BIGINT) AS doc_len,
 FROM documents
 WINDOW w AS (
   PARTITION BY length(text) // 64
-  ORDER BY length(text) ASC, doc_id ASC
+  ORDER BY length(text) ASC, md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
 )
 """,
 )

@@ -83,6 +83,14 @@ def test_epoch_shuffle_rank_is_sharded(spark):
     assert "hashpartitioning(__shard" in p
 
 
+def test_length_batching_rank_is_sub_sharded(spark):
+    """The band rank must decompose across (band, length, md5-prefix)
+    sub-shards — a window partitioned only by the band serializes a fat
+    band (the realistic post-chunking case) into one task."""
+    p = plan_of(spark, "length_batching")
+    assert "__sub" in p and "hashpartitioning(length_bucket" in p
+
+
 def test_contamination_shingle_sets_materialized(spark):
     """The shingle-set projection must be persisted before the explode:
     without the barrier Catalyst collapses the staged tokenizer into
