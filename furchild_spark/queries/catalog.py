@@ -64,6 +64,14 @@ def _tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
         spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     except Exception:
         pass  # perf confs locked down — plans are still correct, just slower
+    # NOTE on cache hygiene: operators persist intermediates and the CC
+    # loop localCheckpoints label rounds, which accumulate across a
+    # sequential N-entry run. bench.py clears them BETWEEN evaluations —
+    # the safe point. Clearing here (at plan-construction time) was
+    # considered and rejected: a caller that builds several entries
+    # before evaluating them would lose localCheckpointed blocks whose
+    # lineage is already truncated — an unrecoverable failure, not a
+    # recompute.
 
 
 def query(name: str, *, oracle: str | None = None, headline: bool = False,
