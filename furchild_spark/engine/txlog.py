@@ -659,3 +659,30 @@ class TxTable:
             compacted_df, "compact", carried + files, carried_rows + rows
         )
         return self._commit(manifest, base)
+
+    # -- restore -----------------------------------------------------------
+
+    def restore(self, version: int, max_retries: int = 3) -> int:
+        """Re-commit ``version``'s exact file list as the NEW head (the
+        Delta RESTORE pattern): a bad write is undone by a forward commit,
+        never by mutating history — readers of intermediate versions are
+        unaffected and the audit trail keeps the mistake. O(1): no data
+        files move or rewrite; the restored version must still be retained
+        (not vacuumed), which is exactly the guarantee vacuum's
+        ``retain_last`` exists to configure."""
+        m = self._read_manifest(version)  # raises NoSuchVersionError if vacuumed
+        manifest = {
+            "op": "restore",
+            "files": m["files"],
+            "num_files": m["num_files"],
+            "num_rows": m["num_rows"],
+            "schema": m["schema"],
+            "cluster_by": m.get("cluster_by", []),
+            "restored_from": version,
+        }
+        for attempt in range(max_retries + 1):
+            try:
+                return self._commit(dict(manifest), self.current_version())
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise

@@ -356,3 +356,27 @@ def test_concurrent_appenders_all_land(spark):
     # every writer's every batch is present exactly once
     ks = sorted(r["k"] for r in t.snapshot().collect())
     assert len(ks) == len(set(ks))
+
+
+def test_restore_rolls_forward_to_old_contents(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(4)))
+    t.append(spark.createDataFrame(_rows(2, start=4, val="z")))
+    t.overwrite(spark.createDataFrame(_rows(1, start=99, val="bad")))
+    assert t.current_version() == 3
+    v = t.restore(2)
+    assert v == 4  # forward commit, history intact
+    got = {(r["k"], r["v"]) for r in t.snapshot().collect()}
+    want = {(i, "a") for i in range(4)} | {(4, "z"), (5, "z")}
+    assert got == want
+    # the "bad" version is still readable (audit trail preserved)...
+    assert {r["k"] for r in t.snapshot(version=3).collect()} == {99}
+    assert [h["op"] for h in t.history()] == [
+        "overwrite", "append", "overwrite", "restore",
+    ]
+    # ...and restore is O(1): version 4 references version 2's files
+    assert t._read_manifest(4)["files"] == t._read_manifest(2)["files"]
+    # a vacuumed version cannot be restored
+    t.vacuum(retain_last=1)
+    with pytest.raises(NoSuchVersionError):
+        t.restore(1)
