@@ -101,6 +101,14 @@ class TxTable:
 
     # -- log primitives ----------------------------------------------------
 
+    def _abs(self, file_path: str) -> str:
+        """Resolve a manifest file reference. Normal entries are relative
+        to this table's root; shallow-clone manifests reference the
+        SOURCE table's files by absolute path (see :meth:`clone`)."""
+        return file_path if os.path.isabs(file_path) else os.path.join(
+            self.path, file_path
+        )
+
     def _manifest_file(self, version: int) -> str:
         return os.path.join(self.log_dir, f"{version:0{_PAD}d}.json")
 
@@ -327,7 +335,7 @@ class TxTable:
         entries = m["files"]
         if where:
             entries = [e for e in entries if self._file_may_match(e, where)]
-        files = [os.path.join(self.path, e["path"]) for e in entries]
+        files = [self._abs(e["path"]) for e in entries]
         if not files:
             df = self.spark.createDataFrame([], schema)
         else:
@@ -497,7 +505,7 @@ class TxTable:
             (touched if hit else carried).append(e)
         schema = StructType.fromJson(m["schema"])
         if touched:
-            paths = [os.path.join(self.path, e["path"]) for e in touched]
+            paths = [self._abs(e["path"]) for e in touched]
             current = self.spark.read.schema(schema).parquet(*paths)
             survivors = current.join(
                 updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
@@ -526,7 +534,10 @@ class TxTable:
         referenced: set[str] = set()
         for v in keep_versions:
             for f in self._read_manifest(v)["files"]:
-                referenced.add(f["path"].split("/")[1])  # data/<commit-id>/file
+                # absolute refs point OUTSIDE this table (shallow clone
+                # sources) — never candidates for this table's vacuum
+                if not os.path.isabs(f["path"]):
+                    referenced.add(f["path"].split("/")[1])  # data/<commit-id>/file
         removed = []
         if os.path.isdir(self.data_dir):
             for commit_id in os.listdir(self.data_dir):
@@ -644,12 +655,12 @@ class TxTable:
         m = self._read_manifest(base)
         small, carried = [], []
         for e in m["files"]:
-            size = os.path.getsize(os.path.join(self.path, e["path"]))
+            size = os.path.getsize(self._abs(e["path"]))
             (small if size < small_file_bytes else carried).append(e)
         if len(small) < 2:
             return None
         schema = StructType.fromJson(m["schema"])
-        paths = [os.path.join(self.path, e["path"]) for e in small]
+        paths = [self._abs(e["path"]) for e in small]
         compacted_df = self.spark.read.schema(schema).parquet(*paths)
         if not self.cluster_by:
             compacted_df = compacted_df.coalesce(1)
@@ -686,3 +697,43 @@ class TxTable:
             except ConcurrentWriteError:
                 if attempt == max_retries:
                     raise
+
+    # -- shallow clone -----------------------------------------------------
+
+    def clone(self, target_path: str) -> "TxTable":
+        """Zero-copy shallow clone (the Delta SHALLOW CLONE pattern): the
+        clone's version-1 manifest references THIS table's current data
+        files by absolute path — no bytes move, so branching a 100 TB
+        table for a dev/test pipeline is O(1). Writes to the clone land
+        under the clone's own data dir; the source is never touched, and
+        the clone's vacuum never considers absolute (source) references.
+
+        Caveat (same as every shallow clone): vacuuming the SOURCE can
+        remove files the clone still references — keep the source's
+        ``retain_last`` covering the cloned version, or compact the clone
+        (rewriting its data locally) to sever the dependency.
+        """
+        base = self.current_version()
+        if base == 0:
+            raise NoSuchVersionError(f"{self.path}: nothing to clone")
+        m = self._read_manifest(base)
+        target = TxTable(
+            self.spark,
+            target_path,
+            cluster_by=tuple(m.get("cluster_by", ())),
+            stats_cols=self.stats_cols,
+        )
+        files = [
+            dict(e, path=self._abs(e["path"])) for e in m["files"]
+        ]
+        manifest = {
+            "op": "clone",
+            "files": files,
+            "num_files": m["num_files"],
+            "num_rows": m["num_rows"],
+            "schema": m["schema"],
+            "cluster_by": m.get("cluster_by", []),
+            "cloned_from": {"path": self.path, "version": base},
+        }
+        target._commit(manifest, 0)
+        return target

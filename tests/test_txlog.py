@@ -380,3 +380,27 @@ def test_restore_rolls_forward_to_old_contents(spark, tmp_table):
     t.vacuum(retain_last=1)
     with pytest.raises(NoSuchVersionError):
         t.restore(1)
+
+
+def test_shallow_clone_zero_copy_and_divergence(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(5)))
+    clone_path = os.path.join(os.path.dirname(t.path), "clone")
+    c = t.clone(clone_path)
+    # zero-copy: the clone's manifest points at the SOURCE's files
+    refs = [e["path"] for e in c._read_manifest(1)["files"]]
+    assert all(os.path.isabs(p) and p.startswith(t.path) for p in refs)
+    assert not os.path.isdir(c.data_dir)  # no bytes copied
+    assert {r["k"] for r in c.snapshot().collect()} == set(range(5))
+    # divergence: writes to the clone never touch the source
+    c.merge(spark.createDataFrame([Row(k=0, v="clone")]), ["k"])
+    assert {r["v"] for r in t.snapshot().collect()} == {"a"}
+    got = {r["k"]: r["v"] for r in c.snapshot().collect()}
+    assert got[0] == "clone" and got[1] == "a"
+    # the clone's vacuum must not reach into the source table
+    c.vacuum(retain_last=1)
+    assert t.snapshot().count() == 5
+    # source keeps evolving independently of the clone
+    t.append(spark.createDataFrame(_rows(2, start=10)))
+    assert t.snapshot().count() == 7
+    assert c.snapshot().count() == 5  # clone pinned to its own log
