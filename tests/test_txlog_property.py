@@ -27,6 +27,8 @@ _OP = st.one_of(
     st.tuples(st.just("append"), st.lists(_KEYS, min_size=1, max_size=4, unique=True), _VALS),
     st.tuples(st.just("merge"), st.lists(_KEYS, min_size=1, max_size=4, unique=True), _VALS),
     st.tuples(st.just("compact"), st.just([]), st.just("")),
+    # restore target = 1 + (n mod current_version) resolved at run time
+    st.tuples(st.just("restore"), st.integers(min_value=0, max_value=99).map(lambda n: [n]), st.just("")),
 )
 
 
@@ -66,6 +68,13 @@ def test_txtable_matches_model(spark, ops):
         elif op == "compact":
             if t.compact() is None:
                 continue  # nothing to compact — no new version
+        elif op == "restore":
+            cur = t.current_version()
+            if cur == 0:
+                continue
+            target = 1 + (keys[0] % cur)
+            t.restore(target)
+            model = {k: list(v) for k, v in snapshots[target].items()}
         snapshots[t.current_version()] = {k: list(v) for k, v in model.items()}
         got = sorted((r["k"], r["v"]) for r in t.snapshot().collect())
         assert got == flat(model), f"after {op}: {got} != {flat(model)}"
