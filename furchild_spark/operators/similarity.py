@@ -416,10 +416,18 @@ def lsh_bucketed_topk(
     num_planes: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    probe_radius: int = 1,
 ) -> DataFrame:
     """Scale-path ANN: bucket corpus and queries by hyperplane signs, search
-    only within the query's bucket. Recall < 1 by design (it's *approximate*);
-    at 100 TB the bucket key turns the broadcast-scan into a pruned equi join.
+    the query's bucket plus every bucket within Hamming distance
+    ``probe_radius`` of it — MULTI-PROBE LSH (Lv et al., VLDB 2007). A
+    near neighbor that disagrees with the query on one hyperplane sign
+    lands one bit-flip away, so single-bucket probing (radius 0) loses
+    exactly those neighbors; radius 1 probes ``1 + num_planes`` buckets
+    (~(1+p)/2^p of the corpus) and recovers them. Recall < 1 remains by
+    design; at 100 TB the probe list turns the broadcast-scan into a
+    pruned equi join with a bounded constant fan-out on the (small)
+    query side only.
 
     Pass ``dim`` (vector width) when known — the ``None`` fallback probes
     one corpus row, a Spark action at plan-construction time."""
@@ -436,6 +444,16 @@ def lsh_bucketed_topk(
             bucket_from_q("c_q", planes).alias("bucket"),
         )
     )
+    # probe buckets: the home bucket XOR every bit mask of popcount <=
+    # probe_radius — generated per query row (query side is small and
+    # broadcast; the corpus side is never replicated)
+    masks = [
+        m
+        for m in range(1 << num_planes)
+        if 0 < bin(m).count("1") <= probe_radius
+    ]
+    home = bucket_from_q("q_q", planes)
+    probes = F.array(home, *[home.bitwiseXOR(F.lit(m)) for m in masks])
     qb = F.broadcast(
         queries
         .select(F.col(id_col).alias("query_id"), quantize(vec_col).alias("q_q"))
@@ -443,7 +461,7 @@ def lsh_bucketed_topk(
             "query_id",
             "q_q",
             norm_q(F.col("q_q")).alias("q_norm"),
-            bucket_from_q("q_q", planes).alias("bucket"),
+            F.explode(probes).alias("bucket"),
         )
     )
     scored = (

@@ -510,9 +510,13 @@ WITH c AS (
   FROM embeddings
 ),
 q AS (
-  SELECT vec_id AS query_id, embedding AS qv,
-    CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket
-  FROM embeddings WHERE vec_id < 10
+  SELECT query_id, qv,
+    unnest([b, xor(b, 1), xor(b, 2), xor(b, 4), xor(b, 8)]) AS bucket
+  FROM (
+    SELECT vec_id AS query_id, embedding AS qv,
+      CAST({_LSH_BUCKET_SQL} AS BIGINT) AS b
+    FROM embeddings WHERE vec_id < 10
+  )
 ),
 scored AS (
   SELECT query_id, q.bucket AS bucket, neighbor_id,

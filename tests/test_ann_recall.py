@@ -1,0 +1,79 @@
+"""Retrieval-quality tests for the approximate ANN paths.
+
+The catalog oracles prove IVF/LSH compute their OWN semantics exactly
+(hash parity with DuckDB), but say nothing about whether the pruned
+search still finds the true neighbors. These tests measure recall@k of
+each approximate strategy against the exact brute-force baseline on the
+deterministic fixture — a drop below the floor means a real retrieval
+regression (broken centroid assignment, over-aggressive pruning), not a
+formatting change.
+
+Floors are intentionally loose: tiny fixture, 4-bit LSH / 8-centroid IVF.
+The point is a tripwire, not a benchmark.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from furchild_spark.operators import similarity
+from furchild_spark.queries import table
+
+SF = "/root/testdata/sf0.01"
+K = 5
+
+
+@pytest.fixture(scope="module")
+def truth(spark):
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = similarity.cosine_topk_bruteforce(emb, queries, "vec_id", "embedding", k=K)
+    out = {}
+    for r in exact.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert len(out) == 10
+    return out
+
+
+def _recall(approx_df, truth):
+    got = {}
+    for r in approx_df.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    return hits / sum(len(t) for t in truth.values())
+
+
+def test_ivf_recall_floor(spark, truth):
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.ivf_topk(
+        emb, queries, "vec_id", "embedding", k=K, num_centroids=8, nprobe=2
+    )
+    r = _recall(approx, truth)
+    assert r >= 0.5, f"IVF recall@{K} collapsed to {r:.2f}"
+
+
+def test_ivf_recall_improves_with_nprobe(spark, truth):
+    """More probes may only help — a monotonicity break means the probe
+    selection is wrong, not just unlucky."""
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    recalls = []
+    for nprobe in (1, 4, 8):
+        approx = similarity.ivf_topk(
+            emb, queries, "vec_id", "embedding", k=K, num_centroids=8, nprobe=nprobe
+        )
+        recalls.append(_recall(approx, truth))
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0  # nprobe = num_centroids is exhaustive ⇒ exact
+
+
+def test_lsh_recall_floor(spark, truth):
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=K, num_planes=4, seed=42, dim=64
+    )
+    r = _recall(approx, truth)
+    assert r >= 0.3, f"LSH recall@{K} collapsed to {r:.2f}"
