@@ -181,7 +181,13 @@ class TxTable:
                 f"{self.path}: version {version} already committed"
             ) from None
         finally:
-            os.unlink(tmp)
+            # suppress, don't raise: an aggressive external cleanup that
+            # removed the tmp would otherwise MASK the link result with a
+            # FileNotFoundError from the finally block
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass
         return version
 
     def _write_data(self, df: DataFrame) -> tuple[list[dict], int]:
@@ -383,25 +389,21 @@ class TxTable:
         table schema (append_new_columns) and HISTORY is untouched: old
         files lack the column and read as null under the explicit-schema
         snapshot. Dropping columns is never implicit."""
-        base = self.current_version()
-        if base:
-            old = StructType.fromJson(self._read_manifest(base)["schema"])
-            missing = {f.name for f in old.fields} - {f.name for f in df.schema.fields}
-            new = {f.name for f in df.schema.fields} - {f.name for f in old.fields}
-            if missing or (new and not allow_evolution):
-                raise ValueError(
-                    f"{self.path}: append schema mismatch (missing={sorted(missing)}, "
-                    f"new={sorted(new)}); pass allow_evolution=True to add columns"
-                )
         files, rows = self._write_data(df)
         for attempt in range(max_retries + 1):
             # concurrent appenders are the NORMAL case for parallel ingest:
             # a loser re-reads the new head and re-commits the same already-
-            # written data files against it — no data rewrite, O(1) retry
+            # written data files against it — no data rewrite, O(1) retry.
+            # Schema discipline is validated INSIDE the loop: the winner of
+            # a lost race may have changed the table schema, and re-running
+            # the check against the new head is what keeps "dropping
+            # columns is never implicit" true under concurrency.
             base = self.current_version()
+            m = self._read_manifest(base) if base else None
+            self._check_append_schema(df, m, allow_evolution)
             schema = self._evolved_schema(df, base)
-            prior_files = self._read_manifest(base)["files"] if base else []
-            prior_rows = self._read_manifest(base)["num_rows"] if base else 0
+            prior_files = m["files"] if m else []
+            prior_rows = m["num_rows"] if m else 0
             manifest = self._manifest_for(
                 df, "append", prior_files + files, prior_rows + rows, schema=schema
             )
@@ -410,6 +412,20 @@ class TxTable:
             except ConcurrentWriteError:
                 if attempt == max_retries:
                     raise
+
+    def _check_append_schema(
+        self, df: DataFrame, base_manifest: dict | None, allow_evolution: bool
+    ) -> None:
+        if base_manifest is None:
+            return
+        old = StructType.fromJson(base_manifest["schema"])
+        missing = {f.name for f in old.fields} - {f.name for f in df.schema.fields}
+        new = {f.name for f in df.schema.fields} - {f.name for f in old.fields}
+        if missing or (new and not allow_evolution):
+            raise ValueError(
+                f"{self.path}: append schema mismatch (missing={sorted(missing)}, "
+                f"new={sorted(new)}); pass allow_evolution=True to add columns"
+            )
 
     def merge(
         self,
@@ -521,12 +537,25 @@ class TxTable:
 
     # -- maintenance -------------------------------------------------------
 
-    def vacuum(self, retain_last: int = 2) -> list[str]:
+    def vacuum(
+        self, retain_last: int = 2, min_age_seconds: float = 3600.0
+    ) -> list[str]:
         """Remove data commit-dirs referenced by NO retained manifest and
         manifests older than the ``retain_last`` newest. Readers of
         retained snapshots are unaffected (their files stay); readers
         pinned to vacuumed versions fail fast on the missing manifest —
-        the documented contract of every log-structured table format."""
+        the documented contract of every log-structured table format.
+
+        ``min_age_seconds`` is the in-flight-writer guard (Delta's
+        retention-period analogue): a data dir younger than it may belong
+        to a writer whose manifest has simply not been committed yet —
+        deleting it would let the writer's commit succeed while naming
+        vanished files, i.e. silent data loss. Unreferenced-but-young
+        dirs (and young _tmp manifests) are therefore skipped; the next
+        vacuum reclaims them once they age out. Lower it below real
+        write latency only in tests."""
+        import time as _time
+
         versions = self._versions()
         if not versions:
             return []
@@ -538,18 +567,29 @@ class TxTable:
                 # sources) — never candidates for this table's vacuum
                 if not os.path.isabs(f["path"]):
                     referenced.add(f["path"].split("/")[1])  # data/<commit-id>/file
+        now = _time.time()
         removed = []
         if os.path.isdir(self.data_dir):
             for commit_id in os.listdir(self.data_dir):
-                if commit_id not in referenced:
-                    shutil.rmtree(os.path.join(self.data_dir, commit_id))
-                    removed.append(commit_id)
+                full = os.path.join(self.data_dir, commit_id)
+                if commit_id in referenced:
+                    continue
+                if now - os.path.getmtime(full) < min_age_seconds:
+                    continue  # possibly an in-flight writer's files
+                shutil.rmtree(full)
+                removed.append(commit_id)
         for v in versions[:-retain_last]:
             os.unlink(self._manifest_file(v))
-        # crashed writers' temp manifests are stale garbage too
+        # crashed writers' temp manifests are stale garbage too — same
+        # age guard: a young _tmp may be a commit in progress, and
+        # unlinking it would crash that writer's os.link mid-claim
         for name in os.listdir(self.log_dir):
-            if name.startswith("_tmp-"):
-                os.unlink(os.path.join(self.log_dir, name))
+            full = os.path.join(self.log_dir, name)
+            if (
+                name.startswith("_tmp-")
+                and now - os.path.getmtime(full) >= min_age_seconds
+            ):
+                os.unlink(full)
         return removed
 
     # -- streaming exactly-once --------------------------------------------
@@ -590,11 +630,18 @@ class TxTable:
                 return None  # duplicate delivery — already committed
             base = self.current_version()
             if key_cols is None or base == 0:
-                prior = self._read_manifest(base)["files"] if base else []
-                prior_rows = self._read_manifest(base)["num_rows"] if base else 0
+                # same schema discipline as append(): a batch missing table
+                # columns must NOT become the head schema — that would
+                # silently drop the columns from every read of old files
+                m = self._read_manifest(base) if base else None
+                self._check_append_schema(batch_df, m, allow_evolution=False)
                 files, rows = self._write_data(batch_df)
                 manifest = self._manifest_for(
-                    batch_df, "stream_append", prior + files, prior_rows + rows
+                    batch_df,
+                    "stream_append",
+                    (m["files"] if m else []) + files,
+                    (m["num_rows"] if m else 0) + rows,
+                    schema=self._evolved_schema(batch_df, base),
                 )
             elif scope_col is None:
                 current = self.snapshot(base)
@@ -641,35 +688,47 @@ class TxTable:
 
     # -- compaction --------------------------------------------------------
 
-    def compact(self, small_file_bytes: int = 32 * 1024 * 1024) -> int | None:
+    def compact(
+        self, small_file_bytes: int = 32 * 1024 * 1024, max_retries: int = 3
+    ) -> int | None:
         """Rewrite files smaller than ``small_file_bytes`` into fewer,
         clustered files; larger files are carried forward by reference.
         Contents are bit-identical before and after — compaction is a pure
         physical re-organization commit ("compact" op), needed at scale
         because streaming appends accumulate one small commit-dir per
         micro-batch. Returns the new version, or None if fewer than two
-        small files exist (nothing to gain)."""
-        base = self.current_version()
-        if base == 0:
-            return None
-        m = self._read_manifest(base)
-        small, carried = [], []
-        for e in m["files"]:
-            size = os.path.getsize(self._abs(e["path"]))
-            (small if size < small_file_bytes else carried).append(e)
-        if len(small) < 2:
-            return None
-        schema = StructType.fromJson(m["schema"])
-        paths = [self._abs(e["path"]) for e in small]
-        compacted_df = self.spark.read.schema(schema).parquet(*paths)
-        if not self.cluster_by:
-            compacted_df = compacted_df.coalesce(1)
-        files, rows = self._write_data(compacted_df)
-        carried_rows = sum(e["rows"] for e in carried)
-        manifest = self._manifest_for(
-            compacted_df, "compact", carried + files, carried_rows + rows
-        )
-        return self._commit(manifest, base)
+        small files exist (nothing to gain).
+
+        Retries on a lost commit race by RE-PLANNING against the new head
+        (the stale small/carried split would drop the racer's files):
+        compaction's motivating scenario is a live streaming appender, so
+        losing the race is the expected case, not the exception."""
+        for attempt in range(max_retries + 1):
+            base = self.current_version()
+            if base == 0:
+                return None
+            m = self._read_manifest(base)
+            small, carried = [], []
+            for e in m["files"]:
+                size = os.path.getsize(self._abs(e["path"]))
+                (small if size < small_file_bytes else carried).append(e)
+            if len(small) < 2:
+                return None
+            schema = StructType.fromJson(m["schema"])
+            paths = [self._abs(e["path"]) for e in small]
+            compacted_df = self.spark.read.schema(schema).parquet(*paths)
+            if not self.cluster_by:
+                compacted_df = compacted_df.coalesce(1)
+            files, rows = self._write_data(compacted_df)
+            carried_rows = sum(e["rows"] for e in carried)
+            manifest = self._manifest_for(
+                compacted_df, "compact", carried + files, carried_rows + rows
+            )
+            try:
+                return self._commit(manifest, base)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
 
     # -- restore -----------------------------------------------------------
 
@@ -717,6 +776,11 @@ class TxTable:
         if base == 0:
             raise NoSuchVersionError(f"{self.path}: nothing to clone")
         m = self._read_manifest(base)
+        if TxTable(self.spark, target_path).exists():
+            raise ValueError(
+                f"{target_path}: already a table — clone() would silently "
+                "be invisible behind its existing versions"
+            )
         target = TxTable(
             self.spark,
             target_path,

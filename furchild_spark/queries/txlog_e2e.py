@@ -11,6 +11,8 @@ hashing so file/row order never matters.
 
 from __future__ import annotations
 
+import os
+import shutil
 import tempfile
 
 from pyspark.sql import functions as F
@@ -68,7 +70,10 @@ def txlog_merge_e2e(spark, sf_dir):
     snapshot isolation behaved."""
     from furchild_spark.engine.txlog import TxTable
 
-    base = tempfile.mkdtemp(prefix="furchild_txlog_e2e_")
+    # fixed, reused warehouse: each invocation replaces the previous
+    # one instead of leaking a new mkdtemp per bench pass / driver run
+    base = os.path.join(tempfile.gettempdir(), "furchild_txlog_e2e")
+    shutil.rmtree(base, ignore_errors=True)
     t = TxTable(spark, f"{base}/orders_tx", cluster_by=("o_month",))
     t.target_files = 4  # multiple narrow-range files even at tiny sf
 
@@ -96,7 +101,7 @@ def txlog_merge_e2e(spark, sf_dir):
     assert carried, "scoped merge must carry untouched month files forward"
     assert t.merge(updates, ["o_orderkey"], scope_col="o_month") == 4
     v1_rows = pinned_v1.count()  # snapshot isolation: still version 1
-    t.vacuum(retain_last=1)
+    t.vacuum(retain_last=1, min_age_seconds=0)  # just-written fixture files
     assert [h["op"] for h in t.history()] == ["merge"]
     final = t.snapshot()
     assert v1_rows == initial.count()
@@ -123,7 +128,8 @@ def orc_roundtrip_e2e(spark, sf_dir):
 
     from furchild_spark.sources.readers import read_orc_source, write_orc
 
-    base = tempfile.mkdtemp(prefix="furchild_orc_e2e_")
+    base = os.path.join(tempfile.gettempdir(), "furchild_orc_e2e")
+    shutil.rmtree(base, ignore_errors=True)
     path = f"{base}/documents_orc"
     write_orc(table(spark, sf_dir, "documents"), path)
     d = read_orc_source(spark, path)

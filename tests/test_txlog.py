@@ -196,7 +196,7 @@ def test_vacuum_retains_live_snapshots(spark, tmp_table):
     t.overwrite(spark.createDataFrame(_rows(3)))
     t.overwrite(spark.createDataFrame(_rows(5, val="y")))
     t.overwrite(spark.createDataFrame(_rows(7, val="z")))
-    removed = t.vacuum(retain_last=2)
+    removed = t.vacuum(retain_last=2, min_age_seconds=0)
     assert len(removed) == 1  # version 1's commit dir
     assert t.snapshot(version=2).count() == 5
     assert t.snapshot(version=3).count() == 7
@@ -377,7 +377,7 @@ def test_restore_rolls_forward_to_old_contents(spark, tmp_table):
     # ...and restore is O(1): version 4 references version 2's files
     assert t._read_manifest(4)["files"] == t._read_manifest(2)["files"]
     # a vacuumed version cannot be restored
-    t.vacuum(retain_last=1)
+    t.vacuum(retain_last=1, min_age_seconds=0)
     with pytest.raises(NoSuchVersionError):
         t.restore(1)
 
@@ -398,9 +398,62 @@ def test_shallow_clone_zero_copy_and_divergence(spark, tmp_table):
     got = {r["k"]: r["v"] for r in c.snapshot().collect()}
     assert got[0] == "clone" and got[1] == "a"
     # the clone's vacuum must not reach into the source table
-    c.vacuum(retain_last=1)
+    c.vacuum(retain_last=1, min_age_seconds=0)
     assert t.snapshot().count() == 5
     # source keeps evolving independently of the clone
     t.append(spark.createDataFrame(_rows(2, start=10)))
     assert t.snapshot().count() == 7
     assert c.snapshot().count() == 5  # clone pinned to its own log
+
+
+def test_vacuum_grace_period_spares_young_inflight_files(spark, tmp_table):
+    """An in-flight writer's uncommitted data dir (and a fresh _tmp
+    manifest) must survive vacuum until it ages past min_age_seconds —
+    deleting it would let the writer's subsequent commit reference
+    vanished files (silent data loss)."""
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(3)))
+    t.overwrite(spark.createDataFrame(_rows(4)))
+    # simulate an in-flight writer: data written, manifest not committed
+    files, rows = t._write_data(spark.createDataFrame(_rows(2, start=50)))
+    inflight_commit = files[0]["path"].split("/")[1]
+    with open(os.path.join(t.log_dir, "_tmp-inflight.json"), "w") as fh:
+        fh.write("{}")
+    removed = t.vacuum(retain_last=1, min_age_seconds=3600)
+    assert inflight_commit not in removed  # young dir spared
+    assert os.path.exists(os.path.join(t.log_dir, "_tmp-inflight.json"))
+    # the in-flight writer can now commit and its data is intact
+    m = t._manifest_for(spark.createDataFrame(_rows(2, start=50)), "append",
+                        t._read_manifest(t.current_version())["files"] + files,
+                        t._read_manifest(t.current_version())["num_rows"] + rows)
+    t._commit(m, t.current_version())
+    assert t.snapshot().count() == 6
+    # aged out (min_age 0) the garbage goes
+    t.vacuum(retain_last=1, min_age_seconds=0)
+    assert not os.path.exists(os.path.join(t.log_dir, "_tmp-inflight.json"))
+
+
+def test_stream_append_refuses_schema_drop(spark):
+    """A micro-batch missing table columns must not become the head
+    schema — that would silently drop the columns from every read."""
+    base = tempfile.mkdtemp(prefix="txlog_streamschema_")
+    t = TxTable(spark, os.path.join(base, "t"))
+    t.write_stream_batch(spark.createDataFrame(_rows(2)), "app", 0)
+    with pytest.raises(ValueError, match="missing"):
+        t.write_stream_batch(
+            spark.createDataFrame([Row(k=9)]), "app", 1
+        )
+    # table unchanged, watermark not advanced — the batch can be fixed
+    # and redelivered under the same id
+    assert t.last_txn("app") == 0
+    assert t.snapshot().columns == ["k", "v"]
+
+
+def test_clone_refuses_existing_target(spark, tmp_table):
+    t = tmp_table
+    t.overwrite(spark.createDataFrame(_rows(2)))
+    other_path = os.path.join(os.path.dirname(t.path), "other")
+    other = TxTable(t.spark, other_path)
+    other.overwrite(t.spark.createDataFrame(_rows(1, start=7, val="x")))
+    with pytest.raises(ValueError, match="already a table"):
+        t.clone(other_path)
