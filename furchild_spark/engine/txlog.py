@@ -51,7 +51,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F  # noqa: F401  (kept for callers)
+from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
