@@ -124,8 +124,6 @@ def orc_roundtrip_e2e(spark, sf_dir):
     must behave exactly like the parquet source (same rows, same
     pushdown-friendly plan); the oracle aggregates the original table, so
     any loss or mangling in the ORC write/read path breaks the hash."""
-    import tempfile
-
     from furchild_spark.sources.readers import read_orc_source, write_orc
 
     base = os.path.join(tempfile.gettempdir(), "furchild_orc_e2e")
