@@ -43,6 +43,9 @@ from . import txlog_e2e  # noqa: F401,E402  # transactional table format
 # 50 entries round 3 proved at (near-)HEAD come last; if the run truncates
 # again, r4 ∪ r3 still covers all 99 at current code.
 _PRIORITY = [
+    # never driver-checked (added in round 4: real media decode, txlog)
+    "multimodal_image_decode", "multimodal_image_resize",
+    "multimodal_audio_decode",
     # never driver-checked (added late in round 3)
     "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
     "pack_sequences", "pivot_event_counts", "quality_rules",

@@ -386,6 +386,126 @@ def multimodal_frame_sample(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# multimodal REAL decode (pure-numpy PNG/BMP/WAV codecs, media_codec.py)
+#
+# The container ships no media files, so payloads are synthesized BY
+# FORMULA from doc_id (synthesize_payloads docstring) into REAL encoded
+# bytes — PNG with zlib/CRC/scanline filters, BMP with BGR bottom-up rows,
+# RIFF/WAVE PCM16 — then decoded by the real codec. The oracle recomputes
+# every feature (including the exact pixel/sample sums) from the same
+# integer formulas without touching the bytes, so a green hash proves the
+# encode→decode round trip bit-for-bit, not just plumbing shape.
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_image_decode",
+    section="LLM-multimodal REAL image decode (PNG/BMP codecs, exact pixel sums)",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+    doc_id % 31 + 2 AS w,
+    doc_id % 17 + 2 AS h,
+    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents
+)
+SELECT doc_id AS id,
+  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS fmt,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(ch AS BIGINT) AS channels,
+  CAST(1 AS BIGINT) AS n_frames,
+  CAST(list_sum(flatten(flatten(
+    list_transform(range(0, h), y ->
+      list_transform(range(0, w), x ->
+        list_transform(range(0, ch), c ->
+          (doc_id + x + 3*y + 85*c) % 256)))))) AS BIGINT) AS value_sum
+FROM dims
+""",
+)
+def multimodal_image_decode(spark, sf_dir):
+    """documents → formula-synthesized PNG/BMP bytes → REAL decode
+    (media_codec: chunk/CRC parse, zlib inflate, unfilter) → exact
+    integer pixel sums. Two map-only mapInPandas stages, zero shuffles;
+    payload bytes never leave their scan partition."""
+    d = table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_payloads(d, "doc_id", kind="image")
+    feats = multimodal.decode_features(payloads)
+    return feats.select(
+        "id", "fmt", "width", "height", "channels", "n_frames", "value_sum"
+    )
+
+
+@query(
+    "multimodal_image_resize",
+    section="LLM-multimodal decode+resize (nearest-neighbor, exact sums)",
+    oracle="""
+WITH dims AS (
+  SELECT doc_id,
+    doc_id % 31 + 2 AS w,
+    doc_id % 17 + 2 AS h,
+    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch
+  FROM documents
+), rs AS (
+  SELECT *, greatest(1, w // 2) AS ow, greatest(1, h // 2) AS oh FROM dims
+)
+SELECT doc_id AS id,
+  CAST(w AS BIGINT) AS width,
+  CAST(h AS BIGINT) AS height,
+  CAST(ow AS BIGINT) AS rs_width,
+  CAST(oh AS BIGINT) AS rs_height,
+  CAST(list_sum(flatten(flatten(
+    list_transform(range(0, oh), y ->
+      list_transform(range(0, ow), x ->
+        list_transform(range(0, ch), c ->
+          (doc_id + ((x*w)//ow) + 3*((y*h)//oh) + 85*c) % 256))))))
+    AS BIGINT) AS rs_value_sum
+FROM rs
+""",
+)
+def multimodal_image_resize(spark, sf_dir):
+    """Decode → nearest-neighbor half-scale (integer index map
+    ``src = (dst*len)//out_len``, pure gathers) → exact resized pixel sum,
+    recomputed independently by the oracle. Map-only, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_payloads(d, "doc_id", kind="image")
+    return multimodal.decode_resize_features(payloads, scale=2)
+
+
+@query(
+    "multimodal_audio_decode",
+    section="LLM-multimodal REAL audio decode (RIFF/WAVE PCM16 parse)",
+    oracle="""
+WITH p AS (
+  SELECT doc_id,
+    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+      ELSE 44100 END AS rate,
+    doc_id % 400 + 50 AS n
+  FROM documents
+)
+SELECT doc_id AS id, 'wav' AS fmt,
+  CAST(1 AS BIGINT) AS channels,
+  CAST(n AS BIGINT) AS n_frames,
+  CAST(list_sum(list_transform(range(0, n), i ->
+    (doc_id*31 + i*17) % 4001 - 2000)) AS BIGINT) AS value_sum,
+  CAST(rate AS BIGINT) AS sample_rate,
+  CAST(n * 1000 // rate AS BIGINT) AS duration_ms
+FROM p
+""",
+)
+def multimodal_audio_decode(spark, sf_dir):
+    """documents → formula-synthesized PCM16 WAV bytes → REAL RIFF chunk
+    parse (fmt/data chunks, word alignment) → sample count/rate/duration
+    and the exact int64 sample sum. Map-only, zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_payloads(d, "doc_id", kind="audio")
+    feats = multimodal.decode_features(payloads)
+    return feats.select(
+        "id", "fmt", "channels", "n_frames", "value_sum", "sample_rate",
+        "duration_ms",
+    )
+
+
+# ---------------------------------------------------------------------------
 # embedding-cosine near-dup (vector member of the dedup family)
 # ---------------------------------------------------------------------------
 
