@@ -144,13 +144,37 @@ class Runner:
         variables: dict | None = None,
         now: dt.datetime | None = None,
         cache_refs: bool = False,
+        table_format: str = "parquet",
+        tx_target_files: int | None = None,
     ) -> None:
+        """``table_format`` selects the warehouse storage backend:
+
+        - ``"parquet"`` (default): plain parquet dirs with the crash-safe
+          staged-dir swap commit — repairable after a crash, but a reader
+          concurrent with the swap can glimpse a half-renamed directory.
+        - ``"txlog"``: every table/incremental/snapshot model lives in a
+          :class:`~furchild_spark.engine.txlog.TxTable` — atomic manifest
+          commits (concurrent readers always see a complete version),
+          snapshot isolation, optimistic concurrency, time travel and
+          vacuum. Incremental models map to ``TxTable.merge`` (file-scoped
+          when the model declares a single ``partition_by`` column, so
+          merge cost is O(touched files), mirroring Delta/Iceberg
+          ``MERGE INTO`` semantics).
+        """
+        if table_format not in ("parquet", "txlog"):
+            raise ValueError(f"unknown table_format {table_format!r}")
         self.spark = spark
         self.registry = registry
         self._sources = sources
         self.warehouse_dir = warehouse_dir
         self.incremental = incremental
         self.cache_refs = cache_refs
+        self.table_format = table_format
+        # txlog only: explicit data-file count for clustered writes. Small
+        # fixture-scale batches need it because AQE folds a column-only
+        # range repartition into one file (killing file-scoped merges);
+        # at scale None is right — AQE sizes files from data volume.
+        self.tx_target_files = tx_target_files
         self.vars = {**DEFAULT_VARS, **(variables or {})}
         self.now = now
         self._cache: dict[str, DataFrame] = {}
@@ -180,13 +204,31 @@ class Runner:
             return None
         return f"{self.warehouse_dir}/{name}"
 
+    def _tx(self, name: str):
+        """The model's TxTable handle (txlog backend only). New data files
+        cluster+carry footer stats on the model's partition_by columns, so
+        scoped merges can skip untouched files."""
+        from . import txlog
+
+        model = self.registry[name] if name in self.registry else None
+        cluster = tuple(model.partition_by) if model else ()
+        tx = txlog.TxTable(self.spark, self._path(name), cluster_by=cluster)
+        tx.target_files = self.tx_target_files
+        return tx
+
     def has_existing(self, name: str) -> bool:
         path = self._path(name)
-        return path is not None and mat.parquet_exists(self.spark, path)
+        if path is None:
+            return False
+        if self.table_format == "txlog":
+            return self._tx(name).exists()
+        return mat.parquet_exists(self.spark, path)
 
     def existing(self, name: str) -> DataFrame | None:
         if not self.has_existing(name):
             return None
+        if self.table_format == "txlog":
+            return self._tx(name).snapshot()
         return mat.read_table(self.spark, self._path(name))
 
     # -- build + materialize ------------------------------------------------
@@ -200,6 +242,21 @@ class Runner:
             # SCD2: applies on EVERY run (dbt `dbt snapshot` semantics) —
             # the first run initializes, later runs version-merge
             assert model.unique_key, f"snapshot model {model.name} needs unique_key"
+            if self.table_format == "txlog":
+                tx = self._tx(model.name)
+                merged = snap.scd2_apply(
+                    df,
+                    tx.snapshot() if tx.exists() else None,
+                    model.unique_key,
+                    strategy=model.snapshot_strategy,
+                    updated_at=model.updated_at,
+                    check_cols=(
+                        list(model.check_cols) if model.check_cols else None
+                    ),
+                    now=self.now,
+                )
+                tx.overwrite(merged)
+                return tx.snapshot()
             return snap.snapshot_merge(
                 self.spark,
                 path,
@@ -212,10 +269,26 @@ class Runner:
             )
         if model.materialized == "incremental" and ctx.is_incremental():
             assert model.unique_key, f"incremental model {model.name} needs unique_key"
+            if self.table_format == "txlog":
+                tx = self._tx(model.name)
+                # file-scoped merge when a single partition column is
+                # declared (the same stable-scope precondition as the
+                # parquet backend's partition-scoped overwrite)
+                scope = (
+                    model.partition_by[0]
+                    if len(model.partition_by) == 1
+                    else None
+                )
+                tx.merge(df, [model.unique_key], scope_col=scope)
+                return tx.snapshot()
             merged = mat.merge_upsert(
                 self.spark, path, df, model.unique_key, partition_by=model.partition_by
             )
             return merged
+        if self.table_format == "txlog":
+            tx = self._tx(model.name)
+            tx.overwrite(df)
+            return tx.snapshot()
         # table / transient / first incremental run → full overwrite
         return mat.overwrite(self.spark, path, df, partition_by=model.partition_by)
 

@@ -70,6 +70,44 @@ def snapshot_merge(
     """Apply one snapshot run of ``source`` onto the SCD2 table at ``path``
     and return the new table. First run initializes every source row as an
     open version."""
+    existing = (
+        mat.read_table(spark, path) if mat.parquet_exists(spark, path) else None
+    )
+    merged = scd2_apply(
+        source,
+        existing,
+        unique_key,
+        strategy=strategy,
+        updated_at=updated_at,
+        check_cols=check_cols,
+        now=now,
+    )
+    if existing is None:
+        return mat.overwrite(spark, path, merged)
+    fs, jvm = mat._fs(spark, path)
+    staged = mat._hpath(jvm, path + "__staged")
+    if fs.exists(staged):
+        fs.delete(staged, True)
+    merged.write.mode("overwrite").parquet(path + "__staged")
+    mat._swap_in(spark, path)
+    return mat.read_table(spark, path)
+
+
+def scd2_apply(
+    source: DataFrame,
+    existing: DataFrame | None,
+    unique_key: str,
+    strategy: str = "timestamp",
+    updated_at: str | None = None,
+    check_cols: list[str] | None = None,
+    now: dt.datetime | None = None,
+) -> DataFrame:
+    """The pure SCD2 transform: one snapshot run of ``source`` against the
+    ``existing`` SCD2 table (None = first run), returning the merged table
+    as an unpersisted DataFrame. Storage-agnostic — ``snapshot_merge``
+    wraps it with the parquet staged-swap commit, and the Runner's txlog
+    backend commits it through :class:`~furchild_spark.engine.txlog.TxTable`
+    for concurrent-reader atomicity + time travel."""
     if strategy == "timestamp":
         if not updated_at:
             raise ValueError("timestamp strategy requires updated_at")
@@ -86,11 +124,9 @@ def snapshot_merge(
     if any(c in source.columns for c in SNAP_COLS):
         raise ValueError(f"source must not already carry {SNAP_COLS}")
 
-    if not mat.parquet_exists(spark, path):
-        stamped = _stamp_first(source, unique_key, new_valid_from)
-        return mat.overwrite(spark, path, stamped)
+    if existing is None:
+        return _stamp_first(source, unique_key, new_valid_from)
 
-    existing = mat.read_table(spark, path)
     history = existing.filter(F.col("valid_to").isNotNull())
     current = existing.filter(F.col("valid_to").isNull())
 
@@ -138,16 +174,8 @@ def snapshot_merge(
         closing.select(unique_key), on=unique_key, how="left_anti"
     )
 
-    merged = (
+    return (
         history.unionByName(still_open, allowMissingColumns=True)
         .unionByName(closed, allowMissingColumns=True)
         .unionByName(inserts, allowMissingColumns=True)
     )
-
-    fs, jvm = mat._fs(spark, path)
-    staged = mat._hpath(jvm, path + "__staged")
-    if fs.exists(staged):
-        fs.delete(staged, True)
-    merged.write.mode("overwrite").parquet(path + "__staged")
-    mat._swap_in(spark, path)
-    return mat.read_table(spark, path)

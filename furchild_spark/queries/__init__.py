@@ -45,7 +45,7 @@ from . import txlog_e2e  # noqa: F401,E402  # transactional table format
 _PRIORITY = [
     # never driver-checked (added in round 4: real media decode, txlog)
     "multimodal_image_decode", "multimodal_image_resize",
-    "multimodal_audio_decode",
+    "multimodal_audio_decode", "txlog_runner_e2e",
     # never driver-checked (added late in round 3)
     "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
     "pack_sequences", "pivot_event_counts", "quality_rules",

@@ -140,3 +140,75 @@ def orc_roundtrip_e2e(spark, sf_dir):
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+@query(
+    "txlog_runner_e2e",
+    section=(
+        "engine extra: Runner on the txlog backend (table_format='txlog' — "
+        "dbt materializations on a transactional table format; the "
+        "Delta/Iceberg-class upgrade of S3/S6 with atomic commits + time "
+        "travel; ref fct_orders.sql:1-5 MERGE semantics)"
+    ),
+    oracle="""
+WITH init AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    strftime(o_orderdate, '%Y-%m') AS o_month
+  FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+),
+upd AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+    strftime(o_orderdate, '%Y-%m') AS o_month
+  FROM orders WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+)
+SELECT * FROM upd
+UNION ALL
+SELECT * FROM init
+WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+""",
+)
+def txlog_runner_e2e(spark, sf_dir):
+    """The REGISTRY path on the transactional backend: an incremental
+    model materialized through ``Runner(table_format="txlog")`` — full
+    load commits v1, the overlapping-window merge commits v2 (file-scoped
+    on the model's partition_by month), an identical re-run commits an
+    idempotent v3. Asserts time travel (v1 still equals the initial load
+    after the merges) before returning the committed current snapshot."""
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+    from furchild_spark.engine.txlog import TxTable
+
+    base = os.path.join(tempfile.gettempdir(), "furchild_txlog_runner_e2e")
+    shutil.rmtree(base, ignore_errors=True)
+
+    reg = ModelRegistry()
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+
+    @reg.model(name="orders_inc", materialized="incremental",
+               unique_key="o_orderkey", partition_by=("o_month",))
+    def orders_inc(ctx):
+        o = ctx.source("orders").select(*_COLS, month)
+        if ctx.is_incremental():
+            return o.filter(
+                F.col("o_orderdate") >= F.lit("1996-12-01").cast("timestamp")
+            ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+        return o.filter(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+        )
+
+    sources = {"orders": table(spark, sf_dir, "orders")}
+
+    def runner(incremental):
+        return Runner(spark, reg, sources=sources, warehouse_dir=base,
+                      incremental=incremental, table_format="txlog",
+                      tx_target_files=4)
+
+    initial_n = runner(False).ref("orders_inc").count()      # v1
+    runner(True).ref("orders_inc")                           # v2 merge
+    final = runner(True).ref("orders_inc")                   # v3 idempotent
+
+    t = TxTable(spark, f"{base}/orders_inc")
+    assert [h["op"] for h in t.history()] == ["overwrite", "merge", "merge"]
+    assert t.snapshot(version=1).count() == initial_n  # time travel intact
+    assert final.count() == t.snapshot(version=2).count(), "merge not idempotent"
+    return final.select(*_COLS, "o_month")
