@@ -92,6 +92,16 @@ class TxTable:
         self.data_dir = os.path.join(self.path, "data")
         self.cluster_by = tuple(cluster_by)
         self.stats_cols = tuple(stats_cols) or self.cluster_by
+        # Z-ORDER layout (set zorder=True after construction, or via the
+        # attribute): instead of lexicographic range clustering — which
+        # gives the FIRST cluster column narrow per-file ranges and the
+        # rest none — files are laid out along a Z-curve over all cluster
+        # columns, so footer-stats skipping works on EVERY clustered
+        # column (the Delta OPTIMIZE ZORDER BY model). Numeric cluster
+        # columns only; value→bucket mapping is min/max-uniform (one
+        # metadata-scale agg action at write time).
+        self.zorder: bool = False
+        self.zorder_bits: int = 8
         # explicit file count for clustered writes: AQE coalescing folds a
         # column-only repartition of small batches into one file, which
         # destroys the narrow per-file ranges skipping depends on; an
@@ -207,7 +217,15 @@ class TxTable:
         """
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_id)
-        if self.cluster_by:
+        if self.zorder and len(self.cluster_by) >= 2:
+            zkey = self._zorder_key(df)
+            df = df.withColumn("__zkey", zkey)
+            df = (
+                df.repartitionByRange(self.target_files, "__zkey")
+                if self.target_files
+                else df.repartitionByRange("__zkey")
+            ).sortWithinPartitions("__zkey").drop("__zkey")
+        elif self.cluster_by:
             cols = [F.col(c) for c in self.cluster_by]
             df = (
                 df.repartitionByRange(self.target_files, *cols)
@@ -231,6 +249,47 @@ class TxTable:
                 }
             )
         return entries, total_rows
+
+    def _zorder_key(self, df: DataFrame):
+        """Z-curve key over the cluster columns: each value maps to a
+        ``zorder_bits``-bit bucket by min/max-uniform scaling (one small
+        agg action — bounded driver work, like the partition collect in
+        scoped merges), then the buckets' bits interleave so range
+        clustering on the single key yields locality in EVERY dimension.
+        Uniform bucketing degrades (never breaks) under heavy value skew;
+        stats-based skipping stays conservative-correct regardless."""
+        n_bits, cols = self.zorder_bits, list(self.cluster_by)
+        bounds = df.agg(
+            *[F.min(c).alias(f"lo_{c}") for c in cols],
+            *[F.max(c).alias(f"hi_{c}") for c in cols],
+        ).first()
+        buckets = []
+        for c in cols:
+            lo, hi = bounds[f"lo_{c}"], bounds[f"hi_{c}"]
+            if lo is None or hi is None or float(hi) == float(lo):
+                buckets.append(F.lit(0).cast("long"))
+                continue
+            scaled = (
+                (F.col(c).cast("double") - F.lit(float(lo)))
+                / F.lit(float(hi) - float(lo))
+                * F.lit((1 << n_bits) - 1)
+            )
+            buckets.append(
+                F.coalesce(
+                    F.least(
+                        F.greatest(F.floor(scaled), F.lit(0)),
+                        F.lit((1 << n_bits) - 1),
+                    ),
+                    F.lit(0),
+                ).cast("long")
+            )
+        n = len(cols)
+        zkey = F.lit(0).cast("long")
+        for i in range(n_bits):
+            for j, b in enumerate(buckets):
+                bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+                zkey = zkey + F.shiftleft(bit, i * n + j)
+        return zkey
 
     def _footer_stats(self, abspath: str) -> tuple[dict, int]:
         """(per-column [min, max] for stats_cols, row count) from the
@@ -358,6 +417,16 @@ class TxTable:
             }[op]
             df = df.filter(expr)
         return df
+
+    def count(self, version: int | None = None) -> int:
+        """Row count from the MANIFEST — O(1), no Spark job, no file
+        reads (every commit records per-file and total row counts from
+        the parquet footers). The metadata-only ``SELECT COUNT(*)`` that
+        transactional formats answer without touching data."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise NoSuchVersionError(f"{self.path}: table has no commits")
+        return self._read_manifest(v)["num_rows"]
 
     # -- writes ------------------------------------------------------------
 

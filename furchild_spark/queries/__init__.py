@@ -46,6 +46,9 @@ _PRIORITY = [
     # never driver-checked (added in round 4: real media decode, txlog)
     "multimodal_image_decode", "multimodal_image_resize",
     "multimodal_audio_decode", "txlog_runner_e2e",
+    "window_rank_family", "cube_revenue", "unpivot_metrics",
+    "higher_order_funcs", "incremental_rollup_e2e", "stream_stream_join_e2e",
+    "ngram_jaccard_neardup", "zorder_skipping_e2e",
     # never driver-checked (added late in round 3)
     "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
     "pack_sequences", "pivot_event_counts", "quality_rules",

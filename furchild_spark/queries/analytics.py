@@ -333,3 +333,162 @@ def pack_sequences(spark, sf_dir):
         "n_tokens",
         F.floor((cum - F.col("n_tokens")) / F.lit(512.0)).cast("long").alias("bin_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ranking-window family — ntile / percent_rank / cume_dist / lead / lag
+# ---------------------------------------------------------------------------
+
+@query(
+    "window_rank_family",
+    section="engine extra (ranking windows; complements W1-W4)",
+    oracle="""
+SELECT o_orderkey, o_custkey,
+  CAST(ntile(4) OVER w AS BIGINT) AS spend_quartile,
+  percent_rank() OVER w AS pct_rank,
+  cume_dist() OVER w AS cume,
+  lag(o_totalprice) OVER w AS prev_price,
+  lead(o_totalprice) OVER w AS next_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice ASC, o_orderkey ASC)
+""",
+)
+def window_rank_family(spark, sf_dir):
+    """Per-customer spend quartiles, distribution ranks, and neighbor
+    prices — the full ranking-window surface in ONE window definition, so
+    Spark plans a single exchange+sort for all five functions.
+    percent_rank/cume_dist divide identical integer operands in both
+    engines → IEEE-identical doubles; lead/lag pass values through
+    untouched; explicit o_orderkey tiebreak makes every rank unique."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.asc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).cast("long").alias("spend_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.lead("o_totalprice").over(w).alias("next_price"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all 2^k grouping combinations in one Expand + one shuffle
+# ---------------------------------------------------------------------------
+
+@query(
+    "cube_revenue",
+    section="engine extra (multidim agg CUBE; complements rollup_revenue)",
+    oracle="""
+SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+  coalesce(l_linestatus, '(all)') AS linestatus,
+  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+  COUNT(*) AS n_lines,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+""",
+)
+def cube_revenue(spark, sf_dir):
+    """Revenue over every grouping combination of (returnflag, linestatus).
+    Spark plans CUBE as one Expand (4 replicas tagged by grouping_id)
+    feeding ONE hash aggregate — a single shuffle for all 2^k cuboids,
+    vs 4 separate group-bys; partial aggregation still applies map-side.
+    grouping_id() uses the standard bit encoding in both engines."""
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(_m("l_extendedprice")).cast("double").alias("revenue"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+            "gid",
+            "n_lines",
+            "revenue",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT — wide metric columns → long (metric, value) rows
+# ---------------------------------------------------------------------------
+
+@query(
+    "unpivot_metrics",
+    section="engine extra (unpivot/melt; long-form metric export)",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'quantity' AS metric,
+  l_quantity AS val FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'discount', l_discount FROM lineitem
+""",
+)
+def unpivot_metrics(spark, sf_dir):
+    """Three metric columns melted to (metric, val) rows via
+    ``DataFrame.unpivot`` — planned as one Expand (3 output rows per input
+    row, zero shuffles, no self-union rescan of the table; the UNION ALL
+    oracle form would scan lineitem three times). Values pass through
+    untouched — no arithmetic to drift."""
+    li = table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "metric",
+        "val",
+    ).withColumn("metric", F.expr("substring(metric, 3)"))
+
+
+# ---------------------------------------------------------------------------
+# higher-order array functions — transform/filter/aggregate in-row
+# ---------------------------------------------------------------------------
+
+@query(
+    "higher_order_funcs",
+    section="engine extra (higher-order array functions; in-row analytics)",
+    oracle="""
+WITH w AS (
+  SELECT doc_id, string_split(lower(trim(text)), ' ') AS words
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(words) AS BIGINT) AS n_words,
+  CAST(len(list_filter(words, x -> length(x) > 4)) AS BIGINT) AS n_long,
+  CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+  CAST(list_sum(list_transform(words, x -> length(x))) AS BIGINT)
+    AS total_chars,
+  upper(words[1]) AS first_upper,
+  list_sort(words)[1] AS min_word
+FROM w
+""",
+)
+def higher_order_funcs(spark, sf_dir):
+    """The in-row (per-document) analytics surface: transform / filter /
+    aggregate / distinct / sort over a words array, all as Catalyst array
+    expressions inside whole-stage codegen — zero shuffles, zero Python.
+    This is the shape that keeps per-document feature extraction map-only
+    at 100 TB (the alternative — explode + groupBy — shuffles every
+    token)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.filter(words, lambda x: F.length(x) > 4))
+        .cast("long").alias("n_long"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct"),
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+        F.upper(F.element_at(words, 1)).alias("first_upper"),
+        F.element_at(F.sort_array(words), 1).alias("min_word"),
+    )

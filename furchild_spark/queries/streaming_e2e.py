@@ -91,3 +91,78 @@ def streaming_ingest_e2e(spark, sf_dir):
     q.awaitTermination()
 
     return mat.read_table(spark, table_path).select(*_COLS)
+
+
+@query(
+    "stream_stream_join_e2e",
+    section="§2.8 streaming: stream-stream event-time range join "
+    "(watermark-bounded state) run as real micro-batches",
+    oracle="""
+SELECT v.event_id AS view_id, p.event_id AS purchase_id,
+  v.user_id, v.ts AS view_ts, p.ts AS purchase_ts,
+  p.value AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+  AND v.event_id < 4000 AND p.event_id < 4000
+""",
+)
+def stream_stream_join_e2e(spark, sf_dir):
+    """REAL stream-stream join: views and purchases land as separate
+    file-source streams (two files each, one per micro-batch, so join
+    state must buffer across triggers and across the two sides), joined
+    on user within a 30-minute attribution window, appended to parquet
+    with checkpointed exactly-once commits. Determinism: inner join with
+    globally-unique ids emits each qualifying pair exactly once whatever
+    the micro-batch interleaving; the 7-day watermark never evicts state
+    within the fixture's time span, so the result ≡ the batch join the
+    oracle runs.
+
+    Citation: the reference has no streaming surface (SURVEY §2.8) —
+    engine extra."""
+    import glob as _glob
+    import os as _os
+
+    from furchild_spark.engine import materialize as mat
+    from furchild_spark.streaming.ingest import stream_stream_attribution
+
+    base = tempfile.mkdtemp(prefix="furchild_ssj_e2e_")
+    out_path, ckpt = f"{base}/joined", f"{base}/ckpt"
+
+    ev = table(spark, sf_dir, "events").filter(F.col("event_id") < 4000)
+    views = ev.filter(F.col("event_type") == "view").select(*_COLS)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(*_COLS)
+    schema = views.schema
+
+    def land(df, sub):
+        d = f"{base}/{sub}"
+        _os.makedirs(d, exist_ok=True)
+        # two halves, one file each → state must survive trigger boundaries
+        for name, half in [
+            ("h1", df.filter(F.col("event_id") % 2 == 0)),
+            ("h2", df.filter(F.col("event_id") % 2 == 1)),
+        ]:
+            tmp = f"{base}/stage_{sub}_{name}"
+            half.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.copy(part, f"{d}/{name}.parquet")
+        return d
+
+    v_dir, p_dir = land(views, "views"), land(purchases, "purchases")
+    read = lambda d: (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    joined = stream_stream_attribution(read(v_dir), read(p_dir))
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return mat.read_table(spark, out_path)

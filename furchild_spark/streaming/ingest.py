@@ -255,3 +255,50 @@ def windowed_counts(
             "n_events",
         )
     )
+
+
+def stream_stream_attribution(
+    views: DataFrame,
+    purchases: DataFrame,
+    attribution_window: str = "30 minutes",
+    watermark_delay: str = "7 days",
+) -> DataFrame:
+    """Stream-stream INNER join with an event-time range condition: each
+    purchase matches the same user's views from the preceding
+    ``attribution_window``. Both sides carry watermarks + the time-bound
+    join predicate, which is exactly what lets Spark BOUND the join state:
+    a buffered view can be evicted once the watermark passes
+    ``view_ts + window`` (without the time bound, stream-stream state
+    grows forever). Inner-join matches are emitted as found — append-mode
+    safe; the watermark governs state eviction, not result admission.
+
+    Scale: state is hash-partitioned by user_id across executors; the
+    range predicate keeps per-key state O(events in window), so skewed
+    users bound memory by time, not cardinality.
+    """
+    v = views.select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+    ).withWatermark("view_ts", watermark_delay)
+    p = purchases.select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    ).withWatermark("purchase_ts", watermark_delay)
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND purchase_ts > view_ts "
+            f"AND purchase_ts <= view_ts + interval {attribution_window}"
+        ),
+        "inner",
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        "view_ts",
+        "purchase_ts",
+        "purchase_value",
+    )

@@ -337,3 +337,37 @@ def test_catalog_wide_no_cartesian_products(spark):
         assert "CartesianProduct" not in p, f"{name}: cartesian product"
         if name not in bnlj_ok:
             assert "BroadcastNestedLoopJoin" not in p, f"{name}: unexpected BNLJ"
+
+
+def test_cube_revenue_is_single_shuffle(spark):
+    """CUBE = Expand (4 cuboid replicas) + ONE hash aggregate with
+    map-side partials — one exchange for all grouping combinations."""
+    p = plan_of(spark, "cube_revenue")
+    assert _n_exchanges(p) == 1
+    assert "Expand" in p and "partial_" in p
+
+
+def test_unpivot_is_map_only_single_scan(spark):
+    """Unpivot plans as one Expand over ONE scan — no exchange and no
+    triple self-union rescan (the naive long-form rewrite)."""
+    p = plan_of(spark, "unpivot_metrics")
+    assert _n_exchanges(p) == 0
+    assert "Expand" in p
+    import re as _re
+
+    assert len(_re.findall(r"^\(\d+\) Scan parquet", p, _re.M)) == 1
+
+
+def test_window_rank_family_shares_one_exchange(spark):
+    """ntile/percent_rank/cume_dist/lead/lag share one window definition →
+    one exchange + one sort, not one per function."""
+    p = plan_of(spark, "window_rank_family")
+    assert _n_exchanges(p) == 1
+
+
+def test_higher_order_funcs_map_only(spark):
+    """transform/filter/aggregate array expressions stay in-row: zero
+    exchanges, and only doc_id/text survive column pruning."""
+    p = plan_of(spark, "higher_order_funcs")
+    assert _n_exchanges(p) == 0
+    assert "n_chars" not in p and "lang" not in p

@@ -1,0 +1,79 @@
+"""Z-order clustering + metadata-only count for the txlog table format."""
+
+from __future__ import annotations
+
+from furchild_spark.engine.txlog import TxTable
+
+
+def _grid(spark, n=4000):
+    # two independent uniform dimensions — the layout-sensitivity fixture:
+    # lexicographic clustering on (x, y) gives y no file locality at all
+    return spark.range(n).selectExpr(
+        "id", "CAST(id % 63 AS LONG) AS x", "CAST((id * 37) % 61 AS LONG) AS y"
+    )
+
+
+def _matching_files(t, version, where):
+    m = t._read_manifest(version)
+    return [e for e in m["files"] if t._file_may_match(e, where)]
+
+
+def test_zorder_skips_on_every_cluster_column(spark, tmp_path):
+    df = _grid(spark)
+
+    linear = TxTable(spark, str(tmp_path / "linear"), cluster_by=("x", "y"))
+    linear.target_files = 16
+    linear.overwrite(df)
+
+    z = TxTable(spark, str(tmp_path / "zorder"), cluster_by=("x", "y"))
+    z.target_files = 16
+    z.zorder = True
+    z.overwrite(df)
+
+    assert len(_matching_files(z, 1, [])) == 16  # both actually wrote 16
+    assert len(_matching_files(linear, 1, [])) == 16
+
+    # second-dimension filter: linear layout cannot skip (every file spans
+    # ~the full y range); the Z-curve layout must prune a real fraction
+    y_lin = len(_matching_files(linear, 1, [("y", "==", 30)]))
+    y_z = len(_matching_files(z, 1, [("y", "==", 30)]))
+    assert y_lin == 16, "fixture broken: linear layout unexpectedly has y locality"
+    assert y_z <= 8, f"zorder should prune >=half the files on y, matched {y_z}"
+
+    # first dimension still prunes too (zorder trades a little x locality)
+    x_z = len(_matching_files(z, 1, [("x", "==", 10)]))
+    assert x_z <= 8, f"zorder lost x locality entirely, matched {x_z}"
+
+
+def test_zorder_snapshot_pruning_equals_filter(spark, tmp_path):
+    df = _grid(spark, 2000)
+    t = TxTable(spark, str(tmp_path / "zt"), cluster_by=("x", "y"))
+    t.target_files = 9
+    t.zorder = True
+    t.overwrite(df)
+    for where in ([("y", "==", 7)], [("x", ">=", 50)],
+                  [("x", "<", 10), ("y", ">", 40)]):
+        pruned = sorted(r.id for r in t.snapshot(where=where).collect())
+        full = t.snapshot()
+        for col, op, val in where:
+            full = full.filter(f"{col} {'==' if op == '==' else op} {val}")
+        assert pruned == sorted(r.id for r in full.collect()), where
+
+
+def test_zorder_roundtrip_preserves_rows(spark, tmp_path):
+    df = _grid(spark, 1000)
+    t = TxTable(spark, str(tmp_path / "zr"), cluster_by=("x", "y"))
+    t.zorder = True
+    t.overwrite(df)
+    assert sorted(r.id for r in t.snapshot().collect()) == list(range(1000))
+
+
+def test_manifest_count_is_metadata_only(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "c"))
+    t.overwrite(spark.range(500).selectExpr("id", "id * 2 AS v"))
+    assert t.count() == 500
+    t.append(spark.range(500, 800).selectExpr("id", "id * 2 AS v"))
+    assert t.count() == 800
+    assert t.count(version=1) == 500
+    # parity with an actual scan
+    assert t.count() == t.snapshot().count()
