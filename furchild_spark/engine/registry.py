@@ -298,6 +298,22 @@ class Runner:
             out[name] = self.ref(name)
         return out
 
+    def register_views(
+        self, names: list[str] | None = None, prefix: str = ""
+    ) -> list[str]:
+        """Expose models to ``spark.sql``: each resolved model becomes a
+        temp view named ``prefix + model_name`` (the dbt-on-warehouse
+        experience — query marts by name in plain SQL). Views/ephemerals
+        register their composed lazy plan, so Catalyst still inlines and
+        pushes filters through them; materialized models register the
+        read-back table. Returns the registered view names."""
+        registered = []
+        for name in names or self.registry.names():
+            view = prefix + name
+            self.ref(name).createOrReplaceTempView(view)
+            registered.append(view)
+        return registered
+
     def build(
         self,
         names: list[str] | None = None,

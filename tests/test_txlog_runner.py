@@ -189,3 +189,25 @@ def test_txlog_snapshot_scd2_and_view_not_materialized(spark, tmp_path):
 def test_txlog_backend_rejects_unknown_format(spark):
     with pytest.raises(ValueError, match="table_format"):
         Runner(spark, _mini_registry(), sources={}, table_format="iceberg")
+
+
+def test_register_views_sql_surface(spark, tmp_path):
+    """Models become spark.sql-queryable temp views; lazy views keep
+    filter pushdown through the composed plan."""
+    wh = str(tmp_path / "wh")
+    reg = _mini_registry()
+    base = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 5) + 1:02d}", i * 10) for i in range(20)],
+        "sale_id long, day string, amount long",
+    )
+    r = Runner(spark, reg, sources={"sales": base}, warehouse_dir=wh,
+               table_format="txlog")
+    names = r.register_views(["inc_sales", "v_top"], prefix="t_")
+    assert names == ["t_inc_sales", "t_v_top"]
+    got = spark.sql(
+        "SELECT s.day, count(*) AS n, max(t.count) AS daily_n "
+        "FROM t_inc_sales s JOIN t_v_top t USING (day) "
+        "WHERE s.amount >= 100 GROUP BY s.day ORDER BY s.day"
+    ).collect()
+    assert len(got) == 5
+    assert all(row.daily_n == 4 for row in got)
