@@ -178,14 +178,26 @@ class Runner:
         self.vars = {**DEFAULT_VARS, **(variables or {})}
         self.now = now
         self._cache: dict[str, DataFrame] = {}
+        # observed DAG edges (dbt manifest equivalent), recorded as models
+        # build: lineage[name] = {"refs": [...], "sources": [...]}
+        self.lineage: dict[str, dict[str, list[str]]] = {}
+        self._building: list[str] = []
 
     # -- source / ref resolution ------------------------------------------
+    def _record_edge(self, kind: str, name: str) -> None:
+        if self._building:
+            deps = self.lineage[self._building[-1]][kind]
+            if name not in deps:
+                deps.append(name)
+
     def source(self, name: str) -> DataFrame:
+        self._record_edge("sources", name)
         if callable(self._sources):
             return self._sources(name)
         return self._sources[name]
 
     def ref(self, name: str) -> DataFrame:
+        self._record_edge("refs", name)
         if name not in self._cache:
             df = self._build(self.registry[name])
             # View-only runs (warehouse_dir=None) re-execute a ref's whole
@@ -234,7 +246,12 @@ class Runner:
     # -- build + materialize ------------------------------------------------
     def _build(self, model: Model) -> DataFrame:
         ctx = ExecutionContext(spark=self.spark, runner=self, model=model)
-        df = model.fn(ctx)
+        self.lineage.setdefault(model.name, {"refs": [], "sources": []})
+        self._building.append(model.name)
+        try:
+            df = model.fn(ctx)
+        finally:
+            self._building.pop()
         path = self._path(model.name)
         if path is None or model.materialized in ("view", "ephemeral"):
             return df

@@ -49,6 +49,7 @@ _PRIORITY = [
     "window_rank_family", "cube_revenue", "unpivot_metrics",
     "higher_order_funcs", "incremental_rollup_e2e", "stream_stream_join_e2e",
     "ngram_jaccard_neardup", "zorder_skipping_e2e",
+    "shipping_priority_topk", "returned_items_by_customer",
     # never driver-checked (added late in round 3)
     "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
     "pack_sequences", "pivot_event_counts", "quality_rules",

@@ -969,3 +969,114 @@ def decimal_domain(spark, sf_dir):
         (F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
         (_m("l_discount") * F.lit(100).cast("decimal(18,2)")).cast("double").alias("pct_discount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# shipping-priority top-k (the TPC-H Q3 shape: selective 3-way join + top-k)
+# ---------------------------------------------------------------------------
+
+@query(
+    "shipping_priority_topk",
+    section="J4 A1 O1 (selective fact⋈dims join + exact-decimal top-k; "
+    "TPC-H Q3 shape — public benchmark pattern)",
+    oracle="""
+SELECT l_orderkey,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE) AS revenue,
+  o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15'
+  AND l_shipdate  > TIMESTAMP '1997-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def shipping_priority_topk(spark, sf_dir):
+    """Unshipped-order revenue ranking. Every filter is a scan-side
+    predicate (PushedFilters on all three parquet scans — segment on
+    customer, date on orders, date on lineitem), so the join chain moves
+    only qualifying rows; revenue is an exact decimal sum; the top-k is
+    a TakeOrderedAndProject (per-partition heap + driver merge of 10
+    rows, never a global sort of the aggregate). Explicit date/orderkey
+    tiebreaks make the cutoff deterministic cross-engine."""
+    c = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-03-15").cast("timestamp")
+    )
+    li = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-03-15").cast("timestamp")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# returned-item losses by customer (the TPC-H Q10 shape)
+# ---------------------------------------------------------------------------
+
+@query(
+    "returned_items_by_customer",
+    section="J4 A2 O1 (return-flag fact slice ⋈ customer ⋈ nation, top-k; "
+    "TPC-H Q10 shape — public benchmark pattern)",
+    oracle="""
+SELECT c_custkey, c_name,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+    AS DOUBLE) AS revenue,
+  c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def returned_items_by_customer(spark, sf_dir):
+    """Revenue lost to returns per customer in a quarter. The return-flag
+    and date filters reach the scans; nation broadcasts (tiny dim); the
+    aggregate shuffles once on the customer grain; top-20 is a
+    TakeOrderedAndProject with a custkey tiebreak."""
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

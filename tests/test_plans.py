@@ -371,3 +371,19 @@ def test_higher_order_funcs_map_only(spark):
     p = plan_of(spark, "higher_order_funcs")
     assert _n_exchanges(p) == 0
     assert "n_chars" not in p and "lang" not in p
+
+
+def test_shipping_priority_pushdown_and_topk(spark):
+    """All three selective predicates reach the parquet scans and the
+    top-10 plans as TakeOrderedAndProject, not a global sort."""
+    p = plan_of(spark, "shipping_priority_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in p
+    assert "LessThan(o_orderdate" in p and "GreaterThan(l_shipdate" in p
+
+
+def test_returned_items_broadcasts_nation(spark):
+    p = plan_of(spark, "returned_items_by_customer")
+    assert "TakeOrderedAndProject" in p
+    assert "EqualTo(l_returnflag,R)" in p
+    assert "BroadcastHashJoin" in p

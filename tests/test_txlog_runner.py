@@ -211,3 +211,23 @@ def test_register_views_sql_surface(spark, tmp_path):
     ).collect()
     assert len(got) == 5
     assert all(row.daily_n == 4 for row in got)
+
+
+def test_lineage_records_dag_edges(spark, bronze_dir, tmp_path_factory):
+    """The Runner observes ref()/source() calls as it builds — the dbt
+    manifest DAG, derived from execution instead of parsing."""
+    import datetime as dt
+
+    r = _runner(spark, bronze_dir, str(tmp_path_factory.mktemp("wh_lin")),
+                "parquet", incremental=False,
+                now=INGEST + dt.timedelta(days=1))
+    r.ref("fct_orders")
+    lin = r.lineage
+    assert "fct_orders" in lin
+    assert "stg_orders" in lin["fct_orders"]["refs"]
+    assert "fct_order_items" in lin["fct_orders"]["refs"]
+    # staging models bottom out in bronze sources, not refs
+    assert lin["stg_orders"]["sources"], "stg_orders recorded no sources"
+    # memoized second consumer still records its edge
+    r.ref("dim_orders")
+    assert "stg_orders" in lin["dim_orders"]["refs"]
