@@ -45,6 +45,7 @@ pattern), and small-file compaction as a pure physical commit
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -53,6 +54,23 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+
+def _bloom_positions(value, bits: int, k: int):
+    """k md5-derived bit positions for a value — canonical string form
+    (ints as decimal, strings verbatim) so any engine reproduces them."""
+    base = str(value)
+    for i in range(k):
+        h = hashlib.md5(f"{base}|{i}".encode()).hexdigest()
+        yield int(h[:15], 16) % bits
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    bits = bytes.fromhex(bloom["hex"])
+    for pos in _bloom_positions(value, bloom["bits"], bloom["k"]):
+        if not (bits[pos // 8] >> (pos % 8)) & 1:
+            return False
+    return True
 
 
 class ConcurrentWriteError(RuntimeError):
@@ -102,6 +120,21 @@ class TxTable:
         # metadata-scale agg action at write time).
         self.zorder: bool = False
         self.zorder_bits: int = 8
+        # BLOOM FILTERS (set bloom_cols after construction): per-file,
+        # per-column bloom bitsets recorded in the manifest, for POINT
+        # lookups on high-cardinality columns where min/max ranges
+        # overlap every file (random ids, uuids) and range skipping is
+        # useless. md5-based positions → language-independent, so the
+        # same membership test is reproducible anywhere. Only int/str
+        # values participate; anything else stays conservative (never
+        # pruned on). Here the bitset is built driver-side from the
+        # written file (pyarrow column read — same access pattern as the
+        # footer stats); at cluster scale the write job computes blooms
+        # executor-side and only the bitsets travel — the manifest
+        # protocol is identical.
+        self.bloom_cols: tuple[str, ...] = ()
+        self.bloom_bits: int = 2048
+        self.bloom_hashes: int = 4
         # explicit file count for clustered writes: AQE coalescing folds a
         # column-only repartition of small batches into one file, which
         # destroys the narrow per-file ranges skipping depends on; an
@@ -241,13 +274,15 @@ class TxTable:
             abspath = os.path.join(out_dir, name)
             stats, rows = self._footer_stats(abspath)
             total_rows += rows
-            entries.append(
-                {
-                    "path": os.path.join("data", commit_id, name),
-                    "rows": rows,
-                    "stats": stats,
-                }
-            )
+            entry = {
+                "path": os.path.join("data", commit_id, name),
+                "rows": rows,
+                "stats": stats,
+            }
+            bloom = self._bloom_for(abspath)
+            if bloom:
+                entry["bloom"] = bloom
+            entries.append(entry)
         return entries, total_rows
 
     def _zorder_key(self, df: DataFrame):
@@ -325,6 +360,37 @@ class TxTable:
                     agg[name] = [min(prev[0], lo), max(prev[1], hi)]
         return {k: v for k, v in agg.items() if v is not None}, md.num_rows
 
+    def _bloom_for(self, abspath: str) -> dict:
+        """Per-column bloom bitsets for ``bloom_cols`` of one data file."""
+        import pyarrow.parquet as pq
+
+        out = {}
+        if not self.bloom_cols:
+            return out
+        tbl = pq.read_table(abspath, columns=[
+            c for c in self.bloom_cols
+        ])
+        for col in self.bloom_cols:
+            bits = bytearray(self.bloom_bits // 8)
+            ok = True
+            for v in tbl.column(col).to_pylist():
+                if v is None:
+                    continue
+                if not isinstance(v, (int, str)):
+                    ok = False  # unsupported type → no bloom for this col
+                    break
+                for pos in _bloom_positions(
+                    v, self.bloom_bits, self.bloom_hashes
+                ):
+                    bits[pos // 8] |= 1 << (pos % 8)
+            if ok:
+                out[col] = {
+                    "bits": self.bloom_bits,
+                    "k": self.bloom_hashes,
+                    "hex": bytes(bits).hex(),
+                }
+        return out
+
     def _manifest_for(
         self,
         df: DataFrame,
@@ -363,6 +429,14 @@ class TxTable:
         """Conservative skipping: drop a file only when its footer range
         PROVES no row can satisfy every predicate."""
         for col, op, val in predicates:
+            if op == "==":
+                bloom = entry.get("bloom", {}).get(col)
+                if (
+                    bloom is not None
+                    and isinstance(val, (int, str))
+                    and not _bloom_may_contain(bloom, val)
+                ):
+                    return False
             rng = entry.get("stats", {}).get(col)
             if rng is None:
                 continue  # no stats -> cannot prune on this column

@@ -77,3 +77,41 @@ def test_lsh_recall_floor(spark, truth):
     )
     r = _recall(approx, truth)
     assert r >= 0.3, f"LSH recall@{K} collapsed to {r:.2f}"
+
+
+@pytest.fixture(scope="module")
+def pq_codebook(spark):
+    emb = table(spark, SF, "embeddings")
+    return similarity.pq_train(emb, subspaces=32, k=16, iters=1)
+
+
+def test_pq_adc_recall_floor(spark, truth, pq_codebook):
+    """Raw ADC ranks over trained 16-byte codes (no re-rank)."""
+    emb = table(spark, SF, "embeddings")
+    approx = similarity.pq_adc_topk(
+        emb, list(range(10)), subspaces=32, codebook=pq_codebook,
+        n_neighbors=K + 1,
+    )
+    got = {}
+    for r in approx.collect():
+        if r["vec_id"] != r["query_id"]:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    recall = hits / sum(len(t) for t in truth.values())
+    assert recall >= 0.4, f"PQ ADC recall collapsed: {recall}"
+
+
+def test_pq_rerank_recall_floor(spark, truth, pq_codebook):
+    """ADC shortlist + exact cosine re-rank — the production pipeline
+    must recover ~the exact ranking (measured 1.0 on this fixture)."""
+    emb = table(spark, SF, "embeddings")
+    out = similarity.pq_topk_reranked(
+        emb, list(range(10)), subspaces=32, codebook=pq_codebook,
+        shortlist=50, n_neighbors=K,
+    )
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+    recall = hits / sum(len(t) for t in truth.values())
+    assert recall >= 0.9, f"PQ re-rank recall collapsed: {recall}"

@@ -329,6 +329,8 @@ def test_catalog_wide_no_cartesian_products(spark):
         "tfidf_top_terms", # same scalar broadcast
         "ann_cosine_topk", # deliberate brute-force baseline
         "ann_ivf_topk",    # 8-row centroid-array broadcast
+        "ann_pq_topk",     # broadcast per-query ADC lookup tables
+        "ann_pq_rerank_topk",  # same broadcast + shortlist re-rank join
     }
     for name in QUERIES:
         if name.endswith("_e2e"):

@@ -77,3 +77,56 @@ def test_manifest_count_is_metadata_only(spark, tmp_path):
     assert t.count(version=1) == 500
     # parity with an actual scan
     assert t.count() == t.snapshot().count()
+
+
+def test_bloom_filters_skip_point_lookups(spark, tmp_path):
+    """Random high-cardinality ids: every file's min/max range spans ~the
+    whole domain (range skipping useless), but the per-file bloom prunes
+    most files on a point lookup — and never prunes a file that actually
+    holds the value (conservative)."""
+    t = TxTable(spark, str(tmp_path / "b"), stats_cols=("rid",))
+    t.bloom_cols = ("rid",)
+    t.target_files = None
+    # md5-scrambled ids: uniform across files whatever the write order
+    df = spark.range(4000).selectExpr(
+        "id", "CAST(conv(substring(md5(CAST(id AS STRING)), 1, 14), 16, 10) "
+        "AS LONG) AS rid"
+    ).repartition(16)
+    t.overwrite(df)
+
+    m = t._read_manifest(1)
+    assert len(m["files"]) == 16
+    assert all("bloom" in e for e in m["files"])
+
+    # a value that exists: its file must be kept, result identical to filter
+    probe = df.limit(1).collect()[0]["rid"]
+    kept = [e for e in m["files"] if t._file_may_match(e, [("rid", "==", probe)])]
+    assert kept, "bloom pruned the file that holds the value"
+    got = [r.id for r in t.snapshot(where=[("rid", "==", probe)]).collect()]
+    want = [r.id for r in t.snapshot().filter(f"rid = {probe}").collect()]
+    assert sorted(got) == sorted(want)
+
+    # absent values: blooms must prune the large majority of files
+    # (ranges alone prune none — each file spans ~the full rid domain)
+    import statistics
+
+    kept_counts = []
+    for v in range(1000, 1020):
+        preds = [("rid", "==", v)]  # tiny values never occur in md5-space
+        kept_counts.append(
+            sum(1 for e in m["files"] if t._file_may_match(e, preds))
+        )
+    assert statistics.mean(kept_counts) <= 4, kept_counts
+
+
+def test_bloom_survives_merge_and_append(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "bm"))
+    t.bloom_cols = ("k",)
+    t.overwrite(spark.createDataFrame(
+        [(i, i * 10) for i in range(100)], "k long, v long"))
+    t.append(spark.createDataFrame([(200, 1)], "k long, v long"))
+    t.merge(spark.createDataFrame([(5, 999)], "k long, v long"), ["k"])
+    m = t._read_manifest(t.current_version())
+    assert all("bloom" in e for e in m["files"])
+    rows = {r.k: r.v for r in t.snapshot(where=[("k", "==", 5)]).collect()}
+    assert rows == {5: 999}
