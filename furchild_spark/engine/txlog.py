@@ -678,6 +678,95 @@ class TxTable:
         carried_rows = sum(e["rows"] for e in carried)
         return carried + new_files, carried_rows + new_rows
 
+    def delete(self, where, max_retries: int = 3) -> int:
+        """``DELETE FROM ... WHERE`` — rows satisfying ALL ``where``
+        predicates (``(col, op, value)`` triples, the :meth:`snapshot`
+        grammar) are removed in one atomic commit.
+
+        FILE-SCOPED like merge: files whose stats/bloom PROVE no row can
+        match carry forward by reference; only possibly-matching files
+        are read and rewritten with the keep-filter. SQL DELETE
+        semantics: a row deletes only when the predicate is TRUE — FALSE
+        and NULL rows survive (the keep-filter is ``NOT coalesce(pred,
+        FALSE)``). The GDPR / right-to-be-forgotten primitive: combined
+        with :meth:`vacuum`, the bytes physically leave the table."""
+        for attempt in range(max_retries + 1):
+            base = self.current_version()
+            if base == 0:
+                raise NoSuchVersionError(f"{self.path}: table has no commits")
+            m = self._read_manifest(base)
+            schema = StructType.fromJson(m["schema"])
+            touched = [
+                e for e in m["files"] if self._file_may_match(e, where)
+            ]
+            carried = [
+                e for e in m["files"] if not self._file_may_match(e, where)
+            ]
+            files = list(carried)
+            rows = sum(e["rows"] for e in carried)
+            if touched:
+                pred = None
+                for col, op, val in where:
+                    c = {
+                        "==": F.col(col) == F.lit(val),
+                        "<": F.col(col) < F.lit(val),
+                        "<=": F.col(col) <= F.lit(val),
+                        ">": F.col(col) > F.lit(val),
+                        ">=": F.col(col) >= F.lit(val),
+                    }[op]
+                    pred = c if pred is None else (pred & c)
+                kept = (
+                    self.spark.read.schema(schema)
+                    .parquet(*[self._abs(e["path"]) for e in touched])
+                    .filter(~F.coalesce(pred, F.lit(False)))
+                )
+                new_files, new_rows = self._write_data(kept)
+                files += new_files
+                rows += new_rows
+            manifest = self._manifest_for(
+                None, "delete", files, rows, schema=schema
+            )
+            try:
+                return self._commit(manifest, base)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+
+    def table_changes(self, from_version: int, to_version: int | None = None):
+        """Change data feed between two versions: the logical row-level
+        diff ``(change_type: 'insert' | 'delete', <row>)`` computed from
+        the two snapshots. An updated row appears as delete + insert
+        (delete+insert is exactly what merge commits physically). Files
+        common to both manifests are excluded from BOTH scans before the
+        diff — for scoped merges/deletes that reduces the exceptAll to
+        the touched files only, so CDF cost is O(changed data).
+
+        exceptAll is multiset difference: duplicate rows diff by count,
+        matching the physical reality of an append-only log."""
+        to_v = self.current_version() if to_version is None else to_version
+        m_from = self._read_manifest(from_version)
+        m_to = self._read_manifest(to_v)
+        from_paths = {e["path"] for e in m_from["files"]}
+        to_paths = {e["path"] for e in m_to["files"]}
+        schema = StructType.fromJson(m_to["schema"])
+
+        def read(paths):
+            if not paths:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[self._abs(p) for p in sorted(paths)]
+            )
+
+        old_only = read(from_paths - to_paths)
+        new_only = read(to_paths - from_paths)
+        inserts = new_only.exceptAll(old_only).select(
+            F.lit("insert").alias("change_type"), "*"
+        )
+        deletes = old_only.exceptAll(new_only).select(
+            F.lit("delete").alias("change_type"), "*"
+        )
+        return inserts.unionByName(deletes)
+
     # -- maintenance -------------------------------------------------------
 
     def vacuum(

@@ -511,17 +511,25 @@ def _pq_quantize_sql(vec_col: str) -> str:
     )
 
 
+def _pq_dist_terms(qv: str, m: int, sub_dim: int, cent_vals: list[int]) -> str:
+    """||q_m − c||² unrolled to plain long arithmetic over element_at —
+    deliberately NO higher-order functions: a large plan built from
+    hundreds of aggregate/zip_with lambdas compiles into pathological
+    codegen (measured: the whole bench JVM degrades), while the same
+    math as flat arithmetic stays inside ordinary whole-stage codegen."""
+    terms = []
+    for j, cv in enumerate(cent_vals):
+        e = f"(element_at({qv}, {m * sub_dim + j + 1}) - {cv}L)"
+        terms.append(f"{e} * {e}")
+    return " + ".join(terms)
+
+
 def _pq_code_sql(qv: str, m: int, sub_dim: int, cb_m: list[list[int]]) -> str:
     """code_m = argmin_c ||q_m − centroid[m][c]||² — EXACT long squared
     distances (quantized units²), first tie wins via array_position."""
-    dists = []
-    for cent_vals in cb_m:
-        cent = ",".join(f"{v}L" for v in cent_vals)
-        dists.append(
-            f"aggregate(zip_with(slice({qv}, {m * sub_dim + 1}, {sub_dim}), "
-            f"array({cent}), (x, s) -> (x - s) * (x - s)), "
-            "0L, (a, d) -> a + d)"
-        )
+    dists = [
+        f"({_pq_dist_terms(qv, m, sub_dim, cent_vals)})" for cent_vals in cb_m
+    ]
     arr = "array(" + ",".join(dists) + ")"
     return f"(array_position({arr}, array_min({arr})) - 1)"
 
@@ -586,28 +594,20 @@ def pq_train(
     codebook = [[init[(m, c)] for c in range(k)] for m in range(subspaces)]
 
     for _ in range(iters):
-        # assignment against the current centroids (plan literals)
-        dist_cols = []
-        for m in range(subspaces):
-            dists = []
-            for c in range(k):
-                cent = ",".join(f"{v}L" for v in codebook[m][c])
-                dists.append(
-                    f"aggregate(zip_with(subq, array({cent}), "
-                    "(x, s) -> (x - s) * (x - s)), 0L, (a, d) -> a + d)"
-                )
-            arr = "array(" + ",".join(dists) + ")"
-            dist_cols.append(
-                f"WHEN m = {m} THEN array_position({arr}, array_min({arr})) - 1"
+        # assignment against the current centroids (numpy, exact int64 —
+        # see pq_encode), then component-wise floor-mean per (m, code)
+        assigned = (
+            pq_encode(
+                df, id_col, vec_col, dim, subspaces, k, codebook=codebook
             )
-        code_expr = "CASE " + " ".join(dist_cols) + " END"
-        assigned = sub_rows.withColumn("code", F.expr(code_expr))
-        # component-wise floor-mean per (m, code)
+            .select(
+                F.col("vec_id").alias("id"),
+                F.posexplode("codes").alias("m", "code"),
+            )
+        )
         upd = (
-            assigned.select(
-                "m", "code",
-                F.posexplode("subq").alias("j", "v"),
-            )
+            sub_rows.join(assigned, on=["id", "m"])
+            .select("m", "code", F.posexplode("subq").alias("j", "v"))
             .groupBy("m", "code", "j")
             .agg(
                 F.floor(
@@ -646,14 +646,34 @@ def pq_encode(
     All distances are exact longs (quantized units²), so code
     assignment is bit-reproducible in the SQL oracle — no float argmin
     ambiguity."""
+    import numpy as np
+    import pandas as pd
+
     sub = dim // subspaces
     cb = codebook or formula_codebook(dim, subspaces, k)
+    cb_arr = np.array(cb, dtype=np.int64)  # (M, K, sub)
     qv = _pq_quantize_sql(vec_col)
-    codes = ", ".join(
-        f"CAST({_pq_code_sql(qv, m, sub, cb[m])} AS BIGINT)"
-        for m in range(subspaces)
-    )
-    return df.selectExpr(f"{id_col} AS vec_id", f"array({codes}) AS codes")
+
+    # Assignment runs in exact-int64 numpy via Arrow-batched mapInPandas.
+    # Quantization stays a Spark decimal cast (cross-engine HALF_UP
+    # semantics), so no float rounding ever happens Python-side; numpy
+    # argmin returns the FIRST minimal index — the same tie rule as the
+    # oracle's list_position-of-min. The expression-tree alternative (512
+    # inline distance expressions) exceeds codegen limits and degrades
+    # the whole JVM to interpreted evaluation — measured 10-70× slower.
+    def assign(batches):
+        for pdf in batches:
+            m_ = np.array(pdf["qv"].tolist(), dtype=np.int64)
+            n = m_.shape[0]
+            x = m_.reshape(n, subspaces, 1, sub)
+            d = ((x - cb_arr.reshape(1, subspaces, k, sub)) ** 2).sum(axis=3)
+            codes = d.argmin(axis=2).astype(np.int64)
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "codes": list(codes)}
+            )
+
+    staged = df.selectExpr(f"{id_col} AS vec_id", f"{qv} AS qv")
+    return staged.mapInPandas(assign, schema="vec_id long, codes array<long>")
 
 
 def pq_adc_topk(
@@ -677,26 +697,33 @@ def pq_adc_topk(
     The query side (few rows) broadcasts; the corpus side is the
     map-only encoded table; ranking is one window per query id. Exact
     integer distances → deterministic ranks (vec_id tiebreak)."""
+    import numpy as np
+
     cb = codebook or formula_codebook(dim, subspaces, k)
     codes = pq_encode(df, id_col, vec_col, dim, subspaces, k, codebook=cb)
     sub = dim // subspaces
     qv = _pq_quantize_sql(vec_col)
-    # per-query distance table: tbl[m*k + c] = ||q_m − centroid[m][c]||²
-    tbl_terms = []
-    for m in range(subspaces):
-        for c in range(k):
-            cent = ",".join(f"{v}L" for v in cb[m][c])
-            tbl_terms.append(
-                f"aggregate(zip_with(slice({qv}, {m * sub + 1}, {sub}), "
-                f"array({cent}), (x, s) -> (x - s) * (x - s)), "
-                "0L, (a, d) -> a + d)"
-            )
-    queries = (
+    # per-query distance table tbl[m*k + c] = ||q_m − centroid[m][c]||²,
+    # computed in exact-int64 numpy over the COLLECTED query vectors —
+    # queries ≪ corpus is the precondition of top-k search, so this
+    # collect is bounded by design. Quantization still happens in Spark
+    # (decimal-cast semantics) before the collect, so all arithmetic
+    # stays in the exact shared integer domain. An in-plan expression
+    # alternative (512 inline terms) forces a multi-second re-analysis /
+    # codegen on every invocation for 3 rows of data.
+    cb_arr = np.array(cb, dtype=np.int64)  # (M, K, sub)
+    qrows = (
         df.filter(F.col(id_col).isin(query_ids))
-        .selectExpr(
-            f"{id_col} AS query_id",
-            "array(" + ",".join(tbl_terms) + ") AS tbl",
-        )
+        .selectExpr(f"{id_col} AS query_id", f"{qv} AS qv")
+        .collect()
+    )
+    tbl_rows = []
+    for r in qrows:
+        q = np.array(r["qv"], dtype=np.int64).reshape(subspaces, 1, sub)
+        tbl = ((q - cb_arr) ** 2).sum(axis=2).reshape(-1)  # (M*K,)
+        tbl_rows.append((int(r["query_id"]), [int(v) for v in tbl]))
+    queries = df.sparkSession.createDataFrame(
+        tbl_rows, "query_id long, tbl array<long>"
     )
     lookups = [
         f"element_at(tbl, CAST({m * k} + element_at(codes, {m + 1}) + 1 AS INT))"

@@ -140,3 +140,66 @@ def doc_fingerprint(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> Da
         F.size("__sh").alias("n_shingles"),
         F.array_min(F.transform("__sh", F.md5)).alias("fingerprint"),
     )
+
+
+def suppress_duplicate_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """Corpus-level duplicate-passage suppression (the C4/RefinedWeb
+    "remove lines repeated across documents" step, with fixed
+    ``chunk_tokens``-token windows as the passage unit since the corpus
+    has no line structure): a chunk whose exact text appears in MORE
+    than ``max_docs`` distinct documents is boilerplate and is dropped
+    from every document; survivors reassemble in order. Documents whose
+    chunks are all boilerplate survive with empty text (they then fall
+    to the length-based quality gate, not silently vanish).
+
+    Scale shape — the honest cost of corpus-level dedup, kept minimal:
+    one explode (map-side), ONE shuffle to count distinct docs per chunk
+    (partial-aggregated), one keyed join back, one shuffle to regroup
+    documents. No driver-side state; the frequency side could broadcast
+    only if the boilerplate set were known small, which at 100 TB it is
+    not — so it stays a shuffle join.
+    """
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks - 1),
+                lambda i: F.concat_ws(
+                    " ", F.slice(toks, i * chunk_tokens + 1, chunk_tokens)
+                ),
+            )
+        ).alias("idx", "chunk"),
+    )
+    freq = chunks.groupBy("chunk").agg(
+        F.countDistinct(id_col).alias("__nd")
+    )
+    flagged = chunks.join(freq, on="chunk").withColumn(
+        "__keep", F.col("__nd") <= F.lit(max_docs)
+    )
+    kept_struct = F.when(
+        F.col("__keep"), F.struct(F.col("idx"), F.col("chunk"))
+    )
+    return (
+        flagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["chunk"],
+                ),
+            ).alias("cleaned_text"),
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from furchild_spark.operators import curate, dedup, skew
 from .catalog import query, table
-from ._oracle_fragments import _MINHASH_CTES, _TOKS
+from ._oracle_fragments import _MINHASH_CTES, _NORM, _TOKS
 
 
 # ---------------------------------------------------------------------------
@@ -357,3 +357,89 @@ FROM events GROUP BY event_type
 def skewed_distinct_count(spark, sf_dir):
     e = table(spark, sf_dir, "events")
     return skew.salted_distinct_count(e, "event_type", "user_id", salt_factor=16)
+
+
+# ---------------------------------------------------------------------------
+# the full curation pipeline, composed end-to-end
+# ---------------------------------------------------------------------------
+
+_Q_T1, _Q_T2 = curate.split_thresholds(0.8, 0.1)
+_STOP_RE = r"\b(the|a|of|and|to|in|is|it)\b"
+
+
+@query(
+    "curation_pipeline",
+    section="LLM-curation END-TO-END composition: MinHash near-dup pairs → "
+    "CC clusters → canonical survivor → quality gate → deterministic split",
+    oracle=_MINHASH_CTES.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + f"""
+, verified AS (
+  SELECT id_a, id_b FROM (
+    SELECT i.id_a, i.id_b,
+      CAST(i.n_inter AS DOUBLE) / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+  ) WHERE jaccard >= 0.3
+),
+nodes AS (
+  SELECT id_a AS node FROM verified UNION SELECT id_b FROM verified
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+),
+cl AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src),
+stats AS (
+  SELECT doc_id,
+    len({_TOKS}) AS n_tokens,
+    (len({_TOKS}) BETWEEN 5 AND 10000
+     AND CAST(len(regexp_extract_all({_NORM}, '{_STOP_RE}')) AS DOUBLE)
+         / CAST(len({_TOKS}) AS DOUBLE) < 0.5) AS is_q
+  FROM documents
+)
+SELECT s.doc_id, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+  CASE WHEN md5(CAST(s.doc_id AS VARCHAR)) < '{_Q_T1}' THEN 'train'
+       WHEN md5(CAST(s.doc_id AS VARCHAR)) < '{_Q_T2}' THEN 'val'
+       ELSE 'test' END AS split
+FROM stats s LEFT JOIN cl ON s.doc_id = cl.node
+WHERE (cl.cluster_id IS NULL OR s.doc_id = cl.cluster_id) AND s.is_q
+""",
+)
+def curation_pipeline(spark, sf_dir):
+    """What a real training-data run executes as ONE composed plan:
+    banded MinHash candidates → exact-Jaccard verify → connected
+    components → keep each cluster's min-id representative (plus all
+    singletons) → Gopher-style quality gate → deterministic md5 split.
+    Catalyst sees the whole composition, so the quality-gate projection
+    and the final split stay fused with the scan while only the dedup
+    legs shuffle. The oracle recomputes every stage relationally —
+    pipeline-level parity, not per-operator."""
+    from furchild_spark.operators import text
+
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_perm=16, rows_per_band=4, shingle_k=3,
+        threshold=0.3, hash_fn="md5",
+    ).select("id_a", "id_b")
+    clusters = curate.connected_components(pairs, checkpoint_interval=2)
+    stats = text.with_text_stats(d, "text").select(
+        "doc_id", "n_tokens", "is_quality"
+    )
+    surv = (
+        stats.join(clusters, stats.doc_id == clusters.node, "left")
+        .filter(
+            (F.col("cluster_id").isNull()
+             | (F.col("doc_id") == F.col("cluster_id")))
+            & F.col("is_quality")
+        )
+        .select("doc_id", F.col("n_tokens").cast("long"))
+    )
+    return curate.hash_split(surv, "doc_id", 0.8, 0.1).select(
+        "doc_id", "n_tokens", "split"
+    )

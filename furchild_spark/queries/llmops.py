@@ -1153,3 +1153,42 @@ def ann_pq_rerank_topk(spark, sf_dir):
     return out.select(
         "query_id", "neighbor_id", "sim", F.col("rank").cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# corpus-level duplicate-passage suppression (C4/RefinedWeb line dedup)
+# ---------------------------------------------------------------------------
+
+@query(
+    "boilerplate_chunk_removal",
+    section="LLM-curation corpus-level duplicate-passage suppression "
+    "(C4/RefinedWeb repeated-line removal over 8-token windows)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+ch0 AS (
+  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS idx FROM tok
+),
+ch AS (
+  SELECT doc_id, idx,
+    array_to_string(t[idx*8+1 : idx*8+8], ' ') AS chunk
+  FROM ch0
+),
+freq AS (SELECT chunk, count(DISTINCT doc_id) AS nd FROM ch GROUP BY chunk)
+SELECT ch.doc_id,
+  coalesce(string_agg(CASE WHEN f.nd <= 1 THEN ch.chunk END, ' '
+                      ORDER BY ch.idx), '') AS cleaned_text,
+  COUNT(*) AS n_chunks,
+  CAST(SUM(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+FROM ch JOIN freq f ON ch.chunk = f.chunk
+GROUP BY ch.doc_id
+""",
+)
+def boilerplate_chunk_removal(spark, sf_dir):
+    """A chunk repeated across >1 distinct documents is boilerplate —
+    dropped everywhere, documents reassembled in order (empty text kept,
+    not vanished). One count shuffle + one keyed join + one regroup; see
+    operators/text.py:suppress_duplicate_chunks for the 100 TB notes."""
+    d = table(spark, sf_dir, "documents")
+    return text.suppress_duplicate_chunks(
+        d, "doc_id", "text", chunk_tokens=8, max_docs=1
+    )

@@ -310,3 +310,53 @@ def zorder_skipping_e2e(spark, sf_dir):
         f"z-order layout skipped nothing ({len(kept)}/{total} files)"
     )
     return t.snapshot(where=where)
+
+
+@query(
+    "txlog_delete_e2e",
+    section=(
+        "engine extra: DELETE FROM + change data feed on the txlog format "
+        "(file-scoped rewrite, GDPR erase path, version-diff CDF)"
+    ),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+  strftime(o_orderdate, '%Y-%m') AS o_month
+FROM orders
+WHERE NOT (o_orderdate >= TIMESTAMP '1997-03-01'
+           AND o_orderdate < TIMESTAMP '1997-06-01')
+""",
+)
+def txlog_delete_e2e(spark, sf_dir):
+    """DELETE of a date slice: month-clustered files outside the window
+    carry forward by reference (asserted); the change feed between the
+    two versions contains exactly the deleted rows as 'delete' events
+    and nothing else. Returns the post-delete snapshot for the hash
+    compare; with vacuum the erased bytes physically leave the table —
+    the right-to-be-forgotten lifecycle."""
+    from furchild_spark.engine.txlog import TxTable
+
+    base = os.path.join(tempfile.gettempdir(), "furchild_txdelete_e2e")
+    shutil.rmtree(base, ignore_errors=True)
+    t = TxTable(spark, f"{base}/orders_del", cluster_by=("o_month",))
+    t.target_files = 6
+
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    o = table(spark, sf_dir, "orders").select(*_COLS, month)
+    t.overwrite(o)
+    n_total = t.count()
+
+    lo, hi = "1997-03-01", "1997-06-01"
+    before = {e["path"] for e in t._read_manifest(1)["files"]}
+    t.delete([("o_month", ">=", "1997-03"), ("o_month", "<", "1997-06")])
+    after = {e["path"] for e in t._read_manifest(2)["files"]}
+    assert before & after, "delete rewrote provably-untouched month files"
+
+    n_deleted = o.filter(
+        (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+    ).count()
+    cdf = t.table_changes(1, 2)
+    assert cdf.filter("change_type = 'insert'").count() == 0
+    assert cdf.filter("change_type = 'delete'").count() == n_deleted
+    assert t.count() == n_total - n_deleted  # manifest count, no scan
+    return t.snapshot()

@@ -316,3 +316,28 @@ def test_connected_components_interval_still_raises_at_cap(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         curate.connected_components(pairs, max_iter=3, checkpoint_interval=2)
+
+
+def test_suppress_duplicate_chunks(spark):
+    from furchild_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [
+            # doc 0 and 1 share their first 8 tokens exactly (boilerplate)
+            (0, "a b c d e f g h unique zero tail words here now ok fine"),
+            (1, "a b c d e f g h other one ending text goes right here x"),
+            # doc 2 is entirely the shared chunk → survives with empty text
+            (2, "a b c d e f g h"),
+            # doc 3 shares nothing
+            (3, "totally different content with no overlap at all"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.suppress_duplicate_chunks(docs).collect()}
+    assert len(out) == 4
+    assert out[2]["cleaned_text"] == ""          # all-boilerplate doc kept
+    assert out[2]["n_removed"] == 1
+    assert out[0]["cleaned_text"] == "unique zero tail words here now ok fine"
+    assert out[1]["n_removed"] == 1
+    assert out[3]["n_removed"] == 0
+    assert out[3]["cleaned_text"] == docs.collect()[3]["text"]

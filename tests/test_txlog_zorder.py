@@ -130,3 +130,56 @@ def test_bloom_survives_merge_and_append(spark, tmp_path):
     assert all("bloom" in e for e in m["files"])
     rows = {r.k: r.v for r in t.snapshot(where=[("k", "==", 5)]).collect()}
     assert rows == {5: 999}
+
+
+def test_delete_where_sql_semantics_and_file_scope(spark, tmp_path):
+    """DELETE removes only predicate-TRUE rows (NULL survives), carries
+    provably-unmatching files untouched, and commits one new version."""
+    t = TxTable(spark, str(tmp_path / "d"), cluster_by=("grp",))
+    t.target_files = 4
+    df = spark.createDataFrame(
+        [(i, i % 4, (None if i == 17 else i * 10)) for i in range(40)],
+        "id long, grp long, v long",
+    )
+    t.overwrite(df)
+    before = {e["path"] for e in t._read_manifest(1)["files"]}
+
+    t.delete([("grp", "==", 2), ("v", ">=", 100)])
+    after = {e["path"] for e in t._read_manifest(2)["files"]}
+    assert before & after, "delete rewrote files the stats prove untouched"
+
+    rows = {r.id for r in t.snapshot().collect()}
+    gone = {i for i in range(40) if i % 4 == 2 and i * 10 >= 100}
+    assert rows == set(range(40)) - gone
+    # NULL predicate row survives: id 17 (grp 1) was never in scope; add a
+    # null INSIDE the scope to pin the semantics
+    t2 = TxTable(spark, str(tmp_path / "d2"))
+    t2.overwrite(spark.createDataFrame(
+        [(1, 5), (2, None), (3, 50)], "id long, v long"))
+    t2.delete([("v", ">=", 10)])
+    assert {r.id for r in t2.snapshot().collect()} == {1, 2}
+
+
+def test_table_changes_cdf(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "cdf"), cluster_by=("k",))
+    t.target_files = 4
+    t.overwrite(spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k long, v long"))
+    t.append(spark.createDataFrame([(100, 1), (101, 2)], "k long, v long"))
+    t.merge(spark.createDataFrame([(5, 999)], "k long, v long"), ["k"],
+            scope_col="k")
+    t.delete([("k", "==", 7)])
+
+    # v1 → v2: pure append → inserts only
+    ch = t.table_changes(1, 2).collect()
+    assert {(r.change_type, r.k) for r in ch} == {
+        ("insert", 100), ("insert", 101)}
+    # v2 → v3: merge → delete+insert for the updated key only
+    ch = {(r.change_type, r.k, r.v) for r in t.table_changes(2, 3).collect()}
+    assert ch == {("delete", 5, 50), ("insert", 5, 999)}
+    # v3 → v4 (delete): one row-level delete
+    ch = {(r.change_type, r.k) for r in t.table_changes(3, 4).collect()}
+    assert ch == {("delete", 7)}
+    # full range composes
+    ch = t.table_changes(1, 4)
+    assert ch.filter("change_type = 'insert'").count() == 3
