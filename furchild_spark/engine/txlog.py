@@ -73,6 +73,11 @@ def _bloom_may_contain(bloom: dict, value) -> bool:
     return True
 
 
+class ConstraintViolationError(ValueError):
+    """A written batch violated a table CHECK constraint; nothing was
+    committed."""
+
+
 class ConcurrentWriteError(RuntimeError):
     """Another writer committed the version this writer raced for."""
 
@@ -135,6 +140,14 @@ class TxTable:
         self.bloom_cols: tuple[str, ...] = ()
         self.bloom_bits: int = 2048
         self.bloom_hashes: int = 4
+        # CHECK constraints (set after construction): (name, sql_expr)
+        # pairs every written batch must satisfy. SQL-standard CHECK
+        # semantics — a row violates only when the expression is FALSE
+        # (NULL passes). Enforcement is fused into the write job via the
+        # Observation API (no second scan); on violation the commit is
+        # ABORTED — the already-written files stay uncommitted garbage,
+        # invisible to every reader and reclaimed by vacuum.
+        self.constraints: tuple[tuple[str, str], ...] = ()
         # explicit file count for clustered writes: AQE coalescing folds a
         # column-only repartition of small batches into one file, which
         # destroys the narrow per-file ranges skipping depends on; an
@@ -250,6 +263,21 @@ class TxTable:
         """
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_id)
+        obs = None
+        if self.constraints:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            viol = [
+                F.sum(
+                    F.when(
+                        F.coalesce(F.expr(expr), F.lit(True)) == F.lit(False),
+                        1,
+                    ).otherwise(0)
+                ).alias(name)
+                for name, expr in self.constraints
+            ]
+            df = df.observe(obs, *viol)
         if self.zorder and len(self.cluster_by) >= 2:
             zkey = self._zorder_key(df)
             df = df.withColumn("__zkey", zkey)
@@ -266,6 +294,15 @@ class TxTable:
                 else df.repartitionByRange(*cols)
             ).sortWithinPartitions(*cols)
         df.write.parquet(out_dir)
+        if obs is not None:
+            got = obs.get
+            bad = {k: v for k, v in got.items() if v}
+            if bad:
+                raise ConstraintViolationError(
+                    f"{self.path}: CHECK constraint(s) violated "
+                    f"(rows per constraint: {bad}); write aborted, no "
+                    "version committed"
+                )
         entries = []
         total_rows = 0
         for name in sorted(os.listdir(out_dir)):
@@ -955,6 +992,33 @@ class TxTable:
             carried_rows = sum(e["rows"] for e in carried)
             manifest = self._manifest_for(
                 compacted_df, "compact", carried + files, carried_rows + rows
+            )
+            try:
+                return self._commit(manifest, base)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+
+    def optimize(self, max_retries: int = 3) -> int:
+        """Full physical re-layout (``OPTIMIZE`` / ``OPTIMIZE ZORDER``):
+        every data file is rewritten through the CURRENT layout policy
+        (cluster_by range clustering, or the Z-curve when ``zorder``) in
+        one pure-physical commit — contents bit-identical, so readers of
+        the previous version see no logical change. Use after layout
+        policy changes or heavy merge/delete churn has fragmented the
+        clustering that file skipping depends on."""
+        for attempt in range(max_retries + 1):
+            base = self.current_version()
+            if base == 0:
+                raise NoSuchVersionError(f"{self.path}: table has no commits")
+            m = self._read_manifest(base)
+            schema = StructType.fromJson(m["schema"])
+            df = self.spark.read.schema(schema).parquet(
+                *[self._abs(e["path"]) for e in m["files"]]
+            )
+            files, rows = self._write_data(df)
+            manifest = self._manifest_for(
+                None, "optimize", files, rows, schema=schema
             )
             try:
                 return self._commit(manifest, base)

@@ -183,3 +183,41 @@ def test_table_changes_cdf(spark, tmp_path):
     # full range composes
     ch = t.table_changes(1, 4)
     assert ch.filter("change_type = 'insert'").count() == 3
+
+
+def test_check_constraints_abort_commit(spark, tmp_path):
+    import pytest as _pytest
+
+    from furchild_spark.engine.txlog import ConstraintViolationError
+
+    t = TxTable(spark, str(tmp_path / "ck"))
+    t.constraints = (("v_positive", "v > 0"), ("id_not_null", "id IS NOT NULL"))
+    t.overwrite(spark.createDataFrame([(1, 5), (2, None)], "id long, v long"))
+    # NULL passes (SQL CHECK semantics); table committed at v1
+    assert t.current_version() == 1 and t.count() == 2
+
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        t.append(spark.createDataFrame([(3, -1)], "id long, v long"))
+    # nothing committed, table unchanged and still readable
+    assert t.current_version() == 1 and t.snapshot().count() == 2
+
+    t.append(spark.createDataFrame([(3, 7)], "id long, v long"))
+    assert t.count() == 3
+
+
+def test_optimize_zorder_relayout(spark, tmp_path):
+    """OPTIMIZE re-layout: switch a linearly-clustered table to Z-order —
+    contents identical, second-dimension skipping appears."""
+    df = _grid(spark)
+    t = TxTable(spark, str(tmp_path / "opt"), cluster_by=("x", "y"))
+    t.target_files = 16
+    t.overwrite(df)
+    assert len(_matching_files(t, 1, [("y", "==", 30)])) == 16
+
+    t.zorder = True
+    v = t.optimize()
+    assert v == 2
+    assert [h["op"] for h in t.history()][-1] == "optimize"
+    assert sorted(r.id for r in t.snapshot().collect()) == sorted(
+        r.id for r in df.collect())
+    assert len(_matching_files(t, 2, [("y", "==", 30)])) <= 8
