@@ -727,18 +727,20 @@ class TxTable:
         and NULL rows survive (the keep-filter is ``NOT coalesce(pred,
         FALSE)``). The GDPR / right-to-be-forgotten primitive: combined
         with :meth:`vacuum`, the bytes physically leave the table."""
+        if not where:
+            raise ValueError(
+                "delete() requires at least one (col, op, value) predicate; "
+                "to empty the table, overwrite() with an empty DataFrame"
+            )
         for attempt in range(max_retries + 1):
             base = self.current_version()
             if base == 0:
                 raise NoSuchVersionError(f"{self.path}: table has no commits")
             m = self._read_manifest(base)
             schema = StructType.fromJson(m["schema"])
-            touched = [
-                e for e in m["files"] if self._file_may_match(e, where)
-            ]
-            carried = [
-                e for e in m["files"] if not self._file_may_match(e, where)
-            ]
+            touched, carried = [], []
+            for e in m["files"]:
+                (touched if self._file_may_match(e, where) else carried).append(e)
             files = list(carried)
             rows = sum(e["rows"] for e in carried)
             if touched:

@@ -29,6 +29,7 @@ import numpy as np
 
 __all__ = [
     "MediaFormatError",
+    "probe_dims",
     "decode_image",
     "decode_png",
     "decode_bmp",
@@ -56,6 +57,42 @@ def sniff_format(data: bytes) -> str:
     if data[:4] == b"RIFF" and data[8:12] == b"WAVE":
         return "wav"
     return "unknown"
+
+
+def probe_dims(data: bytes) -> tuple[str, int, int, int]:
+    """Header-only (kind, width, height, n_frames) — no pixel/sample
+    decode. PNG: IHDR fields (signature + first-chunk CRC validated);
+    BMP: BITMAPINFOHEADER; WAV: fmt + data chunk walk (frame count from
+    sizes). Unknown formats return ("unknown", 0, 0, 0)."""
+    kind = sniff_format(data)
+    if kind == "png":
+        for ctype, body in _png_chunks(data):
+            if ctype == b"IHDR":
+                w, h = struct.unpack(">II", body[:8])
+                return "png", w, h, 1
+            break
+        raise MediaFormatError("PNG missing IHDR")
+    if kind == "bmp":
+        if len(data) < 26:
+            raise MediaFormatError("truncated BMP header")
+        _hdr, w, h = struct.unpack("<Iii", data[14:26])
+        if w <= 0 or h <= 0:
+            raise MediaFormatError("top-down/degenerate BMP unsupported")
+        return "bmp", w, h, 1
+    if kind == "wav":
+        pos, n_ch, frames_len = 12, 1, None
+        while pos + 8 <= len(data):
+            cid = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            if cid == b"fmt " and size >= 4:
+                n_ch = struct.unpack("<H", data[pos + 10 : pos + 12])[0]
+            elif cid == b"data":
+                frames_len = size
+            pos += 8 + size + (size & 1)
+        if frames_len is None:
+            raise MediaFormatError("WAV missing data chunk")
+        return "wav", 0, 0, frames_len // (2 * max(1, n_ch))
+    return "unknown", 0, 0, 0
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +261,18 @@ def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
     idat = zlib.compress(b"".join(rows), 6)
     return _PNG_SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(
         b"IEND", b""
+    )
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Decode any supported image payload (PNG or BMP) by magic bytes."""
+    kind = sniff_format(data)
+    if kind == "png":
+        return decode_png(data)
+    if kind == "bmp":
+        return decode_bmp(data)
+    raise MediaFormatError(
+        f"not a supported image format (magic={data[:4]!r})"
     )
 
 

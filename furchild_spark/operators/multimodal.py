@@ -113,20 +113,17 @@ def extract_features(df: DataFrame, decode_stub: bool = True) -> DataFrame:
 
 
 def _real_dims(data: bytes) -> tuple[int, int, int]:
-    """(width, height, n_frames) from real payload bytes via media_codec."""
-    kind = mc.sniff_format(data)
-    if kind == "png":
-        px = mc.decode_png(data)
-        return px.shape[1], px.shape[0], 1
-    if kind == "bmp":
-        px = mc.decode_bmp(data)
-        return px.shape[1], px.shape[0], 1
-    if kind == "wav":
-        samples, _rate = mc.decode_wav(data)
-        return 0, 0, samples.shape[0]
-    raise mc.MediaFormatError(
-        f"payload is not a decodable media format (magic={data[:4]!r})"
-    )
+    """(width, height, n_frames) from real payload bytes. Header-only
+    parses (media_codec.probe_dims): dimensions live in PNG's IHDR / the
+    BMP info header / WAV's fmt+data chunk sizes, so the feature hot
+    path never inflates or unfilters pixel data — full decode stays in
+    decode_features where pixel values are actually needed."""
+    kind, w, h, nf = mc.probe_dims(data)
+    if kind == "unknown":
+        raise mc.MediaFormatError(
+            f"payload is not a decodable media format (magic={data[:4]!r})"
+        )
+    return w, h, nf
 
 
 def decode_features(df: DataFrame, id_col: str = "id",
@@ -206,7 +203,15 @@ def decode_resize_features(df: DataFrame, id_col: str = "id",
             for rid, b in zip(pdf[id_col], pdf[payload_col]):
                 data = bytes(b)
                 kind = mc.sniff_format(data)
-                px = (mc.decode_png if kind == "png" else mc.decode_bmp)(data)
+                if kind == "png":
+                    px = mc.decode_png(data)
+                elif kind == "bmp":
+                    px = mc.decode_bmp(data)
+                else:
+                    raise mc.MediaFormatError(
+                        f"id={rid}: resize needs an image payload, got "
+                        f"{kind!r} (magic={data[:4]!r})"
+                    )
                 h, w = px.shape[0], px.shape[1]
                 ow, oh = max(1, w // scale), max(1, h // scale)
                 rs = mc.resize_nearest(px, ow, oh)

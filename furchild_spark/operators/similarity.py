@@ -511,29 +511,6 @@ def _pq_quantize_sql(vec_col: str) -> str:
     )
 
 
-def _pq_dist_terms(qv: str, m: int, sub_dim: int, cent_vals: list[int]) -> str:
-    """||q_m − c||² unrolled to plain long arithmetic over element_at —
-    deliberately NO higher-order functions: a large plan built from
-    hundreds of aggregate/zip_with lambdas compiles into pathological
-    codegen (measured: the whole bench JVM degrades), while the same
-    math as flat arithmetic stays inside ordinary whole-stage codegen."""
-    terms = []
-    for j, cv in enumerate(cent_vals):
-        e = f"(element_at({qv}, {m * sub_dim + j + 1}) - {cv}L)"
-        terms.append(f"{e} * {e}")
-    return " + ".join(terms)
-
-
-def _pq_code_sql(qv: str, m: int, sub_dim: int, cb_m: list[list[int]]) -> str:
-    """code_m = argmin_c ||q_m − centroid[m][c]||² — EXACT long squared
-    distances (quantized units²), first tie wins via array_position."""
-    dists = [
-        f"({_pq_dist_terms(qv, m, sub_dim, cent_vals)})" for cent_vals in cb_m
-    ]
-    arr = "array(" + ",".join(dists) + ")"
-    return f"(array_position({arr}, array_min({arr})) - 1)"
-
-
 def formula_codebook(
     dim: int = 64, subspaces: int = PQ_SUBSPACES, k: int = PQ_K
 ) -> list[list[list[int]]]:
@@ -591,6 +568,12 @@ def pq_train(
         (r["m"], int(r["id"])): list(r["subq"])
         for r in sub_rows.filter(F.col("id") < k).collect()
     }
+    missing = [c for c in range(k) if (0, c) not in init]
+    if missing:
+        raise ValueError(
+            f"pq_train deterministic init requires ids 0..{k - 1} present "
+            f"in {id_col}; missing: {missing}"
+        )
     codebook = [[init[(m, c)] for c in range(k)] for m in range(subspaces)]
 
     for _ in range(iters):

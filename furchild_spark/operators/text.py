@@ -165,8 +165,14 @@ def suppress_duplicate_chunks(
     only if the boilerplate set were known small, which at 100 TB it is
     not — so it stays a shuffle join.
     """
-    toks = tokens(F.col(text_col))
-    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # NULL text → size() = -1 and a descending sequence(0, -1) would
+    # fabricate two phantom chunks; coalesce + greatest pins every doc to
+    # ≥1 chunk (an empty doc contributes one '' chunk and so still
+    # survives to the output, honoring the no-silent-vanish contract)
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    n_chunks = F.greatest(
+        F.lit(1), F.ceil(F.size(toks) / F.lit(chunk_tokens))
+    ).cast("int")
     chunks = df.select(
         F.col(id_col),
         F.posexplode(

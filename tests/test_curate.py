@@ -341,3 +341,21 @@ def test_suppress_duplicate_chunks(spark):
     assert out[1]["n_removed"] == 1
     assert out[3]["n_removed"] == 0
     assert out[3]["cleaned_text"] == docs.collect()[3]["text"]
+
+
+def test_suppress_duplicate_chunks_null_and_empty_text(spark):
+    """Review regression: NULL/empty text must yield exactly one ''
+    chunk (no phantom [0,-1] sequence) and the doc must survive."""
+    from furchild_spark.operators import text as T
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, ""), (2, "   "), (3, "real content words")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.suppress_duplicate_chunks(docs).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    for d in (0, 1, 2):
+        assert out[d]["n_chunks"] == 1
+        # the '' chunk is shared by three docs → boilerplate → removed
+        assert out[d]["n_removed"] == 1 and out[d]["cleaned_text"] == ""
+    assert out[3]["n_removed"] == 0
