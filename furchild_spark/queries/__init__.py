@@ -51,6 +51,7 @@ _PRIORITY = [
     "ngram_jaccard_neardup", "zorder_skipping_e2e",
     "shipping_priority_topk", "returned_items_by_customer",
     "pq_codes", "ann_pq_topk", "ann_pq_rerank_topk", "curation_pipeline", "boilerplate_chunk_removal", "txlog_delete_e2e",
+    "outlier_docs",
     # never driver-checked (added late in round 3)
     "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
     "pack_sequences", "pivot_event_counts", "quality_rules",

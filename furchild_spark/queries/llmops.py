@@ -1194,3 +1194,72 @@ def boilerplate_chunk_removal(spark, sf_dir):
     return text.suppress_duplicate_chunks(
         d, "doc_id", "text", chunk_tokens=8, max_docs=1
     )
+
+
+# ---------------------------------------------------------------------------
+# robust-statistics outlier gate (median/MAD per stratum)
+# ---------------------------------------------------------------------------
+
+@query(
+    "outlier_docs",
+    section="LLM-curation robust outlier gate (per-source median/MAD on "
+    "token counts — exact percentile, no approx)",
+    oracle=f"""
+WITH n AS (
+  SELECT doc_id, source, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+med AS (
+  SELECT source, percentile_cont(0.5) WITHIN GROUP (ORDER BY n_tokens) AS med
+  FROM n GROUP BY source
+),
+dev AS (
+  SELECT n.doc_id, n.source, n.n_tokens, m.med,
+    abs(n.n_tokens - m.med) AS adev
+  FROM n JOIN med m ON n.source = m.source
+),
+mad AS (
+  SELECT source, percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+  FROM dev GROUP BY source
+)
+SELECT d.doc_id, d.source, d.n_tokens, d.med, m2.mad,
+  (m2.mad > 0 AND abs(d.n_tokens - d.med) > 3.0 * m2.mad) AS is_outlier
+FROM dev d JOIN mad m2 ON d.source = m2.source
+""",
+)
+def outlier_docs(spark, sf_dir):
+    """Per-source robust outlier detection on document length: flag docs
+    whose token count deviates from the stratum MEDIAN by more than
+    3×MAD — the quality gate that survives heavy-tailed length
+    distributions where mean/stddev gates drown in the tail. Exact
+    percentiles (never approx — the approx sketch would break oracle
+    parity AND silently move the gate); two grouped aggregations over
+    the stratum key and one broadcastable stats join — the per-stratum
+    stats table is |sources| rows, tiny at any corpus scale. Median/MAD
+    of integer counts are exact halves in both engines; the 3×MAD
+    comparison multiplies identical doubles → deterministic booleans."""
+    d = table(spark, sf_dir, "documents")
+    n = d.select(
+        "doc_id", "source",
+        F.size(text.tokens("text")).cast("long").alias("n_tokens"),
+    )
+    med = n.groupBy("source").agg(
+        F.percentile("n_tokens", F.lit(0.5)).alias("med")
+    )
+    dev = n.join(F.broadcast(med), on="source").withColumn(
+        "adev", F.abs(F.col("n_tokens") - F.col("med"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), on="source")
+        .select(
+            "doc_id", "source", "n_tokens", "med", "mad",
+            (
+                (F.col("mad") > 0)
+                & (F.abs(F.col("n_tokens") - F.col("med"))
+                   > F.lit(3.0) * F.col("mad"))
+            ).alias("is_outlier"),
+        )
+    )
