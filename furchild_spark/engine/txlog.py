@@ -56,10 +56,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
 
+def _predicate_expr(col: str, op: str, val):
+    """The shared (col, op, value) → Column grammar used by snapshot
+    pruning, row-level residual filters, and delete — one definition so
+    the supported-op set can never diverge between them."""
+    return {
+        "==": F.col(col) == F.lit(val),
+        "<": F.col(col) < F.lit(val),
+        "<=": F.col(col) <= F.lit(val),
+        ">": F.col(col) > F.lit(val),
+        ">=": F.col(col) >= F.lit(val),
+    }[op]
+
+
 def _bloom_positions(value, bits: int, k: int):
     """k md5-derived bit positions for a value — canonical string form
-    (ints as decimal, strings verbatim) so any engine reproduces them."""
-    base = str(value)
+    (ints as decimal, strings verbatim) so any engine reproduces them.
+    Python bools ARE ints to isinstance but str() them as 'True'/'False';
+    canonicalize through int() so a ``== True`` probe agrees with a bloom
+    built from 1s (Spark compares bool to int by casting)."""
+    base = str(int(value)) if isinstance(value, bool) else str(value)
     for i in range(k):
         h = hashlib.md5(f"{base}|{i}".encode()).hexdigest()
         yield int(h[:15], 16) % bits
@@ -232,6 +248,15 @@ class TxTable:
             os.fsync(fh.fileno())
         try:
             os.link(tmp, self._manifest_file(version))
+            # durability of the DIRECTORY ENTRY, not just the file bytes:
+            # without fsyncing the dir fd a power loss can drop the
+            # committed version's dirent while later commits survive,
+            # leaving a hole in the version chain
+            dfd = os.open(self.log_dir, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         except FileExistsError:
             raise ConcurrentWriteError(
                 f"{self.path}: version {version} already committed"
@@ -263,6 +288,16 @@ class TxTable:
         """
         commit_id = uuid.uuid4().hex
         out_dir = os.path.join(self.data_dir, commit_id)
+        # Z-order bounds are computed BEFORE the Observation attaches:
+        # _zorder_key runs a small agg action, and the FIRST action on an
+        # observed plan fulfills the Observation — attaching first would
+        # validate constraints against the bounds pass instead of the
+        # write job (wrong for any nondeterministic input).
+        zkey = (
+            self._zorder_key(df)
+            if self.zorder and len(self.cluster_by) >= 2
+            else None
+        )
         obs = None
         if self.constraints:
             from pyspark.sql import Observation
@@ -278,8 +313,7 @@ class TxTable:
                 for name, expr in self.constraints
             ]
             df = df.observe(obs, *viol)
-        if self.zorder and len(self.cluster_by) >= 2:
-            zkey = self._zorder_key(df)
+        if zkey is not None:
             df = df.withColumn("__zkey", zkey)
             df = (
                 df.repartitionByRange(self.target_files, "__zkey")
@@ -408,7 +442,7 @@ class TxTable:
             c for c in self.bloom_cols
         ])
         for col in self.bloom_cols:
-            bits = bytearray(self.bloom_bits // 8)
+            bits = bytearray((self.bloom_bits + 7) // 8)
             ok = True
             for v in tbl.column(col).to_pylist():
                 if v is None:
@@ -519,14 +553,7 @@ class TxTable:
             # evolution in NEWER versions cannot leak into this snapshot
             df = self.spark.read.schema(schema).parquet(*files)
         for col, op, val in where or ():
-            expr = {
-                "==": F.col(col) == F.lit(val),
-                "<": F.col(col) < F.lit(val),
-                "<=": F.col(col) <= F.lit(val),
-                ">": F.col(col) > F.lit(val),
-                ">=": F.col(col) >= F.lit(val),
-            }[op]
-            df = df.filter(expr)
+            df = df.filter(_predicate_expr(col, op, val))
         return df
 
     def count(self, version: int | None = None) -> int:
@@ -605,6 +632,20 @@ class TxTable:
             raise ValueError(
                 f"{self.path}: append schema mismatch (missing={sorted(missing)}, "
                 f"new={sorted(new)}); pass allow_evolution=True to add columns"
+            )
+        # a same-name column with a DIFFERENT type would commit parquet
+        # files the manifest schema can't read — every later snapshot of
+        # the accepted version would fail. Reject the write instead.
+        old_types = {f.name: f.dataType for f in old.fields}
+        retyped = sorted(
+            f.name
+            for f in df.schema.fields
+            if f.name in old_types and f.dataType != old_types[f.name]
+        )
+        if retyped:
+            raise ValueError(
+                f"{self.path}: column type change not allowed for {retyped} "
+                "(write with the table's types, or overwrite())"
             )
 
     def merge(
@@ -741,18 +782,16 @@ class TxTable:
             touched, carried = [], []
             for e in m["files"]:
                 (touched if self._file_may_match(e, where) else carried).append(e)
+            if not touched:
+                # stats/bloom prove no row matches: deleting nothing is a
+                # no-op, not a new (identical) version — mirrors compact()
+                return base
             files = list(carried)
             rows = sum(e["rows"] for e in carried)
             if touched:
                 pred = None
                 for col, op, val in where:
-                    c = {
-                        "==": F.col(col) == F.lit(val),
-                        "<": F.col(col) < F.lit(val),
-                        "<=": F.col(col) <= F.lit(val),
-                        ">": F.col(col) > F.lit(val),
-                        ">=": F.col(col) >= F.lit(val),
-                    }[op]
+                    c = _predicate_expr(col, op, val)
                     pred = c if pred is None else (pred & c)
                 kept = (
                     self.spark.read.schema(schema)
@@ -845,9 +884,12 @@ class TxTable:
                 full = os.path.join(self.data_dir, commit_id)
                 if commit_id in referenced:
                     continue
-                if now - os.path.getmtime(full) < min_age_seconds:
-                    continue  # possibly an in-flight writer's files
-                shutil.rmtree(full)
+                try:
+                    if now - os.path.getmtime(full) < min_age_seconds:
+                        continue  # possibly an in-flight writer's files
+                except FileNotFoundError:
+                    continue  # a concurrent vacuum/writer removed it first
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(commit_id)
         for v in versions[:-retain_last]:
             os.unlink(self._manifest_file(v))
@@ -915,18 +957,32 @@ class TxTable:
                     schema=self._evolved_schema(batch_df, base),
                 )
             elif scope_col is None:
+                m = self._read_manifest(base)
+                self._check_append_schema(batch_df, m, allow_evolution=False)
                 current = self.snapshot(base)
                 survivors = current.join(
                     batch_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
                 )
                 merged = survivors.unionByName(batch_df)
                 files, rows = self._write_data(merged)
-                manifest = self._manifest_for(merged, "stream_merge", files, rows)
+                manifest = self._manifest_for(
+                    merged, "stream_merge", files, rows,
+                    schema=self._evolved_schema(batch_df, base),
+                )
             else:
+                # same schema discipline as the other paths: without it a
+                # batch missing a table column (touching zero files) would
+                # commit a NARROWED head schema and silently drop the
+                # column from every read of carried files
+                m = self._read_manifest(base)
+                self._check_append_schema(batch_df, m, allow_evolution=False)
                 files, rows = self._scoped_merge_files(
                     batch_df, key_cols, scope_col, base
                 )
-                manifest = self._manifest_for(batch_df, "stream_merge", files, rows)
+                manifest = self._manifest_for(
+                    batch_df, "stream_merge", files, rows,
+                    schema=self._evolved_schema(batch_df, base),
+                )
             manifest["txns"] = {app_id: batch_id}
             try:
                 return self._commit(manifest, base)
@@ -1067,8 +1123,10 @@ class TxTable:
 
         Caveat (same as every shallow clone): vacuuming the SOURCE can
         remove files the clone still references — keep the source's
-        ``retain_last`` covering the cloned version, or compact the clone
-        (rewriting its data locally) to sever the dependency.
+        ``retain_last`` covering the cloned version, or ``optimize()`` the
+        clone (rewriting ALL its data locally — ``compact()`` only touches
+        small files and would leave large source references live) to
+        sever the dependency.
         """
         base = self.current_version()
         if base == 0:

@@ -221,3 +221,71 @@ def test_optimize_zorder_relayout(spark, tmp_path):
     assert sorted(r.id for r in t.snapshot().collect()) == sorted(
         r.id for r in df.collect())
     assert len(_matching_files(t, 2, [("y", "==", 30)])) <= 8
+
+
+def test_append_rejects_retyped_column(spark, tmp_path):
+    """Review regression: a same-name, different-type column must be
+    rejected at write time — committing it would leave the table
+    unreadable for every later snapshot."""
+    import pytest as _pytest
+
+    t = TxTable(spark, str(tmp_path / "rt"))
+    t.overwrite(spark.createDataFrame([(1, 10)], "id long, x long"))
+    with _pytest.raises(ValueError, match="type change"):
+        t.append(spark.createDataFrame([(2, "oops")], "id long, x string"))
+    assert t.current_version() == 1
+    assert t.snapshot().count() == 1  # table still readable
+
+
+def test_bloom_bool_probe_never_silently_wrong(spark, tmp_path):
+    """Review regression: a ==True probe on an int bloom column must not
+    return a silently-wrong pruned answer. The bloom now canonicalizes
+    bools through int (so file pruning agrees with int semantics), and
+    Spark 4's ANSI comparison rejects the bool-vs-bigint residual filter
+    loudly — either way, no silent empty result."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    t = TxTable(spark, str(tmp_path / "bb"))
+    t.bloom_cols = ("status",)
+    t.overwrite(spark.createDataFrame([(1, 1), (2, 0)], "id long, status long"))
+    # int probe: bloom keeps the right file, result correct
+    assert [r.id for r in t.snapshot(where=[("status", "==", 1)]).collect()] == [1]
+    # bool probe: pruning no longer drops the file (canonicalized), and
+    # the row-level filter fails loudly instead of returning 0 rows
+    from furchild_spark.engine.txlog import _bloom_may_contain
+
+    assert any(
+        _bloom_may_contain(e["bloom"]["status"], True)
+        for e in t._read_manifest(1)["files"]
+    ), "bool probe pruned every file including the holder of 1s"
+    with _pytest.raises(AnalysisException):
+        t.snapshot(where=[("status", "==", True)]).collect()
+
+
+def test_delete_nothing_is_a_noop_version(spark, tmp_path):
+    t = TxTable(spark, str(tmp_path / "dn"), cluster_by=("day",))
+    t.overwrite(spark.createDataFrame(
+        [(1, "2024-01-01"), (2, "2024-01-02")], "id long, day string"))
+    v = t.delete([("day", "==", "2099-12-31")])
+    assert v == 1 and t.current_version() == 1  # no identical new version
+
+
+def test_stream_scoped_merge_keeps_schema_when_no_files_touched(spark, tmp_path):
+    """Review regression: a stream batch missing a table column that
+    touches zero files must be rejected, not commit a narrowed schema."""
+    import pytest as _pytest
+
+    t = TxTable(spark, str(tmp_path / "ss"), cluster_by=("scope",))
+    t.overwrite(spark.createDataFrame(
+        [(1, "a", "payload1")], "id long, scope string, payload string"))
+    bad = spark.createDataFrame([(9, "zzz")], "id long, scope string")
+    with _pytest.raises(ValueError, match="schema mismatch"):
+        t.write_stream_batch(bad, "app", 1, key_cols=["id"], scope_col="scope")
+    # full batch with all columns still works
+    good = spark.createDataFrame(
+        [(9, "zzz", "p9")], "id long, scope string, payload string")
+    t.write_stream_batch(good, "app", 1, key_cols=["id"], scope_col="scope")
+    cols = set(t.snapshot().columns)
+    assert cols == {"id", "scope", "payload"}
+    assert t.snapshot().count() == 2
