@@ -70,17 +70,22 @@ class ModelRegistry:
         check_cols: tuple[str, ...] | None = None,
     ):
         def deco(fn):
+            def _cols(v):
+                # a bare string must not explode into per-character tuples
+                # (partition_by='order_date' -> ('o','r',...)) — wrap it
+                return (v,) if isinstance(v, str) else tuple(v)
+
             model_name = name or fn.__name__
             self._models[model_name] = Model(
                 name=model_name,
                 fn=fn,
                 materialized=materialized,
                 unique_key=unique_key,
-                partition_by=tuple(partition_by),
-                tags=tuple(tags),
+                partition_by=_cols(partition_by),
+                tags=_cols(tags),
                 snapshot_strategy=snapshot_strategy,
                 updated_at=updated_at,
-                check_cols=tuple(check_cols) if check_cols else None,
+                check_cols=_cols(check_cols) if check_cols else None,
             )
             return fn
 
@@ -182,6 +187,7 @@ class Runner:
         # build: lineage[name] = {"refs": [...], "sources": [...]}
         self.lineage: dict[str, dict[str, list[str]]] = {}
         self._building: list[str] = []
+        self._exists: dict[str, bool] = {}
 
     # -- source / ref resolution ------------------------------------------
     def _record_edge(self, kind: str, name: str) -> None:
@@ -232,9 +238,17 @@ class Runner:
         path = self._path(name)
         if path is None:
             return False
-        if self.table_format == "txlog":
-            return self._tx(name).exists()
-        return mat.parquet_exists(self.spark, path)
+        # memoized per run: is_incremental() is consulted several times
+        # per model (Runner + model-fn branches), and each miss is a
+        # recursive listing of the table dir. _build records True after
+        # it materializes.
+        if name not in self._exists:
+            self._exists[name] = (
+                self._tx(name).exists()
+                if self.table_format == "txlog"
+                else mat.parquet_exists(self.spark, path)
+            )
+        return self._exists[name]
 
     def existing(self, name: str) -> DataFrame | None:
         if not self.has_existing(name):
@@ -246,6 +260,9 @@ class Runner:
     # -- build + materialize ------------------------------------------------
     def _build(self, model: Model) -> DataFrame:
         ctx = ExecutionContext(spark=self.spark, runner=self, model=model)
+        if model.name in self._building:
+            cycle = " -> ".join(self._building + [model.name])
+            raise RuntimeError(f"model dependency cycle: {cycle}")
         self.lineage.setdefault(model.name, {"refs": [], "sources": []})
         self._building.append(model.name)
         try:
@@ -260,19 +277,31 @@ class Runner:
             # the first run initializes, later runs version-merge
             assert model.unique_key, f"snapshot model {model.name} needs unique_key"
             if self.table_format == "txlog":
-                tx = self._tx(model.name)
-                merged = snap.scd2_apply(
-                    df,
-                    tx.snapshot() if tx.exists() else None,
-                    model.unique_key,
-                    strategy=model.snapshot_strategy,
-                    updated_at=model.updated_at,
-                    check_cols=(
-                        list(model.check_cols) if model.check_cols else None
-                    ),
-                    now=self.now,
+                snap.validate_snapshot_source(
+                    df, model.unique_key, model.snapshot_strategy,
+                    model.updated_at,
                 )
-                tx.overwrite(merged)
+                tx = self._tx(model.name)
+
+                def apply_snapshot(current):
+                    return snap.scd2_apply(
+                        df,
+                        current,
+                        model.unique_key,
+                        strategy=model.snapshot_strategy,
+                        updated_at=model.updated_at,
+                        check_cols=(
+                            list(model.check_cols) if model.check_cols
+                            else None
+                        ),
+                        now=self.now,
+                    )
+
+                # compare-and-swap: losing a concurrent-writer race
+                # re-runs the SCD2 transform on the winner's snapshot
+                # instead of clobbering it with a stale merge
+                tx.transform(apply_snapshot, op="snapshot")
+                self._exists[model.name] = True
                 return tx.snapshot()
             return snap.snapshot_merge(
                 self.spark,
@@ -297,6 +326,7 @@ class Runner:
                     else None
                 )
                 tx.merge(df, [model.unique_key], scope_col=scope)
+                self._exists[model.name] = True
                 return tx.snapshot()
             merged = mat.merge_upsert(
                 self.spark, path, df, model.unique_key, partition_by=model.partition_by
@@ -305,9 +335,12 @@ class Runner:
         if self.table_format == "txlog":
             tx = self._tx(model.name)
             tx.overwrite(df)
+            self._exists[model.name] = True
             return tx.snapshot()
         # table / transient / first incremental run → full overwrite
-        return mat.overwrite(self.spark, path, df, partition_by=model.partition_by)
+        out = mat.overwrite(self.spark, path, df, partition_by=model.partition_by)
+        self._exists[model.name] = True
+        return out
 
     def run(self, names: list[str] | None = None) -> dict[str, DataFrame]:
         out = {}
@@ -355,7 +388,13 @@ class Runner:
         """
         from . import checks as C
 
-        fresh = C.run_freshness(self.source, self.now, freshness)
+        # None means NO suites, not "this repo's project suites": the
+        # engine is generic, and defaulting to the furchild project's
+        # CHECKS/FRESHNESS lists here would crash any other registry
+        # (KeyError on its sources before a single model builds). The
+        # project's own callers pass checks.CHECKS / checks.FRESHNESS
+        # explicitly.
+        fresh = C.run_freshness(self.source, self.now, freshness or [])
         stale = [f for f in fresh if f.status == "error"]
         if stale and raise_on_error:
             raise BuildError(
@@ -366,7 +405,10 @@ class Runner:
         check_results = (
             []
             if stale
-            else C.run_checks(self.ref, checks, models=set(models) or None)
+            else C.run_checks(
+                self.ref, checks or [],
+                models=set(models) if names is not None else None,
+            )
         )
         result = BuildResult(models=models, checks=check_results, freshness=fresh)
         if raise_on_error and result.errors:

@@ -70,6 +70,7 @@ def snapshot_merge(
     """Apply one snapshot run of ``source`` onto the SCD2 table at ``path``
     and return the new table. First run initializes every source row as an
     open version."""
+    validate_snapshot_source(source, unique_key, strategy, updated_at)
     existing = (
         mat.read_table(spark, path) if mat.parquet_exists(spark, path) else None
     )
@@ -91,6 +92,46 @@ def snapshot_merge(
     merged.write.mode("overwrite").parquet(path + "__staged")
     mat._swap_in(spark, path)
     return mat.read_table(spark, path)
+
+
+def validate_snapshot_source(
+    source: DataFrame,
+    unique_key: str,
+    strategy: str = "timestamp",
+    updated_at: str | None = None,
+) -> None:
+    """Reject source batches that would silently corrupt the SCD2 chain
+    (dbt documents the same preconditions but fails later and worse):
+
+    - NULL ``unique_key`` rows: the left join can never match them, so
+      each run would re-insert another open copy (idempotency broken);
+    - duplicate keys within one batch: two open versions + duplicated
+      closed rows in a single run;
+    - NULL ``updated_at`` under the timestamp strategy: three-valued
+      logic makes the row invisible to change detection forever.
+
+    One small aggregation job per snapshot run — snapshot runs are
+    already write-heavy, and a loud precondition beats silent chain
+    corruption."""
+    checks = [
+        F.sum(F.col(unique_key).isNull().cast("int")).alias("null_keys"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col(unique_key))).alias(
+            "dup_keys"
+        ),
+    ]
+    if strategy == "timestamp" and updated_at:
+        checks.append(
+            F.sum(F.col(updated_at).isNull().cast("int")).alias("null_ts")
+        )
+    row = source.agg(*checks).first()
+    problems = {k: v for k, v in row.asDict().items() if v}
+    if problems:
+        raise ValueError(
+            f"snapshot source violates SCD2 preconditions: {problems} "
+            f"(unique_key={unique_key!r} must be unique and non-null"
+            + (f"; {updated_at!r} must be non-null" if updated_at else "")
+            + ")"
+        )
 
 
 def scd2_apply(
@@ -123,6 +164,11 @@ def scd2_apply(
 
     if any(c in source.columns for c in SNAP_COLS):
         raise ValueError(f"source must not already carry {SNAP_COLS}")
+    if check_cols and unique_key in check_cols:
+        raise ValueError(
+            "check_cols must not include the unique_key (the key is the "
+            "join identity; a key 'change' is a new key, not a new version)"
+        )
 
     if existing is None:
         return _stamp_first(source, unique_key, new_valid_from)
@@ -131,22 +177,38 @@ def scd2_apply(
     current = existing.filter(F.col("valid_to").isNull())
 
     # one keyed join decides everything: rows with no current version are
-    # brand-new keys; matched rows are new versions iff `changed`
+    # brand-new keys; matched rows are new versions iff `changed`.
+    # append_new_columns evolution: a column the source grew that the
+    # existing table lacks has no __cur_ side — it reads as NULL below,
+    # so evolution never crashes the join and (for check strategy) a
+    # newly-tracked column counts as changed exactly when it is non-null.
     cur_cmp = current.select(
         F.col(unique_key).alias("__key"),
-        *[F.col(c).alias(f"__cur_{c}") for c in source.columns if c != unique_key],
+        *[
+            F.col(c).alias(f"__cur_{c}")
+            for c in source.columns
+            if c != unique_key and c in existing.columns
+        ],
     )
+
+    def cur(c):
+        return (
+            F.col(f"__cur_{c}")
+            if c in existing.columns
+            else F.lit(None)
+        )
+
     joined = source.join(
         cur_cmp, source[unique_key] == cur_cmp["__key"], "left"
     )
     if strategy == "timestamp":
-        changed = F.col(updated_at).cast("timestamp") > F.col(
-            f"__cur_{updated_at}"
+        changed = F.col(updated_at).cast("timestamp") > cur(
+            updated_at
         ).cast("timestamp")
     else:
         changed = F.lit(False)
         for c in check_cols:
-            changed = changed | ~F.col(c).eqNullSafe(F.col(f"__cur_{c}"))
+            changed = changed | ~F.col(c).eqNullSafe(cur(c))
     is_new_key = F.col("__key").isNull()
 
     inserts = (

@@ -1057,6 +1057,30 @@ class TxTable:
                 if attempt == max_retries:
                     raise
 
+    def transform(
+        self, fn, op: str = "transform", max_retries: int = 3
+    ) -> int:
+        """Atomic read-modify-write with compare-and-swap retry:
+        ``fn(current_snapshot_or_None) -> new_df`` computes the
+        replacement table, and the commit is validated against the exact
+        version the snapshot was read from — losing the race RE-RUNS
+        ``fn`` on the winner's snapshot instead of blindly re-committing
+        a stale result (which would silently drop the winner's rows, the
+        failure a plain ``overwrite()`` retry allows). The primitive the
+        Runner's SCD2-on-txlog path builds on."""
+        for attempt in range(max_retries + 1):
+            base = self.current_version()
+            current = self.snapshot(base) if base else None
+            new_df = fn(current)
+            files, rows = self._write_data(new_df)
+            manifest = self._manifest_for(new_df, op, files, rows)
+            try:
+                return self._commit(manifest, base)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+                # recompute from the winner's snapshot on the next loop
+
     def optimize(self, max_retries: int = 3) -> int:
         """Full physical re-layout (``OPTIMIZE`` / ``OPTIMIZE ZORDER``):
         every data file is rewritten through the CURRENT layout policy

@@ -107,7 +107,7 @@ def test_build_full_dag_with_checks_and_freshness(runner):
     models materialize, every check in the suite executes, no
     error-severity failures, and both freshness-gated sources report
     within threshold (runner.now = INGEST + 1 day, warn_after = 24h)."""
-    res = runner.build()
+    res = runner.build(checks=C.CHECKS, freshness=C.FRESHNESS)
     assert set(res.models) == set(runner.registry.names())
     assert len(res.checks) == len(C.CHECKS)
     assert not res.errors, f"build errors: {res.errors}"

@@ -119,3 +119,64 @@ def test_runner_snapshot_materialization(spark, tmp_path):
     out = r2.run()["dim_status_history"]
     got = _by_key(out)
     assert got == {(1, T0, T2): "new", (1, T2, None): "done"}
+
+
+def test_snapshot_rejects_null_and_duplicate_keys(spark, tmp_path):
+    """Review regression: NULL or duplicate unique_key rows in one batch
+    must fail loudly instead of corrupting the SCD2 chain."""
+    import datetime as dt
+
+    from furchild_spark.engine import snapshot as snap
+
+    t0 = dt.datetime(2024, 1, 1)
+    dup = spark.createDataFrame(
+        [(1, "a", t0), (1, "b", t0)], "id long, v string, updated_at timestamp"
+    )
+    with pytest.raises(ValueError, match="dup_keys"):
+        snap.snapshot_merge(spark, str(tmp_path / "s1"), dup, "id",
+                            updated_at="updated_at")
+    nullk = spark.createDataFrame(
+        [(None, "a", t0)], "id long, v string, updated_at timestamp"
+    )
+    with pytest.raises(ValueError, match="null_keys"):
+        snap.snapshot_merge(spark, str(tmp_path / "s2"), nullk, "id",
+                            updated_at="updated_at")
+    nullts = spark.createDataFrame(
+        [(1, "a", None)], "id long, v string, updated_at timestamp"
+    )
+    with pytest.raises(ValueError, match="null_ts"):
+        snap.snapshot_merge(spark, str(tmp_path / "s3"), nullts, "id",
+                            updated_at="updated_at")
+
+
+def test_snapshot_source_schema_evolution(spark, tmp_path):
+    """Review regression: a source that GROWS a column must not crash the
+    change-detection join; history rows read the new column as NULL."""
+    import datetime as dt
+
+    from furchild_spark.engine import snapshot as snap
+
+    path = str(tmp_path / "ev")
+    t0, t1 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    snap.snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame([(1, "gold", t0)],
+                              "id long, tier string, updated_at timestamp"),
+        "id",
+        updated_at="updated_at",
+    )
+    out = snap.snapshot_merge(
+        spark,
+        path,
+        spark.createDataFrame(
+            [(1, "gold", t1, "x@y.z")],
+            "id long, tier string, updated_at timestamp, email string",
+        ),
+        "id",
+        updated_at="updated_at",
+    )
+    rows = sorted(out.collect(), key=lambda r: (r.valid_from,))
+    assert len(rows) == 2
+    assert rows[0].email is None and rows[0].valid_to == t1
+    assert rows[1].email == "x@y.z" and rows[1].valid_to is None

@@ -231,3 +231,33 @@ def test_lineage_records_dag_edges(spark, bronze_dir, tmp_path_factory):
     # memoized second consumer still records its edge
     r.ref("dim_orders")
     assert "stg_orders" in lin["dim_orders"]["refs"]
+
+
+def test_string_configs_wrap_not_explode(spark):
+    """Review regression: partition_by='day' must mean ('day',), never
+    ('d','a','y')."""
+    reg = ModelRegistry()
+
+    @reg.model(name="m1", materialized="incremental", unique_key="id",
+               partition_by="day", tags="nightly")
+    def m1(ctx):
+        return ctx.source("s")
+
+    assert reg["m1"].partition_by == ("day",)
+    assert reg["m1"].tags == ("nightly",)
+
+
+def test_ref_cycle_raises_clear_error(spark):
+    reg = ModelRegistry()
+
+    @reg.model(name="a", materialized="view")
+    def a(ctx):
+        return ctx.ref("b")
+
+    @reg.model(name="b", materialized="view")
+    def b(ctx):
+        return ctx.ref("a")
+
+    r = Runner(spark, reg, sources={})
+    with pytest.raises(RuntimeError, match="cycle: a -> b -> a"):
+        r.ref("a")
