@@ -169,11 +169,16 @@ def stratified_hash_sample(
 # vocabulary / document frequency / IDF
 # ---------------------------------------------------------------------------
 
-def vocab_df_idf(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(token, df, idf) vocabulary table. Distinctness per document is
-    established in-row (``array_distinct``) before the explode, so the only
-    exchange is the token groupBy (partial-aggregated map-side). The corpus
-    size joins in as a broadcast single-row aggregate — no ``collect``."""
+def vocab_df_idf(df: DataFrame, text_col: str) -> DataFrame:
+    """(token, df, idf) vocabulary table. CONTRACT: one input row = one
+    document (the same precondition as every dedup/split operator here —
+    pre-deduplicate upstream if re-ingestion can repeat a document; an
+    id-keyed dropDuplicates inside would double the scan and add two
+    exchanges for every caller that already guarantees uniqueness).
+    Distinctness per document is established in-row (``array_distinct``)
+    before the explode, so the only exchange is the token groupBy
+    (partial-aggregated map-side). The corpus size joins in as a
+    broadcast single-row aggregate — no ``collect``."""
     tok_rows = df.select(
         F.explode(F.array_distinct(tokens(text_col))).alias("token")
     )
@@ -202,10 +207,15 @@ def chunk_documents(
 
     Chunk i covers tokens ``[i·step, i·step + max_tokens)`` with
     ``step = max_tokens − overlap``; every token appears in at least one
-    chunk and consecutive chunks share ``overlap`` tokens. Entirely
-    in-row array algebra (sequence → slice → posexplode): map-only, no
-    shuffle, no UDF — at 100 TB chunking fuses into the corpus scan.
-    Documents with no tokens produce no chunks.
+    chunk and consecutive chunks share ``overlap`` tokens. A final start
+    whose chunk would be FULLY CONTAINED in the previous one (truncation
+    leaves only already-covered overlap tokens: ``start + overlap ≥
+    size``) is dropped — without this, 1 in ``step`` document lengths
+    would emit a wholly redundant trailing chunk, injecting duplicate
+    passages from the very pipeline built to remove them. Entirely
+    in-row array algebra (sequence → filter → slice → posexplode):
+    map-only, no shuffle, no UDF — at 100 TB chunking fuses into the
+    corpus scan. Documents with no tokens produce no chunks.
     """
     assert 0 <= overlap < max_tokens
     step = max_tokens - overlap
@@ -215,7 +225,11 @@ def chunk_documents(
         "__toks",
         F.when(
             F.size("__toks") > 0,
-            F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(step)),
+            F.filter(
+                F.sequence(F.lit(0), F.size("__toks") - 1, F.lit(step)),
+                lambda st: (st == 0)
+                | (st + F.lit(overlap) < F.size("__toks")),
+            ),
         ).otherwise(F.array().cast("array<int>")).alias("__starts"),
     )
     chunks = staged.select(
@@ -245,7 +259,7 @@ def tfidf_top_terms(
     high-cardinality columns; the idf side joins in on the token key."""
     tok_rows = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
     tf = tok_rows.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
-    idf = vocab_df_idf(df, id_col, text_col).select("token", "idf")
+    idf = vocab_df_idf(df, text_col).select("token", "idf")
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("token")
     )
@@ -274,12 +288,19 @@ def redact_pii(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Pure ``regexp_replace``/``regexp_extract_all`` projections — map-only,
     fused into the scan at scale."""
     c = F.col(text_col)
-    n_urls = F.size(F.regexp_extract_all(c, F.lit(URL_RX), F.lit(0)))
-    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RX), F.lit(0)))
-    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RX), F.lit(0)))
     red = F.regexp_replace(c, URL_RX, "<URL>")
     red = F.regexp_replace(red, EMAIL_RX, "<EMAIL>")
     red = F.regexp_replace(red, PHONE_RX, "<PHONE>")
+    # counts come from the REDACTED text (placeholder occurrences), so
+    # they always equal the number of replacements: an email inside a
+    # URL is counted once, as the URL that swallowed it — counting on
+    # the raw text would double-count exactly those nested matches
+    def n_tok(tok):
+        return F.size(F.split(red, tok)) - 1
+
+    n_urls, n_emails, n_phones = (
+        n_tok("<URL>"), n_tok("<EMAIL>"), n_tok("<PHONE>")
+    )
     return df.select(
         F.col(id_col),
         n_urls.cast("long").alias("n_urls"),

@@ -33,8 +33,12 @@ def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     the survivor id (min id) and the duplicate count. Single shuffle on the
     128-bit fingerprint; partial aggregation makes the map side do the heavy
     lifting at scale."""
+    # NULL text canonicalizes to '' so NULL/empty documents share one
+    # NON-NULL fingerprint: groupBy and the incremental anti-join then
+    # agree (a NULL key would group here but never match a join there)
+    fp = F.md5(F.coalesce(normalize_text(text_col), F.lit("")))
     return (
-        df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("fingerprint"))
+        df.select(F.col(id_col), fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -99,6 +103,12 @@ def minhash_signatures(
     Documents with an empty shingle set (< k tokens) are dropped, matching
     the row-form semantics (no shingles → no signature → never banded).
     """
+    if hash_fn not in ("md5", "xxhash64"):
+        # a typo'd name silently falling back to md5 would make batch
+        # signatures unjoinable against an xxhash64-built corpus table —
+        # zero matches, no error (total recall collapse)
+        raise ValueError(f"unknown hash_fn {hash_fn!r} (md5|xxhash64)")
+
     def h(i: int):
         if hash_fn == "xxhash64":
             return lambda s: F.xxhash64(F.lit(i), s)
@@ -121,7 +131,15 @@ def lsh_band_signatures(
     comma-joined minhashes mh[b*r .. (b+1)*r-1], i.e. exactly the
     perm-ordered concatenation the row-form computed with
     sort_array(collect_list(...))."""
-    mh_cols = [c for c in sigs.columns if c.startswith("mh")]
+    import re as _re
+
+    mh_cols = [c for c in sigs.columns if _re.fullmatch(r"mh\d+", c)]
+    if len(mh_cols) % rows_per_band:
+        raise ValueError(
+            f"{len(mh_cols)} minhash columns do not band evenly into "
+            f"rows_per_band={rows_per_band}; trailing permutations would "
+            "be silently dropped (choose num_perm divisible by rows_per_band)"
+        )
     num_bands = len(mh_cols) // rows_per_band
     bands = F.array(
         *[
@@ -234,6 +252,10 @@ def minhash_near_duplicates(
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash from md5 hex nibbles, exact-integer end to end.
 
+    Documents with no tokens (empty/NULL text) produce NO signature row —
+    the same contract as minhash_signatures (no shingles → no signature);
+    join survivors back with a left join if every id must appear.
+
     Bit j of a token's hash = 1 iff hex digit j of md5(token) is in [8..f].
     The document SimHash sets bit j when the (+1/-1) vote sum over all token
     *occurrences* is positive.
@@ -307,6 +329,12 @@ def ngram_prefix_docs(
     Returns (bucket, id, sz, mask, cold, prefix); exact, no candidates
     lost.
     """
+    if hot_cap > 64:
+        raise ValueError(
+            f"hot_cap={hot_cap} exceeds the 64-bit membership mask; "
+            "shiftleft wraps modulo 64 and would silently corrupt "
+            "intersection counts"
+        )
     # persisted: scanned twice (dfreq aggregation + the hot broadcast
     # join), and the barrier keeps the tokenize+hash projection parallel
     # instead of collapsed below fanout's repartition into the one-task
@@ -519,7 +547,9 @@ def exact_dedup_incremental(
     cost is one anti-join keyed on the 128-bit fingerprint, map-side
     combined on the batch side. Nothing about the corpus is rewritten.
     """
-    fp = F.md5(normalize_text(text_col)).alias("fingerprint")
+    fp = F.md5(
+        F.coalesce(normalize_text(text_col), F.lit(""))
+    ).alias("fingerprint")
     corpus_fps = corpus_df.select(fp).distinct()
     batch = new_df.select(F.col(id_col), fp)
     intra = batch.groupBy("fingerprint").agg(F.min(id_col).alias(id_col))

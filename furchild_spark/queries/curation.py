@@ -106,7 +106,7 @@ FROM tok GROUP BY token
 )
 def vocab_idf(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
-    return curate.vocab_df_idf(d, "doc_id", "text")
+    return curate.vocab_df_idf(d, "text")
 
 
 # ---------------------------------------------------------------------------
@@ -117,16 +117,21 @@ def vocab_idf(spark, sf_dir):
     "pii_redact",
     section="LLM-curation PII scrubbing (URL/email/phone, RE2 patterns)",
     oracle=f"""
-SELECT doc_id,
-  CAST(len(regexp_extract_all(text, '{curate.URL_RX}')) AS BIGINT) AS n_urls,
-  CAST(len(regexp_extract_all(text, '{curate.EMAIL_RX}')) AS BIGINT) AS n_emails,
-  CAST(len(regexp_extract_all(text, '{curate.PHONE_RX}')) AS BIGINT) AS n_phones,
-  regexp_replace(
+WITH red AS (
+  SELECT doc_id,
     regexp_replace(
-      regexp_replace(text, '{curate.URL_RX}', '<URL>', 'g'),
-      '{curate.EMAIL_RX}', '<EMAIL>', 'g'),
-    '{curate.PHONE_RX}', '<PHONE>', 'g') AS redacted_text
-FROM documents
+      regexp_replace(
+        regexp_replace(text, '{curate.URL_RX}', '<URL>', 'g'),
+        '{curate.EMAIL_RX}', '<EMAIL>', 'g'),
+      '{curate.PHONE_RX}', '<PHONE>', 'g') AS redacted_text
+  FROM documents
+)
+SELECT doc_id,
+  CAST(len(string_split(redacted_text, '<URL>')) - 1 AS BIGINT) AS n_urls,
+  CAST(len(string_split(redacted_text, '<EMAIL>')) - 1 AS BIGINT) AS n_emails,
+  CAST(len(string_split(redacted_text, '<PHONE>')) - 1 AS BIGINT) AS n_phones,
+  redacted_text
+FROM red
 """,
 )
 def pii_redact(spark, sf_dir):
@@ -284,8 +289,10 @@ def tfidf_top_terms(spark, sf_dir):
     oracle=f"""
 WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 starts AS (
-  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
-  FROM tok WHERE len(t) > 0
+  SELECT doc_id, t, s FROM (
+    SELECT doc_id, t, unnest(range(0, len(t), 24)) AS s
+    FROM tok WHERE len(t) > 0
+  ) WHERE s = 0 OR s + 8 < len(t)
 ), ch AS (
   SELECT doc_id, CAST(s // 24 AS BIGINT) AS chunk_idx,
     list_slice(t, s + 1, s + 32) AS chunk

@@ -27,10 +27,10 @@ from ._oracle_fragments import _MINHASH_CTES, _NORM, _TOKS  # noqa: F401
     section="LLM-dedup exact (hash-groupBy, survivor = min id)",
     headline=True,
     oracle=f"""
-SELECT md5({_NORM}) AS fingerprint,
+SELECT md5(coalesce({_NORM}, '')) AS fingerprint,
   MIN(doc_id) AS keep_id,
   COUNT(*) AS n_docs
-FROM documents GROUP BY md5({_NORM})
+FROM documents GROUP BY md5(coalesce({_NORM}, ''))
 """,
 )
 def exact_dedup(spark, sf_dir):
@@ -775,7 +775,7 @@ _CORPUS_PRED = "doc_id % 5 <> 0"
         "fingerprints (anti-join; corpus never rescanned at scale)"
     ),
     oracle=f"""
-WITH fp AS (SELECT doc_id, md5({_NORM}) AS fingerprint FROM documents),
+WITH fp AS (SELECT doc_id, md5(coalesce({_NORM}, '')) AS fingerprint FROM documents),
 corpus AS (SELECT DISTINCT fingerprint FROM fp WHERE {_CORPUS_PRED}),
 batch AS (SELECT doc_id, fingerprint FROM fp WHERE {_BATCH_PRED}),
 intra AS (

@@ -175,8 +175,12 @@ def test_chunk_documents_windows_and_overlap(spark):
     )
     assert rows[0] == (0, "t0 t1 t2 t3", 4)
     assert rows[1] == (1, "t2 t3 t4 t5", 4)  # 2-token overlap with chunk 0
-    assert rows[-1] == (4, "t8 t9", 2)       # trailing partial chunk
-    assert len(rows) == 5
+    # the old trailing start 8 would yield "t8 t9" — fully contained in
+    # chunk 3 ("t6 t7 t8 t9"); redundant trailing chunks are now dropped
+    assert rows[-1] == (3, "t6 t7 t8 t9", 4)
+    covered = {t for _, txt, _ in rows for t in txt.split(" ")}
+    assert covered == {f"t{i}" for i in range(10)}  # full coverage kept
+    assert len(rows) == 4
     # empty document -> no chunks
     assert out.filter("doc_id = 2").count() == 0
     # every token covered
@@ -263,7 +267,7 @@ def test_vocab_idf_counts(spark):
          Row(doc_id=3, text="c c d")]
     )
     got = {r["token"]: (r["df"], r["idf"])
-           for r in curate.vocab_df_idf(df, "doc_id", "text").collect()}
+           for r in curate.vocab_df_idf(df, "text").collect()}
     assert got["a"][0] == 2 and got["b"][0] == 1 and got["c"][0] == 2
     assert got["d"][1] == pytest.approx(1.098612, abs=1e-6)  # ln(3/1)
 
@@ -359,3 +363,46 @@ def test_suppress_duplicate_chunks_null_and_empty_text(spark):
         # the '' chunk is shared by three docs → boilerplate → removed
         assert out[d]["n_removed"] == 1 and out[d]["cleaned_text"] == ""
     assert out[3]["n_removed"] == 0
+
+
+def test_chunk_documents_no_redundant_trailing_chunk(spark):
+    """Review regression: a 25-token doc at max=32/overlap=8 (step=24)
+    must emit ONE chunk — the old code emitted a second chunk fully
+    contained in the first."""
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25))),
+         (2, " ".join(f"t{i}" for i in range(40))),
+         (3, " ".join(f"t{i}" for i in range(24)))],
+        "doc_id long, text string",
+    )
+    out = curate.chunk_documents(docs, "doc_id", "text",
+                                 max_tokens=32, overlap=8)
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r.doc_id, []).append(r)
+    assert len(by_id[1]) == 1 and by_id[1][0].n_tokens == 25
+    assert len(by_id[3]) == 1
+    # 40 tokens: chunk0 [0,32), chunk1 [24,40) adds tokens 32..39 → kept
+    assert len(by_id[2]) == 2
+    assert by_id[2][1].n_tokens == 16
+    # every token still covered
+    covered = set()
+    for r in by_id[2]:
+        covered.update(r.chunk_text.split(" "))
+    assert covered == {f"t{i}" for i in range(40)}
+
+
+def test_redact_pii_counts_match_replacements(spark):
+    """Review regression: an email inside a URL counts once (as the URL),
+    so counts always equal the placeholder occurrences."""
+    docs = spark.createDataFrame(
+        [(1, "visit https://x.com/user@mail.com now"),
+         (2, "mail me at a@b.co or c@d.org")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in
+           curate.redact_pii(docs, "doc_id", "text").collect()}
+    assert out[1].n_urls == 1 and out[1].n_emails == 0
+    assert out[1].redacted_text.count("<URL>") == 1
+    assert "<EMAIL>" not in out[1].redacted_text
+    assert out[2].n_emails == 2
