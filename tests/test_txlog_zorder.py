@@ -289,3 +289,36 @@ def test_stream_scoped_merge_keeps_schema_when_no_files_touched(spark, tmp_path)
     cols = set(t.snapshot().columns)
     assert cols == {"id", "scope", "payload"}
     assert t.snapshot().count() == 2
+
+
+def test_pruning_equals_filter_property(spark, tmp_path):
+    """Property: for ANY predicate combination over both layouts, file
+    skipping (stats + bloom + zorder) must return exactly the rows a
+    plain filter returns — conservative skipping can prune files, never
+    rows."""
+    import itertools
+
+    df = _grid(spark, 1500)
+    tables = []
+    for name, zorder in [("pl", False), ("pz", True)]:
+        t = TxTable(spark, str(tmp_path / name), cluster_by=("x", "y"))
+        t.target_files = 8
+        t.zorder = zorder
+        t.bloom_cols = ("x",)
+        t.overwrite(df)
+        tables.append(t)
+
+    ops = ["==", "<", "<=", ">", ">="]
+    vals = [0, 7, 31, 62, 999]
+    cases = list(itertools.product(["x", "y"], ops, vals))[::4]
+    cases += [[("x", ">", 10), ("y", "<=", 20)],
+              [("x", "==", 999)], [("y", ">=", 61), ("x", "<", 5)]]
+    for case in cases:
+        where = [case] if isinstance(case, tuple) else case
+        for t in tables:
+            pruned = sorted(r.id for r in t.snapshot(where=where).collect())
+            full = t.snapshot()
+            for col, op, val in where:
+                full = full.filter(f"{col} {op if op != '==' else '='} {val}")
+            want = sorted(r.id for r in full.collect())
+            assert pruned == want, (where, t.path)
