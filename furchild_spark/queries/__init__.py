@@ -36,6 +36,7 @@ from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402  # engine extras
 from . import txlog_e2e  # noqa: F401,E402  # transactional table format
+from . import tpch  # noqa: F401,E402  # remaining TPC-H decision-support shapes
 
 # Driver-window priority (round 4): the entries with NO driver CORRECTNESS
 # row at current HEAD go first — 8 registered after round 3's run started,
@@ -56,6 +57,17 @@ _PRIORITY = [
     "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
     "pack_sequences", "pivot_event_counts", "quality_rules",
     "rollup_revenue", "window_frames",
+    # never driver-checked (added in round 4's second session: the
+    # remaining TPC-H decision-support shapes — subquery rewrites,
+    # semi/anti joins, scalar thresholds, disjunctive pushdown)
+    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
+    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
+    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q11_important_parts", "tpch_q13_custdist",
+    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity", "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
+    "tpch_q22_sales_opportunity",
     # r2-green only — driver evidence predates round-3 commits
     "ann_cosine_topk", "ann_ivf_topk", "anti_join_no_urgent",
     "asof_click_attribution", "case_math", "channel_ltv",
