@@ -37,6 +37,7 @@ from . import llmops  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402  # engine extras
 from . import txlog_e2e  # noqa: F401,E402  # transactional table format
 from . import tpch  # noqa: F401,E402  # remaining TPC-H decision-support shapes
+from . import timeseries  # noqa: F401,E402  # gap-fill/funnel/retention/rolling-DAU
 
 # Driver-window priority (round 4): the entries with NO driver CORRECTNESS
 # row at current HEAD go first — 8 registered after round 3's run started,
@@ -68,6 +69,8 @@ _PRIORITY = [
     "tpch_q17_small_quantity", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
     "tpch_q22_sales_opportunity",
+    "gapfill_forward_fill", "funnel_conversion", "retention_matrix",
+    "rolling_active_users",
     # r2-green only — driver evidence predates round-3 commits
     "ann_cosine_topk", "ann_ivf_topk", "anti_join_no_urgent",
     "asof_click_attribution", "case_math", "channel_ltv",
