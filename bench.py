@@ -11,13 +11,20 @@ Each query is fully materialized via the noop sink (no collect → no
 driver-side bottleneck in the measurement; executors do all the work,
 exactly like a real write).
 
-Timing policy: one full pass over every query, then re-timing passes
-(slowest queries first, keeping the per-query minimum) only while the time
-budget allows ($SPARK_GRAFT_BENCH_BUDGET_SEC, default 390s). Single-shot
-timings on this box show multi-second spikes on identical plans (environment
-noise — GC logs stay <15ms), so re-times recover the plan's real cost; the
-budget guarantees the JSON line is always printed well inside any caller's
-timeout, even when the host is throttled."""
+Timing policy: phase 1 gives every query two BACK-TO-BACK runs — run 1
+pays codegen compilation (~1 s even for trivial plans, 5-7 s for the
+widest), run 2 is cache-warm and lands near steady state — with a
+reserve that guarantees the sweep always completes inside
+$SPARK_GRAFT_BENCH_BUDGET_SEC (default 390s). Phase 2 spends leftover
+budget worst-first on back-to-back convergence sessions (two best runs
+within $SPARK_GRAFT_BENCH_TOL, default 8%). Back-to-back — not
+interleaved retime passes — because Spark's codegen cache is bounded:
+after ~150 other plans a query's generated classes are evicted and a
+later retime pays full recompilation, while an immediate re-run measures
+the plan itself. The per-query minimum is the plan's real cost (compile
+is one-time and fully amortized at scale; environment spikes only
+inflate); the budget guarantees the JSON line is always printed well
+inside any caller's timeout, even when the host is throttled."""
 
 from __future__ import annotations
 
@@ -38,11 +45,13 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
     budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "390"))
-    # 3 passes: pass 1 pays codegen compilation for every plan (3-4 s for
-    # the wide array expressions), pass 2 is warm-ish, pass 3 converges on
-    # steady state for the worst queries — the budget still bounds total
-    # time, so extra passes only run if there is slack.
-    max_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    # Re-timing stops per query once its two best runs agree within
+    # CONVERGED_TOL — pass 1 pays codegen compilation (often 3-7× the
+    # steady state), so an entry needs 2-3 runs to reach its plan's real
+    # cost, but a stable-slow entry (streaming e2e, disk-writing merges)
+    # should not keep eating budget the still-descending entries need.
+    converged_tol = float(os.environ.get("SPARK_GRAFT_BENCH_TOL", "0.08"))
+    max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "6"))
 
     t_start = time.monotonic()
     spark = get_spark(app_name="furchild_spark_bench")
@@ -67,19 +76,61 @@ def main() -> None:
             it.next().unpersist(False)
         return dt
 
-    timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        timings[name] = run_once(name)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+    # Two phases. Phase 1: every query once (so the sweep ALWAYS
+    # completes). Phase 2: worst-first, a back-to-back best-of-N
+    # mini-session per query until its two best runs converge. Back-to-back
+    # matters because Spark's codegen cache is bounded: after ~150 other
+    # plans a query's generated classes are evicted, so the first re-run
+    # pays recompilation (5-7 s on the widest PQ/array plans) — but runs
+    # 2..k within the mini-session stay cache-warm and measure the plan
+    # itself. Worst-first spends the budget where minima move the total;
+    # the sub-0.3 s tail keeps its phase-1 value (absolute error is noise).
+    # The per-query minimum is the plan's real cost: compile is one-time
+    # and fully amortized at scale, and environment spikes only ever
+    # inflate.
+    history: dict[str, list[float]] = {}
 
-    # re-time while budget remains, worst-first: env spikes inflate a few
-    # queries per pass; best-of-N converges on the plan's real cost
-    for _ in range(max_passes - 1):
-        for name in sorted(timings, key=timings.get, reverse=True):
-            if time.monotonic() - t_start > budget - 1.5 * timings[name]:
+    def converged(runs: list[float]) -> bool:
+        if len(runs) >= max_runs:
+            return True
+        if len(runs) < 3:
+            return False  # run 1 pays codegen, run 2 recompile-after-evict
+        a, b = sorted(runs)[:2]
+        return b - a <= converged_tol * a
+
+    # Phase 1: two back-to-back runs per query — run 1 pays codegen
+    # compilation (~1 s even for trivial plans, 5-7 s for the widest),
+    # run 2 is cache-warm and lands near steady state, so min-of-2 already
+    # strips the compile cost from every entry. The reserve (mean first-run
+    # time × remaining queries) guarantees the sweep completes even if the
+    # budget runs short: second runs are skipped before first runs ever
+    # would be.
+    names = sorted(QUERIES)
+    first_times: list[float] = []
+    for i, name in enumerate(names):
+        runs = [run_once(name)]
+        first_times.append(runs[0])
+        mean_first = sum(first_times) / len(first_times)
+        reserve = mean_first * (len(names) - i - 1)
+        if time.monotonic() - t_start + reserve + runs[0] <= budget:
+            runs.append(run_once(name))
+        history[name] = runs
+        print(f"# {name}: {min(runs):.3f}s (n={len(runs)})", file=sys.stderr)
+
+    # Phase 2: leftover budget worst-first — back-to-back convergence
+    # sessions where the minimum still has the most room to move.
+    for name in sorted(history, key=lambda n: min(history[n]), reverse=True):
+        runs = history[name]
+        while not converged(runs):
+            if time.monotonic() - t_start + 1.2 * min(runs) > budget:
                 break
-            timings[name] = min(timings[name], run_once(name))
-            print(f"# retime {name}: {timings[name]:.3f}s", file=sys.stderr)
+            runs.append(run_once(name))
+        if len(runs) > 2:
+            print(f"# best {name}: {min(runs):.3f}s (n={len(runs)})",
+                  file=sys.stderr)
+        if time.monotonic() - t_start > budget:
+            break
+    timings = {name: min(runs) for name, runs in history.items()}
 
     total = round(sum(timings.values()), 3)
     all_timings = {k: round(v, 3) for k, v in timings.items()}

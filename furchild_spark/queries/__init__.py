@@ -38,12 +38,21 @@ from . import analytics  # noqa: F401,E402  # engine extras
 from . import txlog_e2e  # noqa: F401,E402  # transactional table format
 from . import tpch  # noqa: F401,E402  # remaining TPC-H decision-support shapes
 from . import timeseries  # noqa: F401,E402  # gap-fill/funnel/retention/rolling-DAU
+from . import sqlapi  # noqa: F401,E402  # spark.sql front-end proofs
 
-# Driver-window priority (round 4): the entries with NO driver CORRECTNESS
-# row at current HEAD go first — 8 registered after round 3's run started,
-# then the 41 whose only green row is round 2 (code has moved since). The
-# 50 entries round 3 proved at (near-)HEAD come last; if the run truncates
-# again, r4 ∪ r3 still covers all 99 at current code.
+# Driver-window priority (round 4): the driver's correctness run records
+# EXACTLY 50 entries (r2 and r3 both: hard cap, not a time box), so the
+# first 50 registered names are the round's driver evidence. 58 catalog
+# entries currently have no driver row at any HEAD; the 50 below are that
+# set minus the eight whose operator shape a sibling INSIDE the window
+# already proves (tpch_q6 ≈ pricing_summary scan-filter-agg, tpch_q14 ≈
+# tpch_q8 CASE-ratio, tpch_q15 ≈ tpch_q11 scalar-threshold broadcast,
+# tpch_q4 ≈ tpch_q21's left_semi, tpch_q9 ≈ tpch_q7/q8 broadcast-star
+# rollup, grouping_sets_revenue ≈ rollup/cube Expand family,
+# range_interval_window ≈ window_frames, multimodal_frame_sample ≈ the
+# decode trio + multimodal_meta) — those eight follow at 51-58 and stay
+# green locally and at sf0.1, then the r2-era entries whose driver
+# evidence is merely stale, then the r3-proven balance.
 _PRIORITY = [
     # never driver-checked (added in round 4: real media decode, txlog)
     "multimodal_image_decode", "multimodal_image_resize",
@@ -55,22 +64,34 @@ _PRIORITY = [
     "pq_codes", "ann_pq_topk", "ann_pq_rerank_topk", "curation_pipeline", "boilerplate_chunk_removal", "txlog_delete_e2e",
     "outlier_docs",
     # never driver-checked (added late in round 3)
-    "ann_lsh_topk", "mixture_report", "multimodal_frame_sample",
+    "ann_lsh_topk", "mixture_report",
     "pack_sequences", "pivot_event_counts", "quality_rules",
     "rollup_revenue", "window_frames",
+    # never driver-checked (round 4 first session: incremental dedup,
+    # decontamination, batch assembly, txlog/ORC e2e)
+    "exact_dedup_incremental", "minhash_neardup_incremental",
+    "contamination_check", "epoch_shuffle", "length_batching",
+    "txlog_merge_e2e", "orc_roundtrip_e2e",
     # never driver-checked (added in round 4's second session: the
     # remaining TPC-H decision-support shapes — subquery rewrites,
     # semi/anti joins, scalar thresholds, disjunctive pushdown)
-    "tpch_q2_min_cost_supplier", "tpch_q4_priority_exists",
-    "tpch_q6_forecast_revenue", "tpch_q7_volume_shipping",
-    "tpch_q8_market_share", "tpch_q9_product_profit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share",
     "tpch_q11_important_parts", "tpch_q13_custdist",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
     "tpch_q17_small_quantity", "tpch_q18_large_orders",
     "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
     "tpch_q22_sales_opportunity",
+    # never driver-checked (round 4 second session: time-series + SQL
+    # front end)
     "gapfill_forward_fill", "funnel_conversion", "retention_matrix",
     "rolling_active_users",
+    "sql_identical_text",
+    # --- 50-entry window boundary (everything below has evidence already,
+    # --- except the eight shape-redundant entries right here)
+    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
+    "tpch_q9_product_profit", "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier", "grouping_sets_revenue",
+    "range_interval_window", "multimodal_frame_sample",
     # r2-green only — driver evidence predates round-3 commits
     "ann_cosine_topk", "ann_ivf_topk", "anti_join_no_urgent",
     "asof_click_attribution", "case_math", "channel_ltv",
@@ -85,8 +106,6 @@ _PRIORITY = [
     "revenue_by_region", "session_window_rollup", "set_ops_topk",
     "simhash", "streaming_window_rollup", "string_hygiene",
     "surrogate_keys", "text_stats", "token_count", "try_casts",
-    # new this round — no prior driver row; 50th slot of the window
-    "txlog_merge_e2e",
 ]
 
 _missing = [n for n in _PRIORITY if n not in QUERIES]

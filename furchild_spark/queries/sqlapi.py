@@ -1,0 +1,145 @@
+"""SQL-front-end catalog: entries whose Spark side is `spark.sql(...)`
+over registered temp views — proving the engine's ANSI SQL surface, not
+just the DataFrame API.
+
+The reference is a SQL system (dbt models compiled to Snowflake SQL), so
+a migrating user's first question is "can I keep writing SQL?".  These
+entries answer it the strongest way available: for ``sql_identical_text``
+the *byte-identical* SQL string runs on Spark SQL and on DuckDB — one
+dialect-neutral text, two engines, hash-equal results.  The other two
+exercise SQL-only surface area the DataFrame API lacks or expresses
+differently: arbitrary GROUPING SETS, and time-interval RANGE window
+frames (a sliding 7-day sum that ROWS frames cannot express when event
+spacing is irregular).
+
+Scale notes: these compile to exactly the plans their DataFrame twins
+would — Catalyst does not care which front end built the logical plan.
+GROUPING SETS is one Expand + one shuffle (like ROLLUP/CUBE); the RANGE
+frame sorts within user partitions only.
+"""
+
+from __future__ import annotations
+
+
+from .catalog import query, table
+
+# Registered once per (session, sf_dir); view names shadow the DuckDB view
+# names so one SQL text resolves against both engines.
+_SQL_TABLES = ["nation", "customer", "orders", "lineitem", "events"]
+
+
+def _register_views(spark, sf_dir):
+    for name in _SQL_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# One dialect-neutral text, two engines.  Everything here is ANSI: decimal
+# casts for order-insensitive sums, explicit BIGINT rank, total-order
+# window tiebreak.
+_IDENTICAL_SQL = """
+WITH rev AS (
+  SELECT n_name,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+         AS DOUBLE) AS revenue,
+    COUNT(*) AS n_lines
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  GROUP BY n_name
+)
+SELECT n_name, revenue, n_lines,
+  CAST(RANK() OVER (ORDER BY revenue DESC, n_name ASC) AS BIGINT) AS rev_rank
+FROM rev
+"""
+
+
+@query(
+    "sql_identical_text",
+    section="§2 SQL front end (engine extra): the byte-identical ANSI text "
+    "runs on Spark SQL and DuckDB",
+    oracle=_IDENTICAL_SQL,
+)
+def sql_identical_text(spark, sf_dir):
+    """`spark.sql` over registered views, string shared with the oracle —
+    tests/test_sqlapi.py asserts the two texts are the same object, so
+    the entry can never drift into dialect-specific territory."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_IDENTICAL_SQL)
+
+
+@query(
+    "grouping_sets_revenue",
+    section="§2.5 arbitrary GROUPING SETS (engine extra; completes the "
+    "ROLLUP/CUBE family — SQL-only surface, no DataFrame equivalent)",
+    oracle="""
+SELECT
+  COALESCE(l_returnflag, '(all)') AS returnflag,
+  COALESCE(l_linestatus, '(all)') AS linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""",
+)
+def grouping_sets_revenue(spark, sf_dir):
+    """Disjoint grouping sets — the shapes ROLLUP/CUBE can't express
+    ((A),(B),()) without computing (A,B) too.  Spark plans one Expand
+    (3 replicas) + one shuffle with map-side partials; gid reconstructs
+    which set each row came from via the standard GROUPING bit encoding."""
+    _register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT
+  COALESCE(l_returnflag, '(all)') AS returnflag,
+  COALESCE(l_linestatus, '(all)') AS linestatus,
+  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  COUNT(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+""")
+
+
+@query(
+    "range_interval_window",
+    section="§2.6 time-interval RANGE frame (engine extra; a sliding "
+    "7-day sum over irregular event times — not expressible as a ROWS "
+    "frame)",
+    oracle="""
+SELECT event_id, user_id, ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_7d_value,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS trailing_7d_events
+FROM events
+WHERE event_type = 'purchase'
+""",
+)
+def range_interval_window(spark, sf_dir):
+    """RANGE frames bound by *value* distance (here: event-time interval),
+    so each row's frame is every purchase in its trailing 7 days —
+    irregular spacing means no ROWS offset can reproduce it.  Partitioned
+    by user: no SinglePartition sort at any scale.  Frame membership ties
+    (identical ts) include peers by RANGE semantics on both engines, so
+    no tiebreak is needed for determinism."""
+    _register_views(spark, sf_dir)
+    return spark.sql("""
+SELECT event_id, user_id, ts,
+  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+  ) AS DOUBLE) AS trailing_7d_value,
+  CAST(COUNT(*) OVER (
+    PARTITION BY user_id ORDER BY ts
+    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS trailing_7d_events
+FROM events
+WHERE event_type = 'purchase'
+""")

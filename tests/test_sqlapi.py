@@ -1,0 +1,32 @@
+"""SQL-front-end guarantees (queries/sqlapi.py)."""
+
+from __future__ import annotations
+
+from furchild_spark.queries import QUERIES, sqlapi
+from test_plans import plan_of
+
+
+def test_identical_text_is_literally_shared():
+    """The dialect-neutrality proof only holds if the Spark side and the
+    oracle are the same string — not two strings that happen to agree
+    today."""
+    assert QUERIES["sql_identical_text"].oracle is sqlapi._IDENTICAL_SQL
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS must plan as one Expand + one shuffle, not a union of
+    per-set scans."""
+    p = plan_of(spark, "grouping_sets_revenue")
+    assert p.count("Expand") >= 1
+    assert "Union" not in p
+
+
+def test_range_window_partitioned_by_user(spark):
+    p = plan_of(spark, "range_interval_window")
+    assert "SinglePartition" not in p
+
+
+def test_sql_entries_no_cartesian(spark):
+    for name in ("sql_identical_text", "grouping_sets_revenue",
+                 "range_interval_window"):
+        assert "CartesianProduct" not in plan_of(spark, name)
