@@ -93,8 +93,12 @@ def main() -> None:
     def converged(runs: list[float]) -> bool:
         if len(runs) >= max_runs:
             return True
-        if len(runs) < 3:
-            return False  # run 1 pays codegen, run 2 recompile-after-evict
+        if len(runs) < 2:
+            return False  # a single run still carries codegen compilation
+        # two agreeing runs suffice even when both are phase-1: they were
+        # back-to-back, so run 2 was cache-warm — agreement means the
+        # entry is already at steady state and re-running it would only
+        # burn budget the still-descending entries need
         a, b = sorted(runs)[:2]
         return b - a <= converged_tol * a
 
@@ -118,13 +122,20 @@ def main() -> None:
         print(f"# {name}: {min(runs):.3f}s (n={len(runs)})", file=sys.stderr)
 
     # Phase 2: leftover budget worst-first — back-to-back convergence
-    # sessions where the minimum still has the most room to move.
+    # sessions where the minimum still has the most room to move. The
+    # FIRST run of each mini-session pays the codegen-eviction recompile
+    # (the phase-1 classes are long gone after ~149 other plans), so its
+    # budget estimate carries a recompile allowance; later runs are warm.
+    recompile_allowance = 5.0
     for name in sorted(history, key=lambda n: min(history[n]), reverse=True):
         runs = history[name]
+        fresh_session = True
         while not converged(runs):
-            if time.monotonic() - t_start + 1.2 * min(runs) > budget:
+            est = 1.2 * min(runs) + (recompile_allowance if fresh_session else 0.0)
+            if time.monotonic() - t_start + est > budget:
                 break
             runs.append(run_once(name))
+            fresh_session = False
         if len(runs) > 2:
             print(f"# best {name}: {min(runs):.3f}s (n={len(runs)})",
                   file=sys.stderr)

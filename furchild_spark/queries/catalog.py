@@ -33,6 +33,19 @@ class Query:
     section: str
 
 
+def money(c):
+    """DECIMAL(18,2) cast for the money domain — the package-wide parity
+    rule (queries/__init__.py): sum decimals, never raw doubles, cast the
+    final value back to double. One definition so a future precision
+    change cannot silently diverge between catalog modules."""
+    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
+
+
+def one_money():
+    """Literal 1 in the same money domain (for 1 - discount factors)."""
+    return F.lit(1).cast("decimal(18,2)")
+
+
 def _tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
     """Right-size runtime-settable confs for the data scale before building
     the plan. The driver calls catalog functions with ITS session, whose

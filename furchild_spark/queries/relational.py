@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from furchild_spark.functions import shims
 from furchild_spark.operators.asof import asof_join
-from .catalog import query, table
+from .catalog import money, one_money, query, table
 
 @query(
     "set_ops_topk",
@@ -44,13 +44,10 @@ def set_ops_topk(spark, sf_dir):
     return both.unionAll(only).orderBy(F.asc("tag"), F.asc("o_custkey")).limit(100)
 
 
-# money domain: exact decimal sums, double at the boundary (see queries/__init__)
-def _m(c):
-    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
-
-
-def _one():
-    return F.lit(1).cast("decimal(18,2)")
+# money domain: exact decimal sums, double at the boundary (see
+# queries/__init__); single definition lives in catalog.py
+_m = money
+_one = one_money
 
 
 # ---------------------------------------------------------------------------

@@ -70,11 +70,10 @@ def sql_identical_text(spark, sf_dir):
     return spark.sql(_IDENTICAL_SQL)
 
 
-@query(
-    "grouping_sets_revenue",
-    section="§2.5 arbitrary GROUPING SETS (engine extra; completes the "
-    "ROLLUP/CUBE family — SQL-only surface, no DataFrame equivalent)",
-    oracle="""
+# Also dialect-neutral, also shared byte-for-byte between the two engines
+# (same identity-assertion treatment in tests/test_sqlapi.py — two copies
+# that "agree today" would be a drift hazard, not a parity proof).
+_GROUPING_SETS_SQL = """
 SELECT
   COALESCE(l_returnflag, '(all)') AS returnflag,
   COALESCE(l_linestatus, '(all)') AS linestatus,
@@ -83,7 +82,14 @@ SELECT
   COUNT(*) AS n_lines
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-""",
+"""
+
+
+@query(
+    "grouping_sets_revenue",
+    section="§2.5 arbitrary GROUPING SETS (engine extra; completes the "
+    "ROLLUP/CUBE family — SQL-only surface, no DataFrame equivalent)",
+    oracle=_GROUPING_SETS_SQL,
 )
 def grouping_sets_revenue(spark, sf_dir):
     """Disjoint grouping sets — the shapes ROLLUP/CUBE can't express
@@ -91,24 +97,10 @@ def grouping_sets_revenue(spark, sf_dir):
     (3 replicas) + one shuffle with map-side partials; gid reconstructs
     which set each row came from via the standard GROUPING bit encoding."""
     _register_views(spark, sf_dir)
-    return spark.sql("""
-SELECT
-  COALESCE(l_returnflag, '(all)') AS returnflag,
-  COALESCE(l_linestatus, '(all)') AS linestatus,
-  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
-  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-  COUNT(*) AS n_lines
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-""")
+    return spark.sql(_GROUPING_SETS_SQL)
 
 
-@query(
-    "range_interval_window",
-    section="§2.6 time-interval RANGE frame (engine extra; a sliding "
-    "7-day sum over irregular event times — not expressible as a ROWS "
-    "frame)",
-    oracle="""
+_RANGE_INTERVAL_SQL = """
 SELECT event_id, user_id, ts,
   CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
     PARTITION BY user_id ORDER BY ts
@@ -120,7 +112,15 @@ SELECT event_id, user_id, ts,
   ) AS BIGINT) AS trailing_7d_events
 FROM events
 WHERE event_type = 'purchase'
-""",
+"""
+
+
+@query(
+    "range_interval_window",
+    section="§2.6 time-interval RANGE frame (engine extra; a sliding "
+    "7-day sum over irregular event times — not expressible as a ROWS "
+    "frame)",
+    oracle=_RANGE_INTERVAL_SQL,
 )
 def range_interval_window(spark, sf_dir):
     """RANGE frames bound by *value* distance (here: event-time interval),
@@ -130,16 +130,4 @@ def range_interval_window(spark, sf_dir):
     (identical ts) include peers by RANGE semantics on both engines, so
     no tiebreak is needed for determinism."""
     _register_views(spark, sf_dir)
-    return spark.sql("""
-SELECT event_id, user_id, ts,
-  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (
-    PARTITION BY user_id ORDER BY ts
-    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-  ) AS DOUBLE) AS trailing_7d_value,
-  CAST(COUNT(*) OVER (
-    PARTITION BY user_id ORDER BY ts
-    RANGE BETWEEN INTERVAL 7 DAYS PRECEDING AND CURRENT ROW
-  ) AS BIGINT) AS trailing_7d_events
-FROM events
-WHERE event_type = 'purchase'
-""")
+    return spark.sql(_RANGE_INTERVAL_SQL)

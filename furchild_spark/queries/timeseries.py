@@ -133,9 +133,11 @@ def funnel_conversion(spark, sf_dir):
     """signup → click (≤7d) → purchase (≤7d after the click): each stage
     is a per-user MIN over the *candidate* events joined against the
     previous stage's timestamp.  Stage tables shrink monotonically and
-    carry one row per user, so the two stage joins broadcast at any
-    realistic funnel size; the event stream is scanned once per stage
-    with the event-type filter pushed to the scan."""
+    carry one row per user — bounded by |users|, NOT constant, so no
+    forced broadcast hint: Catalyst's size-based planning broadcasts
+    them while they fit and falls back to a keyed shuffle join at scale.
+    The event stream is scanned once per stage with the event-type
+    filter pushed to the scan."""
     e = table(spark, sf_dir, "events")
     s1 = (
         e.filter(F.col("event_type") == "signup")
@@ -145,7 +147,7 @@ def funnel_conversion(spark, sf_dir):
         F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
     )
     s2 = (
-        clicks.join(F.broadcast(s1), F.col("c_user") == F.col("user_id"))
+        clicks.join(s1, F.col("c_user") == F.col("user_id"))
         .filter(
             (F.col("c_ts") > F.col("t_signup"))
             & (F.col("c_ts") <= F.col("t_signup") + F.expr("INTERVAL 7 DAYS"))
@@ -156,7 +158,7 @@ def funnel_conversion(spark, sf_dir):
         F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
     )
     s3 = (
-        purchases.join(F.broadcast(s2), F.col("p_user") == F.col("user_id"))
+        purchases.join(s2, F.col("p_user") == F.col("user_id"))
         .filter(
             (F.col("p_ts") > F.col("t_click"))
             & (F.col("p_ts") <= F.col("t_click") + F.expr("INTERVAL 7 DAYS"))
@@ -200,17 +202,19 @@ FROM activity GROUP BY cohort_week, week_offset
 def retention_matrix(spark, sf_dir):
     """Classic retention triangle: cohort = Monday of the user's first
     event week, offset = whole weeks since.  The per-user first-seen
-    table is one map-side-combined MIN; joined back (broadcast at this
-    cardinality, shuffle-on-user at scale — either way keyed), events
-    reduce to distinct (user, offset) before the final count so a user
-    active 1000× in a week counts once.  All integer arithmetic (DIV 7
-    on day counts) — nothing float-ordering-sensitive anywhere."""
+    table is one map-side-combined MIN; the join back carries no
+    broadcast hint (per-user cardinality is unbounded — Catalyst
+    broadcasts while it fits, shuffles on user at scale, keyed either
+    way); events reduce to distinct (user, offset) before the final
+    count so a user active 1000× in a week counts once.  All integer
+    arithmetic (DIV 7 on day counts) — nothing float-ordering-sensitive
+    anywhere."""
     e = table(spark, sf_dir, "events")
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
     )
     activity = (
-        e.join(F.broadcast(firsts), "user_id")
+        e.join(firsts, "user_id")
         .select(
             "user_id", "cohort_week",
             F.expr("CAST(datediff(CAST(ts AS DATE), cohort_week) DIV 7 AS BIGINT)")

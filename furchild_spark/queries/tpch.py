@@ -42,15 +42,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .catalog import query, table
+from .catalog import money, one_money, query, table
 
 
-def _m(c):
-    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
-
-
-def _one():
-    return F.lit(1).cast("decimal(18,2)")
+# money-domain casts — single definition in catalog.py
+_m = money
+_one = one_money
 
 
 _REV_SQL = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
@@ -417,8 +414,12 @@ def tpch_q11_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("part_value"))
     )
+    # keep the threshold in DECIMAL end-to-end: a double 0.001 multiply
+    # would classify a part whose exact value sits within one ulp of
+    # S*0.001 differently from DuckDB's exact decimal comparison
     threshold = value.agg(
-        (F.sum("part_value") * F.lit(0.001)).alias("threshold")
+        (F.sum("part_value") * F.expr("CAST(0.001 AS DECIMAL(4,3))"))
+        .alias("threshold")
     )
     return (
         value.crossJoin(F.broadcast(threshold))

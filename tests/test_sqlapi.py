@@ -9,8 +9,10 @@ from test_plans import plan_of
 def test_identical_text_is_literally_shared():
     """The dialect-neutrality proof only holds if the Spark side and the
     oracle are the same string — not two strings that happen to agree
-    today."""
+    today. All three entries share their text with the oracle."""
     assert QUERIES["sql_identical_text"].oracle is sqlapi._IDENTICAL_SQL
+    assert QUERIES["grouping_sets_revenue"].oracle is sqlapi._GROUPING_SETS_SQL
+    assert QUERIES["range_interval_window"].oracle is sqlapi._RANGE_INTERVAL_SQL
 
 
 def test_grouping_sets_single_expand(spark):

@@ -24,15 +24,22 @@ def test_no_cartesian_or_nested_loop(spark, name):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-@pytest.mark.parametrize("name", TS)
+@pytest.mark.parametrize("name", ["gapfill_forward_fill", "funnel_conversion"])
 def test_event_type_filter_pushed(spark, name):
     """Queries that slice one event type must push that predicate to the
-    parquet scan (funnel/gap-fill); the others at least scan-prune
-    columns."""
+    parquet scan."""
     p = plan_of(spark, name)
-    if name in ("gapfill_forward_fill", "funnel_conversion"):
-        pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
-        assert any("event_type" in ln for ln in pushed), pushed
+    pushed = [ln for ln in p.splitlines() if "PushedFilters" in ln]
+    assert any("event_type" in ln for ln in pushed), pushed
+
+
+@pytest.mark.parametrize("name", ["retention_matrix", "rolling_active_users"])
+def test_unused_event_columns_pruned(spark, name):
+    """These touch only (user_id, ts) — the wide props/value columns must
+    be pruned out of the scan schema."""
+    p = plan_of(spark, name)
+    schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert schemas and all("props" not in ln for ln in schemas), schemas
 
 
 def test_gapfill_window_is_per_user(spark):
