@@ -316,6 +316,37 @@ def test_pivot_event_counts_is_single_shuffle(spark):
     assert "partial_" in p
 
 
+def test_catalog_wide_no_singlepartition_windows(spark):
+    """Catalog-WIDE lint: a Window (or its Sort) running on a
+    SinglePartition exchange funnels the whole relation through ONE task —
+    the classic silent scale-killer. Allowed only where the windowed
+    relation is provably bounded by a dimension, not the data:
+
+    - ann_ivf_topk: 8-row centroid aggregate
+    - epoch_shuffle: 256-row shard-offset prefix sum (documented as the
+      only SinglePartition in that plan; the corpus rank is per-shard)
+    - model__dim_date: calendar-bounded date dimension
+    - sql_identical_text: rank over per-nation aggregates (≤ |nation|)
+    - tfidf_top_terms: vocab-level scalar aggregate feeding the IDF join
+
+    Pure global aggregates (single-row results, no Window/Sort) are
+    inherently fine and not flagged."""
+    bounded_ok = {
+        "ann_ivf_topk", "epoch_shuffle", "model__dim_date",
+        "sql_identical_text", "tfidf_top_terms",
+    }
+    for name in QUERIES:
+        if name.endswith("_e2e") or name in bounded_ok:
+            continue
+        p = plan_of(spark, name)
+        if "SinglePartition" in p and "Window" in p:
+            raise AssertionError(
+                f"{name}: Window over SinglePartition — single-task "
+                "bottleneck at scale (whitelist only with a bounded-"
+                "cardinality argument)"
+            )
+
+
 def test_catalog_wide_no_cartesian_products(spark):
     """Catalog-WIDE lint, not a per-entry sample: every entry's physical
     plan is cartesian-free, and nested-loop joins appear only where a
