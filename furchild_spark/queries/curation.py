@@ -450,3 +450,145 @@ def curation_pipeline(spark, sf_dir):
     return curate.hash_split(surv, "doc_id", 0.8, 0.1).select(
         "doc_id", "n_tokens", "split"
     )
+
+
+# ---------------------------------------------------------------------------
+# blocked fuzzy string matching (entity resolution)
+# ---------------------------------------------------------------------------
+
+@query(
+    "fuzzy_match_names",
+    section="§2 entity resolution (engine extra): blocked levenshtein "
+    "self-join over a deduplicated vocabulary",
+    oracle="""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a
+JOIN names b
+  ON substr(a.p_name, 1, 1) = substr(b.p_name, 1, 1)
+ AND a.p_name < b.p_name
+WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+  AND levenshtein(a.p_name, b.p_name) <= 3
+""",
+)
+def fuzzy_match_names(spark, sf_dir):
+    """Entity-resolution candidate matching: near-identical names within
+    edit distance 3.  The scale discipline is the same as every dedup
+    operator here — never pair raw rows:
+
+    1. **Dedupe first**: the self-join runs over the DISTINCT name
+       vocabulary (bounded by the name grammar, not the fact-table row
+       count — 64 vs 2000 rows even at sf0.01).
+    2. **Block before comparing**: the equi key (first character) turns
+       the cross product into per-block pairs, and the length-difference
+       filter (a hard lower bound on edit distance) prunes before the
+       O(len²) levenshtein evaluates.  Recall is bounded by blocking —
+       a pair whose names differ in their first character is missed by
+       design, the standard entity-resolution trade.
+    3. Levenshtein itself is a JVM codegen builtin on Spark and a native
+       function in DuckDB — identical standard edit-distance semantics,
+       asserted by the hash compare.
+    """
+    names = table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
+            & (F.col("name_a") < F.col("name_b")),
+        )
+        .filter(
+            (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+            & (F.levenshtein("name_a", "name_b") <= 3)
+        )
+        .select(
+            "name_a", "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact-parity statistical moments (stddev / correlation without stddev())
+# ---------------------------------------------------------------------------
+
+@query(
+    "stats_moments",
+    section="§2.5 second-order statistics with exact cross-engine parity "
+    "(engine extra): stddev and correlation from decimal moment sums, "
+    "never the built-in floating aggregates",
+    oracle="""
+WITH m AS (
+  SELECT c_mktsegment,
+    COUNT(*) AS n,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+    CAST(SUM(CAST(c_acctbal   AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+           * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))
+           * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS syy,
+    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))
+           * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n,
+  sx / CAST(n AS DOUBLE) AS mean_price,
+  ROUND(sqrt((sxx - sx * sx / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)), 4)
+    AS stddev_pop_price,
+  ROUND((sxy - sx * sy / CAST(n AS DOUBLE))
+    / (sqrt(sxx - sx * sx / CAST(n AS DOUBLE))
+       * sqrt(syy - sy * sy / CAST(n AS DOUBLE))), 9) AS corr_price_bal
+FROM m
+""",
+)
+def stats_moments(spark, sf_dir):
+    """The built-in floating aggregates (stddev, corr, covar) sum doubles
+    in partition order, so their last few bits differ between engines and
+    even between runs — useless under a hash-parity gate and genuinely
+    non-reproducible at scale. This entry shows the reproducible form:
+    accumulate the five moment sums (Σx, Σy, Σx², Σy², Σxy) as EXACT
+    decimals in one map-side-combined pass, cast once to double, and
+    evaluate the textbook formulas in a fixed expression order — each
+    step IEEE-deterministic, so both engines produce bit-identical
+    statistics. One shuffle on the segment key; the moment pass costs the
+    same as a plain SUM."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    m = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(price).cast("double").alias("sx"),
+            F.sum(bal).cast("double").alias("sy"),
+            F.sum(price * price).cast("double").alias("sxx"),
+            F.sum(bal * bal).cast("double").alias("syy"),
+            F.sum(price * bal).cast("double").alias("sxy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    # The second moments' decimal sums exceed 2^53 in integer form, and
+    # THERE the engines' decimal->double casts differ by one ulp (Spark
+    # correctly rounds the BigDecimal; DuckDB divides an int128 cast by
+    # 10^scale — two roundings). Derived statistics are therefore rounded
+    # below that noise floor (stddev to 1e-4 absolute, corr to 1e-9);
+    # the mean uses only the scale-2 first moment, whose integer form
+    # fits in 2^53, so its cast is exact on both engines and it ships
+    # unrounded.
+    return m.select(
+        "c_mktsegment", "n",
+        (sx / n).alias("mean_price"),
+        F.round(F.sqrt((sxx - sx * sx / n) / n), 4).alias("stddev_pop_price"),
+        F.round(
+            (sxy - sx * sy / n)
+            / (F.sqrt(sxx - sx * sx / n) * F.sqrt(syy - sy * sy / n)),
+            9,
+        ).alias("corr_price_bal"),
+    )

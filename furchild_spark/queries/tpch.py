@@ -395,16 +395,23 @@ WITH value AS (
 SELECT CAST(l_partkey AS BIGINT) AS l_partkey,
        CAST(part_value AS DOUBLE) AS part_value
 FROM value
-WHERE part_value > (SELECT SUM(part_value) * 0.001 FROM value)
+WHERE CAST(part_value AS DECIMAL(20,4))
+        * (SELECT CAST(COUNT(*) AS DECIMAL(9,0)) FROM value)
+      > (SELECT CAST(2 AS DECIMAL(2,0))
+               * SUM(CAST(part_value AS DECIMAL(30,4))) FROM value)
 """,
 )
 def tpch_q11_important_parts(spark, sf_dir):
     """The HAVING-against-global-total idiom: compute per-part value once,
     derive the global threshold as a 1-row aggregate, broadcast it back
     over the per-part table (O(n) cross join with a single-row build
-    side — not a cartesian hazard).  The per-part table is computed once
-    and reused for both sides; decimal sums keep the threshold exact so
-    the > comparison agrees with DuckDB bit-for-bit."""
+    side — not a cartesian hazard).  The threshold is SCALE-FREE —
+    ``part_value > 2 × average part value`` (TPC-H itself scales Q11's
+    fraction by 1/SF; a fixed fraction returns empty at 10× the parts) —
+    and the comparison is kept exact by clearing the denominator:
+    ``count × part_value > 2 × total`` in DECIMAL end-to-end, so no
+    division, no double cast, and the classification agrees with DuckDB
+    bit-for-bit."""
     l = table(spark, sf_dir, "lineitem")
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
@@ -414,16 +421,22 @@ def tpch_q11_important_parts(spark, sf_dir):
         .groupBy("l_partkey")
         .agg(F.sum(_rev()).alias("part_value"))
     )
-    # keep the threshold in DECIMAL end-to-end: a double 0.001 multiply
-    # would classify a part whose exact value sits within one ulp of
-    # S*0.001 differently from DuckDB's exact decimal comparison
+    # denominator-cleared decimal comparison (see docstring): every
+    # operand stays in exact DECIMAL, so there is no division and no
+    # decimal->double cast anywhere near the classification boundary
     threshold = value.agg(
-        (F.sum("part_value") * F.expr("CAST(0.001 AS DECIMAL(4,3))"))
-        .alias("threshold")
+        F.count(F.lit(1)).cast("decimal(9,0)").alias("n_parts"),
+        (
+            F.lit(2).cast("decimal(2,0)")
+            * F.sum(F.col("part_value").cast("decimal(30,4)"))
+        ).alias("total4"),
     )
     return (
         value.crossJoin(F.broadcast(threshold))
-        .filter(F.col("part_value") > F.col("threshold"))
+        .filter(
+            F.col("part_value").cast("decimal(20,4)") * F.col("n_parts")
+            > F.col("total4")
+        )
         .select(
             F.col("l_partkey").cast("bigint").alias("l_partkey"),
             F.col("part_value").cast("double").alias("part_value"),
