@@ -1077,3 +1077,105 @@ def returned_items_by_customer(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# ordered string aggregation (LISTAGG / string_agg surface)
+# ---------------------------------------------------------------------------
+
+@query(
+    "recent_orders_list",
+    section="§2.5 ordered aggregation (engine extra: LISTAGG/string_agg — "
+    "per-customer top-3 most recent orders as an ordered list)",
+    oracle="""
+WITH ranked AS (
+  SELECT o_custkey, o_orderkey,
+    ROW_NUMBER() OVER (
+      PARTITION BY o_custkey
+      ORDER BY o_orderdate DESC, o_orderkey DESC
+    ) AS rnk
+  FROM orders
+)
+SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+  string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY rnk) AS recent_orders,
+  COUNT(*) AS n_recent
+FROM ranked WHERE rnk <= 3
+GROUP BY o_custkey
+""",
+)
+def recent_orders_list(spark, sf_dir):
+    """Ordered aggregation is where engines silently diverge: Spark's
+    ``collect_list`` order is partition-arrival nondeterministic, so the
+    only reproducible form collects (sort_key, value) structs and sorts
+    IN-ROW after the aggregate — ``array_sort`` on the struct's leading
+    rank field, then project and join. One window pass (per-customer,
+    bounded partitions) + one hash aggregate; the in-row sort is O(3)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    ranked = o.select(
+        "o_custkey", "o_orderkey", F.row_number().over(w).alias("rnk")
+    ).filter(F.col("rnk") <= 3)
+    return (
+        ranked.groupBy(F.col("o_custkey").cast("bigint").alias("o_custkey"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rnk", "o_orderkey"))
+                    ),
+                    lambda x: x["o_orderkey"].cast("string"),
+                ),
+                ",",
+            ).alias("recent_orders"),
+            F.count(F.lit(1)).alias("n_recent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregate-form dedup: max_by / arg_max (no window, no sort)
+# ---------------------------------------------------------------------------
+
+@query(
+    "argmax_latest_event",
+    section="§2.5 W1 aggregate-form keep-latest (engine extra): max_by/"
+    "arg_max replaces the window dedup with ONE hash aggregate",
+    oracle="""
+SELECT CAST(user_id AS BIGINT) AS user_id,
+  arg_max(event_type, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                      || lpad(CAST(event_id AS VARCHAR), 12, '0'))
+    AS last_type,
+  arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                 || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS last_value,
+  MAX(ts) AS last_ts,
+  COUNT(*) AS n_events
+FROM events
+GROUP BY user_id
+""",
+)
+def argmax_latest_event(spark, sf_dir):
+    """``dedup_latest_event`` proves the QUALIFY/row_number form; this is
+    the form you actually want at 100 TB: keep-latest as max_by inside a
+    plain hash aggregate — map-side partial combine, no per-key sort, no
+    window exchange, one shuffle carrying one row per (partition, key)
+    instead of the full stream.  The composite (ts, event_id) tiebreak is
+    encoded as a zero-padded string so DuckDB's scalar-keyed arg_max
+    expresses the identical ordering (lexicographic = numeric for fixed
+    width); event_id uniqueness makes the argmax single-valued, so both
+    engines agree deterministically."""
+    e = table(spark, sf_dir, "events")
+    k = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        e.groupBy(F.col("user_id").cast("bigint").alias("user_id"))
+        .agg(
+            F.max_by("event_type", k).alias("last_type"),
+            F.max_by("value", k).alias("last_value"),
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
