@@ -360,3 +360,121 @@ def txlog_delete_e2e(spark, sf_dir):
     assert cdf.filter("change_type = 'delete'").count() == n_deleted
     assert t.count() == n_total - n_deleted  # manifest count, no scan
     return t.snapshot()
+
+
+@query(
+    "join_ivm_e2e",
+    section=(
+        "engine extra: incremental JOIN maintenance (delta-join IVM — a "
+        "materialized fact⋈dim view kept fresh from the fact table's "
+        "change data feed, never recomputed from scratch)"
+    ),
+    oracle="""
+WITH fact AS (
+  SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate,
+    CASE WHEN o_orderdate >= TIMESTAMP '1996-12-15' THEN 'REPRICED'
+         ELSE o_orderpriority END AS o_orderpriority,
+    strftime(o_orderdate, '%Y-%m') AS o_month
+  FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-06-01'
+    AND NOT (o_orderstatus = 'F'
+             AND o_orderdate >= TIMESTAMP '1997-03-01'
+             AND o_orderdate < TIMESTAMP '1997-06-01')
+)
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       CAST(o_custkey AS BIGINT) AS o_custkey,
+       o_totalprice, o_orderpriority, o_month, c_mktsegment, c_name
+FROM fact JOIN customer ON o_custkey = c_custkey
+""",
+)
+def join_ivm_e2e(spark, sf_dir):
+    """Materialized-view maintenance for a JOIN, the composition the
+    txlog primitives exist for: with a static dim, ``Δ(F ⋈ D) = ΔF ⋈ D``
+    exactly, so the view refreshes by joining only the fact table's
+    change feed — never rescanning history.
+
+    Lifecycle (all real commits against two txlog tables on disk):
+      v1  fact := orders < 1997-01-01;  MV := fact ⋈ customer
+      v2  late batch [1996-12-15, 1997-06-01) repriced and MERGEd into
+          fact (insert + update mix)  →  MV merge of CDF-inserts ⋈ dim
+      v3  DELETE from fact ('F' orders of [1997-03, 1997-06))
+          →  MV partition-scoped refresh of the touched months only
+
+    Asserted along the way: the CDF is strictly smaller than the fact
+    table (maintenance cost is O(change)); untouched MV month files
+    carry forward by reference across the scoped merge; and the final
+    MV snapshot equals the oracle's from-scratch join — the IVM
+    invariant."""
+    from furchild_spark.engine.txlog import TxTable
+
+    base = os.path.join(tempfile.gettempdir(), "furchild_join_ivm_e2e")
+    shutil.rmtree(base, ignore_errors=True)
+
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    fcols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+             "o_orderdate", "o_orderpriority"]
+    o = table(spark, sf_dir, "orders").select(*fcols, month)
+    c = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_name"
+    )
+
+    def enrich(fact_df):
+        return (
+            fact_df.join(F.broadcast(c), fact_df.o_custkey == c.c_custkey)
+            .select(
+                F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+                F.col("o_custkey").cast("bigint").alias("o_custkey"),
+                "o_totalprice", "o_orderpriority", "o_month",
+                "c_mktsegment", "c_name",
+            )
+        )
+
+    fact = TxTable(spark, f"{base}/fact", cluster_by=("o_month",))
+    fact.target_files = 6
+    mv = TxTable(spark, f"{base}/mv", cluster_by=("o_month",))
+    mv.target_files = 6
+
+    # v1: initial build — the ONLY full join this view ever runs
+    fact.overwrite(o.filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    ))
+    mv.overwrite(enrich(fact.snapshot()))
+
+    # v2: late repriced batch (overlaps the build → updates AND inserts)
+    late = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-12-15").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp"))
+    ).withColumn("o_orderpriority", F.lit("REPRICED"))
+    fact.merge(late, ["o_orderkey"], scope_col="o_month")
+
+    cdf = fact.table_changes(1, 2)
+    n_cdf = cdf.count()
+    assert n_cdf < fact.count(), "CDF not smaller than the table itself"
+    # updated rows surface as delete+insert with the same key: the
+    # insert side alone is the complete per-key upsert payload
+    delta = cdf.filter("change_type = 'insert'").drop("change_type")
+    before = {e["path"] for e in mv._read_manifest(1)["files"]}
+    mv.merge(enrich(delta), ["o_orderkey"], scope_col="o_month")
+    after = {e["path"] for e in mv._read_manifest(2)["files"]}
+    assert before & after, "IVM merge rewrote untouched month files"
+
+    # v3: retraction — deletes cannot ride an upsert merge, so the MV
+    # refreshes the TOUCHED MONTHS ONLY (partition-scoped refresh, the
+    # standard IVM fallback for retractions): delete the affected month
+    # range, re-enrich those months from the post-delete fact snapshot.
+    # Cost is O(touched partitions); no per-key state reaches the driver.
+    lo, hi = "1997-03", "1997-06"
+    fact.delete([
+        ("o_orderstatus", "==", "F"),
+        ("o_month", ">=", lo), ("o_month", "<", hi),
+    ])
+    assert fact.table_changes(2, 3).filter(
+        "change_type = 'insert'"
+    ).count() == 0, "a pure DELETE produced CDF inserts"
+    mv.delete([("o_month", ">=", lo), ("o_month", "<", hi)])
+    mv.append(enrich(
+        fact.snapshot(where=[("o_month", ">=", lo), ("o_month", "<", hi)])
+    ))
+
+    assert mv.count() == fact.count(), "MV row count drifted from fact"
+    return mv.snapshot()
