@@ -19,6 +19,13 @@ Cross-engine hash-parity rules (learned the hard way, enforced throughout):
   double/date/timestamp.
 - Window orderings always carry explicit tiebreaks (and explicit NULLS
   FIRST/LAST on both sides) so rank assignment is unique.
+- **Decimal→double casts are only exact-parity while the decimal's
+  integer form fits in 2^53** (scale-2 money sums do; second-moment sums
+  at scale 4 do not). Above that, Spark correctly rounds the BigDecimal
+  while DuckDB divides an int128 cast by 10^scale — two roundings, one
+  ulp apart. Either keep the comparison in decimal end-to-end
+  (denominator-cleared, see tpch_q11) or round derived statistics below
+  the noise floor (see stats_moments).
 """
 
 from .catalog import QUERIES, Query, query, table  # noqa: F401
