@@ -592,3 +592,99 @@ def stats_moments(spark, sf_dir):
             9,
         ).alias("corr_price_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled mixture resampling (training-mix rebalancing)
+# ---------------------------------------------------------------------------
+
+@query(
+    "temperature_resample",
+    section="§2 training-mix rebalancing (engine extra): temperature-"
+    "scaled source downsampling with deterministic md5 membership",
+    oracle="""
+WITH tok AS (
+  SELECT source,
+    COUNT(*) AS n_docs,
+    SUM(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT))
+      AS n_tokens
+  FROM documents GROUP BY source
+), rates AS (
+  SELECT source, n_docs, n_tokens,
+    sqrt(CAST((SELECT MIN(n_tokens) FROM tok) AS DOUBLE)
+         / CAST(n_tokens AS DOUBLE)) AS rate
+  FROM tok
+), thresholds AS (
+  SELECT source, n_docs, rate,
+    lower(lpad(hex(CAST(floor(rate * 1152921504606846976.0) AS BIGINT)),
+               15, '0')) AS thresh
+  FROM rates
+)
+SELECT d.source, t.n_docs,
+  COUNT(*) FILTER (
+    WHERE lower(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) < t.thresh
+  ) AS n_kept,
+  t.rate
+FROM documents d JOIN thresholds t ON d.source = t.source
+GROUP BY d.source, t.n_docs, t.rate
+""",
+)
+def temperature_resample(spark, sf_dir):
+    """Rebalance a training mixture toward flat (temperature T=2): each
+    source keeps ``rate = sqrt(min_tokens / its_tokens)`` of its
+    documents, so token-heavy sources are downsampled hardest and the
+    smallest source keeps everything — the LLaMA/Pile-style mix
+    flattening, T fixed at 2 so the scaling is a bare ``sqrt`` (IEEE
+    correctly-rounded on both engines; an arbitrary ``pow`` is not).
+
+    Determinism chain, engine-independent end-to-end: exact integer
+    token sums → one double divide + sqrt (both correctly rounded) →
+    ``floor(rate·2^60)`` → fixed-width hex threshold → md5-prefix
+    membership. No RNG anywhere: a document's keep/drop never changes
+    when OTHER sources grow, and replays are byte-stable.
+
+    Scale: per-source stats are config-scale (a mixture has dozens of
+    sources, like a dimension table), so the rate table broadcasts; the
+    corpus is touched twice map-only (token count, membership) with one
+    tiny-key shuffle each."""
+    d = table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.lower(F.trim(F.col("text"))), " ")).cast("long")
+    tok = (
+        d.select("source", n_tokens.alias("n_tokens"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens"))
+    )
+    min_tok = tok.agg(F.min("n_tokens").alias("min_tokens"))
+    rates = (
+        tok.crossJoin(F.broadcast(min_tok))
+        .withColumn(
+            "rate",
+            F.sqrt(
+                F.col("min_tokens").cast("double")
+                / F.col("n_tokens").cast("double")
+            ),
+        )
+        .withColumn(
+            "thresh",
+            F.lower(
+                F.lpad(
+                    F.hex(
+                        F.floor(F.col("rate") * F.lit(1152921504606846976.0))
+                        .cast("bigint")
+                    ),
+                    15, "0",
+                )
+            ),
+        )
+        .select("source", "n_docs", "rate", "thresh")
+    )
+    kept = (
+        F.lower(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15))
+        < F.col("thresh")
+    )
+    return (
+        d.join(F.broadcast(rates), "source")
+        .groupBy("source", "n_docs", "rate")
+        .agg(F.count(F.when(kept, 1)).alias("n_kept"))
+        .select("source", "n_docs", "n_kept", "rate")
+    )

@@ -364,6 +364,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "ann_pq_rerank_topk",  # same broadcast + shortlist re-rank join
         "tpch_q11_important_parts",  # broadcast 1-row scalar threshold
         "tpch_q22_sales_opportunity",  # broadcast 1-row AVG balance floor
+        "temperature_resample",  # broadcast 1-row min-tokens scalar
     }
     for name in QUERIES:
         if name.endswith("_e2e"):
