@@ -19,11 +19,11 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import query, table
+from .catalog import money, query, table
 
 
-def _m(c):
-    return (F.col(c) if isinstance(c, str) else c).cast("decimal(18,2)")
+# money-domain cast — single definition in catalog.py
+_m = money
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from furchild_spark.operators import curate, dedup, skew
-from .catalog import query, table
+from .catalog import money, query, table
 from ._oracle_fragments import _MINHASH_CTES, _NORM, _TOKS
 
 
@@ -233,8 +233,7 @@ GROUP BY o_orderpriority
 """,
 )
 def salted_join_rollup(spark, sf_dir):
-    def _m(c):
-        return F.col(c).cast("decimal(18,2)")
+    _m = money
 
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
@@ -499,14 +498,10 @@ def fuzzy_match_names(spark, sf_dir):
             (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
             & (F.col("name_a") < F.col("name_b")),
         )
-        .filter(
-            (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
-            & (F.levenshtein("name_a", "name_b") <= 3)
-        )
-        .select(
-            "name_a", "name_b",
-            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
-        )
+        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
+        .filter(F.col("dist") <= 3)
+        .select("name_a", "name_b", "dist")
     )
 
 
@@ -557,8 +552,8 @@ def stats_moments(spark, sf_dir):
     same as a plain SUM."""
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    bal = F.col("c_acctbal").cast("decimal(18,2)")
+    price = money("o_totalprice")
+    bal = money("c_acctbal")
     m = (
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
@@ -622,7 +617,8 @@ WITH tok AS (
 )
 SELECT d.source, t.n_docs,
   COUNT(*) FILTER (
-    WHERE lower(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) < t.thresh
+    WHERE t.rate >= 1.0
+       OR lower(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)) < t.thresh
   ) AS n_kept,
   t.rate
 FROM documents d JOIN thresholds t ON d.source = t.source
@@ -678,7 +674,12 @@ def temperature_resample(spark, sf_dir):
         )
         .select("source", "n_docs", "rate", "thresh")
     )
-    kept = (
+    # rate >= 1 must keep EVERYTHING: floor(1.0·2^60) is 16 hex digits,
+    # which the 15-digit threshold cannot express (lpad would truncate it
+    # to 2^56 and silently keep ~1/16 of the smallest source — found by
+    # review, confirmed on testdata). The explicit rate guard keeps the
+    # threshold math in the strict-subunity domain where it is exact.
+    kept = (F.col("rate") >= 1.0) | (
         F.lower(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15))
         < F.col("thresh")
     )

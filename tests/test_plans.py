@@ -316,11 +316,36 @@ def test_pivot_event_counts_is_single_shuffle(spark):
     assert "partial_" in p
 
 
+def _singlepartition_windows(df):
+    """Walk the physical plan tree and return the Window/Sort operators
+    whose OWN input partitioning is SinglePartition — not mere substring
+    co-occurrence (a healthy per-key window plus an unrelated 1-row
+    global aggregate would co-occur in the same plan text)."""
+    bad = []
+
+    def walk(node):
+        n_children = node.children().size()
+        if "Window" in node.nodeName():
+            for i in range(n_children):
+                child = node.children().apply(i)
+                if "SinglePartition" in child.outputPartitioning().toString():
+                    bad.append(node.nodeName())
+        for i in range(n_children):
+            walk(node.children().apply(i))
+
+    plan = df._jdf.queryExecution().executedPlan()
+    # AQE wraps the initial plan; lint the pre-execution physical tree
+    if plan.nodeName() == "AdaptiveSparkPlan":
+        plan = plan.initialPlan()
+    walk(plan)
+    return bad
+
+
 def test_catalog_wide_no_singlepartition_windows(spark):
-    """Catalog-WIDE lint: a Window (or its Sort) running on a
-    SinglePartition exchange funnels the whole relation through ONE task —
-    the classic silent scale-killer. Allowed only where the windowed
-    relation is provably bounded by a dimension, not the data:
+    """Catalog-WIDE lint: a Window running on a SinglePartition input
+    funnels the whole relation through ONE task — the classic silent
+    scale-killer. Allowed only where the windowed relation is provably
+    bounded by a dimension, not the data:
 
     - ann_ivf_topk: 8-row centroid aggregate
     - epoch_shuffle: 256-row shard-offset prefix sum (documented as the
@@ -329,8 +354,9 @@ def test_catalog_wide_no_singlepartition_windows(spark):
     - sql_identical_text: rank over per-nation aggregates (≤ |nation|)
     - tfidf_top_terms: vocab-level scalar aggregate feeding the IDF join
 
-    Pure global aggregates (single-row results, no Window/Sort) are
-    inherently fine and not flagged."""
+    The check walks the physical tree and tests each Window operator's
+    actual input partitioning, so single-row global aggregates elsewhere
+    in the same plan never cause a false flag."""
     bounded_ok = {
         "ann_ivf_topk", "epoch_shuffle", "model__dim_date",
         "sql_identical_text", "tfidf_top_terms",
@@ -338,13 +364,13 @@ def test_catalog_wide_no_singlepartition_windows(spark):
     for name in QUERIES:
         if name.endswith("_e2e") or name in bounded_ok:
             continue
-        p = plan_of(spark, name)
-        if "SinglePartition" in p and "Window" in p:
-            raise AssertionError(
-                f"{name}: Window over SinglePartition — single-task "
-                "bottleneck at scale (whitelist only with a bounded-"
-                "cardinality argument)"
-            )
+        df = QUERIES[name].fn(spark, SF)
+        bad = _singlepartition_windows(df)
+        assert not bad, (
+            f"{name}: {bad} run on SinglePartition input — single-task "
+            "bottleneck at scale (whitelist only with a bounded-"
+            "cardinality argument)"
+        )
 
 
 def test_catalog_wide_no_cartesian_products(spark):

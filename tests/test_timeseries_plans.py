@@ -39,7 +39,9 @@ def test_unused_event_columns_pruned(spark, name):
     be pruned out of the scan schema."""
     p = plan_of(spark, name)
     schemas = [ln for ln in p.splitlines() if "ReadSchema" in ln]
-    assert schemas and all("props" not in ln for ln in schemas), schemas
+    assert schemas and all(
+        "props" not in ln and "value" not in ln for ln in schemas
+    ), schemas
 
 
 def test_gapfill_window_is_per_user(spark):
