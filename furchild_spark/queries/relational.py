@@ -1179,3 +1179,76 @@ def argmax_latest_event(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# snapshot reconciliation: FULL OUTER diff with null-safe comparison
+# ---------------------------------------------------------------------------
+
+@query(
+    "snapshot_diff_reconcile",
+    section="§2.4 full outer join + null-safe comparison (engine extra: "
+    "the snapshot-reconciliation diff every pipeline migration runs)",
+    oracle="""
+WITH old AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+  WHERE o_orderdate < TIMESTAMP '1997-06-01'
+), new AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderstatus = 'O' THEN o_totalprice + 50.0
+         ELSE o_totalprice END AS o_totalprice
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+)
+SELECT
+  CASE WHEN new.o_orderkey IS NULL THEN 'removed'
+       WHEN old.o_orderkey IS NULL THEN 'added'
+       WHEN old.o_totalprice IS DISTINCT FROM new.o_totalprice
+         OR old.o_orderstatus IS DISTINCT FROM new.o_orderstatus
+       THEN 'changed'
+       ELSE 'unchanged' END AS change_class,
+  COUNT(*) AS n_rows
+FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+GROUP BY 1
+""",
+)
+def snapshot_diff_reconcile(spark, sf_dir):
+    """The migration-day question — "what exactly differs between the old
+    pipeline's snapshot and the new one's?" — as a single full outer
+    join on the key with NULL-SAFE column comparison (``IS DISTINCT
+    FROM`` / ``eqNullSafe``: a NULL-to-value change must classify as
+    'changed', which plain ``=`` would silently swallow).  One shuffle
+    per side on the join key; the classification is a map-side CASE.
+    The 'new' side's +50.0 double add is IEEE-deterministic, so both
+    engines derive identical synthetic changes."""
+    o = table(spark, sf_dir, "orders")
+    old = o.filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("old_key"),
+        F.col("o_orderstatus").alias("old_status"),
+        F.col("o_totalprice").alias("old_price"),
+    )
+    new = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-12-01").cast("timestamp")
+    ).select(
+        F.col("o_orderkey").alias("new_key"),
+        F.col("o_orderstatus").alias("new_status"),
+        F.when(F.col("o_orderstatus") == "O", F.col("o_totalprice") + 50.0)
+        .otherwise(F.col("o_totalprice"))
+        .alias("new_price"),
+    )
+    diff = old.join(new, old.old_key == new.new_key, "full_outer")
+    change_class = (
+        F.when(F.col("new_key").isNull(), "removed")
+        .when(F.col("old_key").isNull(), "added")
+        .when(
+            ~F.col("old_price").eqNullSafe(F.col("new_price"))
+            | ~F.col("old_status").eqNullSafe(F.col("new_status")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return diff.groupBy(change_class.alias("change_class")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
