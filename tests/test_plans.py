@@ -449,3 +449,57 @@ def test_returned_items_broadcasts_nation(spark):
     assert "TakeOrderedAndProject" in p
     assert "EqualTo(l_returnflag,R)" in p
     assert "BroadcastHashJoin" in p
+
+
+def test_snapshot_diff_full_outer_shape(spark):
+    """The reconciliation diff plans as a shuffled full outer join (Spark
+    cannot and must not broadcast a full outer side), the date filters
+    reach both parquet scans, and the whole query is three exchanges:
+    one per join side plus the final classification aggregate."""
+    p = plan_of(spark, "snapshot_diff_reconcile")
+    assert "FullOuter" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "LessThan(o_orderdate" in p
+    assert "GreaterThanOrEqual(o_orderdate" in p
+    assert _n_exchanges(p) == 3
+
+
+def test_argmax_latest_is_single_agg_no_window(spark):
+    """Aggregate-form keep-latest must NOT plan a window (that is what
+    dedup_latest_event proves): one hash-aggregate exchange with map-side
+    partial max_by, no Sort-for-Window operator."""
+    p = plan_of(spark, "argmax_latest_event")
+    assert "Window" not in p
+    assert _n_exchanges(p) == 1
+    assert "partial_" in p
+
+
+def test_driver_window_holds_only_unproven_entries(spark):
+    """Registration-order guard: the driver records correctness rows for
+    exactly the FIRST 50 registered entries, so every slot in that window
+    must be spent on an entry with no green driver row in any prior
+    round's CORRECTNESS_r*.json. A refactor that reorders imports or
+    renames an entry would silently burn window slots re-proving old
+    entries — fail here instead."""
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proven: set[str] = set()
+    for n in (2, 3):
+        path = os.path.join(root, f"CORRECTNESS_r0{n}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            rows = json.load(fh)
+        proven |= {
+            name
+            for name, row in rows.items()
+            if row.get("rows_match") and row.get("schema_match")
+            and row.get("hash_match")
+        }
+    window = list(QUERIES)[:50]
+    stale = [n for n in window if n in proven]
+    assert not stale, (
+        f"driver-window slots wasted on already-proven entries: {stale}"
+    )
