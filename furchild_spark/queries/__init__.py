@@ -47,91 +47,62 @@ from . import tpch  # noqa: F401,E402  # remaining TPC-H decision-support shapes
 from . import timeseries  # noqa: F401,E402  # gap-fill/funnel/retention/rolling-DAU
 from . import sqlapi  # noqa: F401,E402  # spark.sql front-end proofs
 
-# Driver-window priority (round 4): the driver's correctness run records
-# EXACTLY 50 entries (r2 and r3 both: hard cap, not a time box), so the
-# first 50 registered names are the round's driver evidence. 65 catalog
-# entries currently have no driver row at any HEAD; the 50 below are that
-# set minus the fifteen whose operator shape a sibling INSIDE the window
-# already proves (tpch_q6 ≈ pricing_summary scan-filter-agg, tpch_q14 ≈
-# tpch_q8 CASE-ratio, tpch_q15 ≈ tpch_q11 scalar-threshold broadcast,
-# tpch_q4 ≈ tpch_q21's left_semi, tpch_q9 ≈ tpch_q8 broadcast-star
-# rollup, tpch_q7 likewise, grouping_sets_revenue ≈ rollup/cube Expand
-# family, range_interval_window ≈ window_frames ≈ rolling_active_users,
-# multimodal_frame_sample ≈ the decode pair + multimodal_meta,
-# multimodal_image_resize ≈ image_decode + per-batch transform,
-# pq_codes/ann_pq_topk ⊂ ann_pq_rerank_topk (codes → ADC scan → rerank),
-# returned_items_by_customer ≈ shipping_priority_topk scan-join-agg-topk,
-# argmax_latest_event ≈ dedup_latest_event keep-latest semantics in
-# aggregate form, stats_moments ≈ pricing_summary agg family) — those
-# fifteen follow at 51-65 and stay green locally and at sf0.1, then the
-# r2-era entries whose driver evidence is merely stale, then the
-# r3-proven balance.
-_PRIORITY = [
-    # never driver-checked (added in round 4: real media decode, txlog)
-    "multimodal_image_decode",
-    "multimodal_audio_decode", "txlog_runner_e2e",
-    "window_rank_family", "cube_revenue", "unpivot_metrics",
-    "higher_order_funcs", "incremental_rollup_e2e", "stream_stream_join_e2e",
-    "ngram_jaccard_neardup", "zorder_skipping_e2e",
-    "shipping_priority_topk",
-    "ann_pq_rerank_topk", "curation_pipeline", "boilerplate_chunk_removal", "txlog_delete_e2e",
-    "outlier_docs",
-    # never driver-checked (round 4 third session: IVM, reconciliation,
-    # fuzzy matching, resampling, ordered aggregation)
-    "join_ivm_e2e", "snapshot_diff_reconcile", "fuzzy_match_names",
-    "temperature_resample", "recent_orders_list",
-    # never driver-checked (added late in round 3)
-    "ann_lsh_topk", "mixture_report",
-    "pack_sequences", "pivot_event_counts", "quality_rules",
-    "rollup_revenue", "window_frames",
-    # never driver-checked (round 4 first session: incremental dedup,
-    # decontamination, batch assembly, txlog/ORC e2e)
-    "exact_dedup_incremental", "minhash_neardup_incremental",
-    "contamination_check", "epoch_shuffle", "length_batching",
-    "txlog_merge_e2e", "orc_roundtrip_e2e",
-    # never driver-checked (added in round 4's second session: the
-    # remaining TPC-H decision-support shapes — subquery rewrites,
-    # semi/anti joins, scalar thresholds, disjunctive pushdown)
-    "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share",
-    "tpch_q11_important_parts", "tpch_q13_custdist",
-    "tpch_q17_small_quantity", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue", "tpch_q21_waiting_supplier",
-    "tpch_q22_sales_opportunity",
-    # never driver-checked (round 4 second session: time-series + SQL
-    # front end)
-    "gapfill_forward_fill", "funnel_conversion", "retention_matrix",
-    "rolling_active_users",
-    "sql_identical_text",
-    # --- 50-entry window boundary (everything below has evidence already,
-    # --- except the fifteen shape-redundant entries right here)
-    "tpch_q4_priority_exists", "tpch_q6_forecast_revenue",
-    "tpch_q7_volume_shipping", "tpch_q9_product_profit",
-    "tpch_q14_promo_revenue", "tpch_q15_top_supplier",
-    "grouping_sets_revenue", "range_interval_window",
-    "multimodal_frame_sample", "multimodal_image_resize",
-    "pq_codes", "ann_pq_topk", "returned_items_by_customer",
-    "argmax_latest_event", "stats_moments",
-    # r2-green only — driver evidence predates round-3 commits
-    "ann_cosine_topk", "ann_ivf_topk", "anti_join_no_urgent",
-    "asof_click_attribution", "case_math", "channel_ltv",
-    "cohort_percentiles", "customer_kpis", "datediff_family",
-    "decimal_domain", "dedup_latest_event", "dedup_nulls_ordering",
-    "distinct_pairs", "doc_fingerprint", "dupe_groups",
-    "embedding_cosine_neardup", "embedding_lsh_buckets", "exact_dedup",
-    "freshness_check", "json_extract", "lang_id", "ltv_windows",
-    "minhash_neardup", "monthly_revenue", "multimodal_meta",
-    "ngram_jaccard", "normalize_order_id", "order_line_rollup",
-    "order_sequence", "pricing_summary", "regexp_tokens",
-    "revenue_by_region", "session_window_rollup", "set_ops_topk",
-    "simhash", "streaming_window_rollup", "string_hygiene",
-    "surrogate_keys", "text_stats", "token_count", "try_casts",
-]
+# Driver-window priority (round 5, now computed): the driver's
+# correctness run records EXACTLY the first 50 registered entries (hard
+# cap in r2/r3/r4, not a time box), so registration order decides which
+# entries earn driver evidence this round. Rather than hand-repacking a
+# static list every round (r4's approach — which drifted the moment
+# CORRECTNESS_r04.json landed), the order is derived from the evidence
+# files themselves:
+#
+#   1. entries with NO green driver row in any CORRECTNESS_r*.json
+#      (never checked, or checked and red) — these need the hard signal;
+#   2. then proven entries, OLDEST green evidence first, so stale rows
+#      are re-validated against HEAD on a rolling cadence;
+#   3. alphabetical within each age class, for a stable, diff-able order.
+#
+# A green row means rows+schema+hash all matched; a red row (e.g. r4's
+# mixture_report) keeps its entry in the unproven class. If no
+# CORRECTNESS files exist (fresh clone), everything ties at round 0 and
+# the order is simply alphabetical. The guard test
+# tests/test_plans.py::test_driver_window_ordering_is_evidence_driven
+# re-derives the same ordering independently and fails on divergence.
 
-_missing = [n for n in _PRIORITY if n not in QUERIES]
-if _missing:  # a rename would silently demote an entry out of the window
-    raise RuntimeError(f"priority entries missing from catalog: {_missing}")
-_reordered = {n: QUERIES[n] for n in _PRIORITY}
-_reordered.update({n: q for n, q in QUERIES.items() if n not in _reordered})
+
+def _last_green_round() -> "dict[str, int]":
+    """name -> latest round with a fully-green driver row (absent if none)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    )
+    green: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green[name] = max(green.get(name, 0), rnd)
+    return green
+
+
+_green = _last_green_round()
+_ordered = sorted(QUERIES, key=lambda n: (_green.get(n, 0), n))
+_reordered = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_reordered)

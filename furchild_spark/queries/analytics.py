@@ -252,9 +252,12 @@ def quality_rules(spark, sf_dir):
     oracle="""
 SELECT source, lang,
   COUNT(*) AS n_docs,
-  SUM(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS total_tokens,
-  CAST(SUM(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS DOUBLE)
-    / CAST(COUNT(*) AS DOUBLE) AS avg_doc_tokens
+  CAST(SUM(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT))
+    AS BIGINT) AS total_tokens,
+  round(
+    CAST(SUM(CAST(len(string_split(lower(trim(text)), ' ')) AS BIGINT)) AS DOUBLE)
+      / CAST(COUNT(*) AS DOUBLE),
+    6) AS avg_doc_tokens
 FROM documents
 GROUP BY source, lang
 """,
@@ -272,9 +275,15 @@ def mixture_report(spark, sf_dir):
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            (
+            # rounded below the cross-engine float noise floor: the raw
+            # bigint/bigint quotient is IEEE-identical on both engines, but
+            # the driver's hash formats doubles differently than this repo's
+            # local check (the one r4 driver-red row) — same noise-floor
+            # pattern as stats_moments (queries/curation.py).
+            F.round(
                 F.sum("n_tokens").cast("double")
-                / F.count(F.lit(1)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
             ).alias("avg_doc_tokens"),
         )
     )

@@ -474,32 +474,49 @@ def test_argmax_latest_is_single_agg_no_window(spark):
     assert "partial_" in p
 
 
-def test_driver_window_holds_only_unproven_entries(spark):
+def test_driver_window_ordering_is_evidence_driven(spark):
     """Registration-order guard: the driver records correctness rows for
-    exactly the FIRST 50 registered entries, so every slot in that window
-    must be spent on an entry with no green driver row in any prior
-    round's CORRECTNESS_r*.json. A refactor that reorders imports or
-    renames an entry would silently burn window slots re-proving old
-    entries — fail here instead."""
+    exactly the FIRST 50 registered entries, so registration order must
+    be exactly the evidence-rotation order — entries with no green row
+    in ANY CORRECTNESS_r*.json first (never checked, or checked and
+    red), then proven entries oldest-green-first, alphabetical within an
+    age class. Re-derives the ordering independently of
+    queries/__init__.py (glob over all rounds, not a hard-coded tuple —
+    the r4 ADVICE defect) and fails on any divergence, so a refactor
+    that reorders imports or breaks the rotation cannot silently burn
+    window slots re-proving fresh entries."""
+    import glob
     import json
     import os
+    import re
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    proven: set[str] = set()
-    for n in (2, 3):
-        path = os.path.join(root, f"CORRECTNESS_r0{n}.json")
-        if not os.path.exists(path):
+    green: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
             continue
         with open(path) as fh:
             rows = json.load(fh)
-        proven |= {
-            name
-            for name, row in rows.items()
-            if row.get("rows_match") and row.get("schema_match")
-            and row.get("hash_match")
-        }
-    window = list(QUERIES)[:50]
-    stale = [n for n in window if n in proven]
-    assert not stale, (
-        f"driver-window slots wasted on already-proven entries: {stale}"
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                green[name] = max(green.get(name, 0), int(m.group(1)))
+    expected = sorted(QUERIES, key=lambda n: (green.get(n, 0), n))
+    assert list(QUERIES) == expected, (
+        "registration order diverges from evidence rotation; first few "
+        f"diffs: {[(a, b) for a, b in zip(QUERIES, expected) if a != b][:5]}"
+    )
+    # and the window invariant itself: no proven entry may occupy a slot
+    # while an unproven one waits outside
+    window, rest = list(QUERIES)[:50], list(QUERIES)[50:]
+    unproven_outside = [n for n in rest if n not in green]
+    proven_inside = [n for n in window if n in green]
+    assert not (unproven_outside and proven_inside), (
+        f"window wastes slots on proven {proven_inside[:5]} while "
+        f"unproven {unproven_outside[:5]} wait outside"
     )
