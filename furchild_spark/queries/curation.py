@@ -479,28 +479,49 @@ def fuzzy_match_names(spark, sf_dir):
     1. **Dedupe first**: the self-join runs over the DISTINCT name
        vocabulary (bounded by the name grammar, not the fact-table row
        count — 64 vs 2000 rows even at sf0.01).
-    2. **Block before comparing**: the equi key (first character) turns
-       the cross product into per-block pairs, and the length-difference
-       filter (a hard lower bound on edit distance) prunes before the
-       O(len²) levenshtein evaluates.  Recall is bounded by blocking —
-       a pair whose names differ in their first character is missed by
-       design, the standard entity-resolution trade.
-    3. Levenshtein itself is a JVM codegen builtin on Spark and a native
-       function in DuckDB — identical standard edit-distance semantics,
-       asserted by the hash compare.
+    2. **Block on (first char, EXACT length)**: first-character blocking
+       alone is quadratic in the hottest letter over an open vocabulary
+       (millions of names → billions of within-block pairs).  Composing
+       the exact length into the equi key splits every letter block by
+       length; one side replicates across its ±2 admissible window
+       (sequence+explode, a fixed ×5 — the length-difference filter is a
+       hard lower bound on edit distance, so recall vs the plain
+       first-char block is UNCHANGED and each qualifying pair matches on
+       exactly one key).  Measured on a hot-letter vocabulary
+       (tools/skew_bench.py --fuzzy): 8.8× faster at 20k names (3.6 s vs
+       32.0 s) and the gap widens quadratically — blocked time tracks
+       the true pair count while first-char-only tracks k².  The
+       remaining trade is the standard one:
+       a pair differing in its first character is missed by design.  If
+       a block is still hot (many same-length names under one letter),
+       the escalation path is Ed-Join positional q-gram prefixes — not
+       needed at any tested scale.
+    3. **Bounded levenshtein**: the threshold form short-circuits the
+       O(len²) DP once the running distance exceeds 3, so per-pair cost
+       is O(k·len) not O(len²).  Returns -1 above the bound → the dist
+       filter becomes `>= 0`.  Semantics identical to the oracle's
+       unbounded `levenshtein() <= 3` (native in DuckDB), asserted by
+       the hash compare.
     """
     names = table(spark, sf_dir, "part").select("p_name").distinct()
-    a = names.select(F.col("p_name").alias("name_a"))
-    b = names.select(F.col("p_name").alias("name_b"))
+    a = names.select(
+        F.col("p_name").alias("name_a"),
+        F.substring("p_name", 1, 1).alias("blk_char"),
+        F.length("p_name").alias("blk_len"),
+    )
+    b = names.select(
+        F.col("p_name").alias("name_b"),
+        F.substring("p_name", 1, 1).alias("blk_char"),
+        F.explode(
+            F.sequence(F.length("p_name") - 2, F.length("p_name") + 2)
+        ).alias("blk_len"),
+    )
+    dist = F.levenshtein("name_a", "name_b", 3).cast("bigint")
     return (
-        a.join(
-            b,
-            (F.substring("name_a", 1, 1) == F.substring("name_b", 1, 1))
-            & (F.col("name_a") < F.col("name_b")),
-        )
-        .filter(F.abs(F.length("name_a") - F.length("name_b")) <= 2)
-        .withColumn("dist", F.levenshtein("name_a", "name_b").cast("bigint"))
-        .filter(F.col("dist") <= 3)
+        a.join(b, ["blk_char", "blk_len"])
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)
         .select("name_a", "name_b", "dist")
     )
 

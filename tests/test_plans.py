@@ -474,6 +474,21 @@ def test_argmax_latest_is_single_agg_no_window(spark):
     assert "partial_" in p
 
 
+def test_fuzzy_match_blocking_is_equi_keyed(spark):
+    """The entity-resolution self-join must be a keyed hash/merge join on
+    the composite (first char, length) block — never a nested-loop or
+    cartesian plan — and the length window must appear as a generator
+    (explode over sequence), not as a post-join filter: the filter form
+    is the quadratic-in-the-hottest-letter shape the r4 verdict flagged.
+    Levenshtein must be the bounded 3-arg form (short-circuits the DP),
+    visible in the plan as levenshtein(..., 3)."""
+    p = plan_of(spark, "fuzzy_match_names")
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    assert "explode(sequence(" in p
+    assert "blk_char" in p and "blk_len" in p
+    assert "levenshtein(name_a" in p and "Some(3)" in p
+
+
 def test_driver_window_ordering_is_evidence_driven(spark):
     """Registration-order guard: the driver records correctness rows for
     exactly the FIRST 50 registered entries, so registration order must
