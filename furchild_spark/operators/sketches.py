@@ -1,0 +1,93 @@
+"""Deterministic distributed sketches.
+
+The built-in approximate aggregates (``approx_count_distinct`` — HLL++,
+``percentile_approx``) are engine-specific: their estimates differ
+between Spark and any oracle, between Spark versions, and sometimes
+between runs, so they can never sit behind a value-hash parity gate and
+their results are not reproducible artifacts. The sketches here are
+**deterministic by construction** — md5 over the item value, exact
+integer arithmetic — so the same corpus always yields the same sketch on
+any engine, which is what a 100 TB pipeline needs when a cardinality
+estimate feeds a downstream decision that must replay byte-stable.
+
+KMV (k minimum values) cardinality sketch (Bar-Yossef et al. 2002;
+Beyer et al. SIGMOD'07 "On Synopses for Distinct-Value Estimation"):
+hash every item to a uniform 60-bit integer, keep the k smallest
+distinct hashes per group; if the k-th smallest is ``h_k`` then
+``(k-1) * 2^60 / h_k`` estimates the distinct count (the k-th order
+statistic of n uniform draws on [0,1] concentrates at k/n). Standard
+error ~ 1/sqrt(k-2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+# 60 bits: 15 hex chars of the md5 — fits a signed long with headroom,
+# and the DuckDB oracle can rebuild the same integer with exact shifts
+# (CAST(strpos(hex digit) AS BIGINT) << 4*i), no float precision loss.
+HASH_BITS = 60
+HASH_SPACE = float(1 << HASH_BITS)  # 2^60, exactly representable
+
+
+def kmv_hash(col) -> F.Column:
+    """Uniform 60-bit integer hash of a string column, deterministic and
+    engine-portable (md5 prefix, base-16 to long)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    k: int = 64,
+    merge_buckets: int = 32,
+) -> DataFrame:
+    """Per-group distinct-count estimate via a KMV sketch.
+
+    Two-phase k-min, exploiting that k-min is associative —
+    ``kmin(A ∪ B) = kmin(kmin(A) ∪ kmin(B))`` — with every step either
+    map-side-combined or a spill-safe sort:
+
+    - dedupe (group, hash) with a hash aggregate (partial combine, so
+      repeated items collapse map-side);
+    - phase 1 ranks within (group, salt) where the salt is a
+      deterministic hash of the VALUE (not the partition — partition
+      ids are run-dependent and would break replay): each of
+      ``merge_buckets`` shards keeps its k smallest via a windowed
+      row_number, a sort that spills instead of growing an aggregation
+      buffer (the collect_set formulation would hold a hot group's
+      whole distinct-hash set in one reducer's memory);
+    - phase 2 ranks the ≤ merge_buckets × k survivors per group — a
+      bounded input (64×32 longs) regardless of corpus size, so the
+      per-group window is never a hot spot.
+
+    Returns (group, n_mins, kth_min, kmv_estimate): when a group has
+    fewer than k distinct hashes the sketch IS the exact count and the
+    estimate equals n_mins; kth_min is null in that case.
+    """
+    hv = kmv_hash(F.col(item_col))
+    base = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
+    w1 = Window.partitionBy("grp", "salt").orderBy("hv")
+    p1 = (
+        base.withColumn(
+            "salt", F.pmod(F.xxhash64(F.col("hv")), F.lit(merge_buckets))
+        )
+        .withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .select("grp", "hv")
+    )
+    w2 = Window.partitionBy("grp").orderBy("hv")
+    p2 = p1.withColumn("rn", F.row_number().over(w2)).filter(F.col("rn") <= k)
+    n_mins = F.count(F.lit(1))
+    kth = F.max(F.when(F.col("rn") == k, F.col("hv")))
+    est = F.when(n_mins < k, n_mins.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / kth.cast("double")
+    )
+    return p2.groupBy("grp").agg(
+        n_mins.cast("long").alias("n_mins"),
+        kth.cast("long").alias("kth_min"),
+        F.round(est, 4).alias("kmv_estimate"),
+    ).select(
+        F.col("grp").alias(group_col), "n_mins", "kth_min", "kmv_estimate"
+    )

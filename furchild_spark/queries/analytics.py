@@ -501,3 +501,60 @@ def higher_order_funcs(spark, sf_dir):
         F.upper(F.element_at(words, 1)).alias("first_upper"),
         F.element_at(F.sort_array(words), 1).alias("min_word"),
     )
+
+
+# ---------------------------------------------------------------------------
+# min/max-normalized fixed-width histogram (profiling a numeric column)
+# ---------------------------------------------------------------------------
+
+@query(
+    "numeric_histogram",
+    section="engine extra (data profiling: 20-bin min/max-normalized "
+    "histogram with scalar-broadcast bounds)",
+    oracle="""
+WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
+binned AS (
+  SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+               CAST(19 AS BIGINT)) AS bin,
+         lo, (hi - lo) / 20.0 AS w
+  FROM orders, b
+)
+SELECT CAST(bin AS BIGINT) AS bin,
+  round(lo + CAST(bin AS DOUBLE) * w, 6) AS bin_lo,
+  CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM binned GROUP BY bin, lo, w
+""",
+)
+def numeric_histogram(spark, sf_dir):
+    """The profile you pull before choosing partition bounds or spotting
+    a degenerate value distribution: equal-width bins between the
+    column's observed min/max. Two passes, both cheap at any scale — a
+    scalar min/max aggregate that BROADCASTS (one row), then a map-side
+    binning + 20-key aggregation. Bin edges are IEEE-deterministic
+    (identical subtraction/division/floor on identical doubles in both
+    engines); the max value lands in the last bin via least(). bin_lo is
+    a derived double → rounded to the catalog's 6 dp noise floor."""
+    o = table(spark, sf_dir, "orders")
+    b = o.agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    w = (F.col("hi") - F.col("lo")) / F.lit(20.0)
+    binned = o.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor((F.col("o_totalprice") - F.col("lo")) / w),
+            F.lit(19).cast("long"),
+        ).alias("bin"),
+        F.col("lo"),
+        w.alias("w"),
+    )
+    return (
+        binned.groupBy("bin", "lo", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+        .select(
+            "bin",
+            F.round(
+                F.col("lo") + F.col("bin").cast("double") * F.col("w"), 6
+            ).alias("bin_lo"),
+            "n_orders",
+        )
+    )

@@ -1263,3 +1263,192 @@ def outlier_docs(spark, sf_dir):
             ).alias("is_outlier"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# deterministic KMV cardinality sketch (engine-portable approx distinct)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kmv_distinct_sketch",
+    section="LLM-corpus profiling (engine extra): deterministic KMV "
+    "distinct-count sketch — the reproducible replacement for "
+    "approx_count_distinct, merged two-phase so no reducer ever holds a "
+    "hot group's raw distinct set",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT source, unnest({_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT DISTINCT source,
+    list_sum(list_transform(range(0, 15), i ->
+      CAST(strpos('0123456789abcdef', substr(md5(tok), i + 1, 1)) - 1
+           AS BIGINT) << (4 * (14 - i)))) AS hv
+  FROM items
+),
+ranked AS (
+  SELECT source, hv,
+    row_number() OVER (PARTITION BY source ORDER BY hv ASC) AS rn
+  FROM hashed
+),
+mins AS (
+  SELECT source,
+    COUNT(*) AS n_mins,
+    MAX(CASE WHEN rn = 64 THEN hv END) AS kth_min
+  FROM ranked WHERE rn <= 64 GROUP BY source
+),
+exact AS (
+  SELECT source, COUNT(DISTINCT tok) AS exact_distinct FROM items GROUP BY source
+)
+SELECT m.source,
+  CAST(e.exact_distinct AS BIGINT) AS exact_distinct,
+  CAST(m.n_mins AS BIGINT) AS n_mins,
+  CAST(m.kth_min AS BIGINT) AS kth_min,
+  round(CASE WHEN m.n_mins < 64 THEN CAST(m.n_mins AS DOUBLE)
+        ELSE 63.0 * 1152921504606846976.0 / CAST(m.kth_min AS DOUBLE)
+        END, 4) AS kmv_estimate
+FROM mins m JOIN exact e ON m.source = e.source
+""",
+)
+def kmv_distinct_sketch(spark, sf_dir):
+    """Distinct-token cardinality per source, estimated by a k-minimum-
+    values sketch (k=64) built from md5 hashes — deterministic, so the
+    oracle recomputes the IDENTICAL sketch and the hash gate proves the
+    whole pipeline, which ``approx_count_distinct`` (HLL++, engine-
+    private) never could. The operator
+    (operators/sketches.py kmv_distinct) is the scale path: dedupe with
+    map-side combine, then salted spill-safe window k-min, then a merge
+    over a bounded (k × merge_buckets) payload per group — at 100 TB the
+    shuffles carry sketch-sized rows, never the token stream. The exact
+    COUNT(DISTINCT) column exists only to demonstrate the estimate's
+    error in-row (±12% expected at k=64); a real run drops it."""
+    from furchild_spark.operators import sketches
+
+    d = table(spark, sf_dir, "documents")
+    items = d.select(
+        "source", F.explode(text.tokens("text")).alias("tok")
+    ).distinct()
+    sk = sketches.kmv_distinct(items, "source", "tok", k=64)
+    exact = items.groupBy("source").agg(
+        F.count_distinct("tok").cast("long").alias("exact_distinct")
+    )
+    return exact.join(sk, on="source").select(
+        "source", "exact_distinct", "n_mins", "kth_min", "kmv_estimate"
+    )
+
+
+# ---------------------------------------------------------------------------
+# capped inverted index (posting-list construction)
+# ---------------------------------------------------------------------------
+
+@query(
+    "inverted_index",
+    section="LLM-corpus tooling (engine extra): capped posting-list "
+    "construction — token -> document frequency + first-k sorted doc ids",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT doc_id, unnest({_TOKS}) AS tok FROM documents
+)
+SELECT tok AS token,
+  CAST(COUNT(*) AS BIGINT) AS df,
+  array_to_string(
+    list_transform(
+      list_slice(list(doc_id ORDER BY doc_id ASC), 1, 20),
+      x -> CAST(x AS VARCHAR)),
+    ',') AS postings
+FROM items
+GROUP BY tok
+HAVING COUNT(*) >= 10
+""",
+)
+def inverted_index(spark, sf_dir):
+    """Token → (document frequency, first 20 doc ids) — the index you
+    build to audit a corpus ("which documents contain this contaminated
+    string?") without rescanning 100 TB per lookup. The posting cap is
+    enforced BEFORE any list materializes: one exchange on the token
+    key, a spill-safe window sort assigns ranks and the unbounded
+    count-over-partition computes df on the same exchange, rows ranked
+    past 20 are dropped, and only then does collect_list run — so a
+    stop-word's aggregation buffer holds 20 ids, never its millions
+    (a bare collect_list + slice would buffer the full hot-key list).
+    The df >= 10 gate drops the hapax tail (most of the vocab) before
+    the result ships."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    items = d.select(
+        "doc_id", F.explode(text.tokens("text")).alias("tok")
+    ).distinct()
+    w_rank = Window.partitionBy("tok").orderBy(F.asc("doc_id"))
+    w_all = Window.partitionBy("tok")
+    capped = (
+        items.withColumn("df", F.count(F.lit(1)).over(w_all))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter((F.col("rn") <= 20) & (F.col("df") >= 10))
+    )
+    return capped.groupBy(F.col("tok").alias("token")).agg(
+        F.max("df").cast("long").alias("df"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH ANN, probe-radius operating points (the recall/cost dial)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_lsh_topk_probe0",
+    section="LLM-similarity hyperplane-LSH ANN, radius-0 operating point "
+    "(home bucket only — the cheap end of the multi-probe dial)",
+    oracle=f"""
+WITH c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+    CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+    CAST({_LSH_BUCKET_SQL} AS BIGINT) AS bucket
+  FROM embeddings WHERE vec_id < 10
+),
+scored AS (
+  SELECT query_id, q.bucket AS bucket, neighbor_id,
+    round(CAST({_DOT.format(a='qv', b='cv')} AS DOUBLE)
+          / (sqrt(CAST({_DOT.format(a='qv', b='qv')} AS DOUBLE))
+             * sqrt(CAST({_DOT.format(a='cv', b='cv')} AS DOUBLE))), 6) AS sim
+  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id
+)
+SELECT query_id, bucket, CAST(rank AS BIGINT) AS rank, neighbor_id, sim FROM (
+  SELECT query_id, bucket, neighbor_id, sim,
+    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_lsh_topk_probe0(spark, sf_dir):
+    """The probe_radius=0 point of the multi-probe dial that ann_lsh_topk
+    runs at radius 1: home bucket only, touching ~1/2^planes of the
+    corpus per query instead of ~(1+planes)/2^planes — 1/5 the candidate
+    work for the recall the radius-1 tripwire measures as 2.25× lower
+    (tests/test_ann_recall.py). Registering both operating points makes
+    the recall/cost trade a benchmarkable parameter instead of a code
+    constant: BENCH_DETAIL.json carries one timing per point."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=5, num_planes=4, seed=42,
+        dim=64, probe_radius=0,
+    )
+    return out.select(
+        "query_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "sim",
+    )

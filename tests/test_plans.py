@@ -36,9 +36,12 @@ def plan_of(spark, name: str) -> str:
         "dupe_groups",
         "ann_ivf_topk",
         "ann_lsh_topk",
+        "ann_lsh_topk_probe0",
         "exact_dedup_incremental",
         "minhash_neardup_incremental",
         "contamination_check",
+        "kmv_distinct_sketch",
+        "inverted_index",
     ],
 )
 def test_no_cartesian_candidate_generation(spark, name):
@@ -391,6 +394,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "tpch_q11_important_parts",  # broadcast 1-row scalar threshold
         "tpch_q22_sales_opportunity",  # broadcast 1-row AVG balance floor
         "temperature_resample",  # broadcast 1-row min-tokens scalar
+        "numeric_histogram",  # broadcast 1-row min/max bounds
     }
     for name in QUERIES:
         if name.endswith("_e2e"):
