@@ -91,3 +91,75 @@ def kmv_distinct(
     ).select(
         F.col("grp").alias(group_col), "n_mins", "kth_min", "kmv_estimate"
     )
+
+
+def kmv_intersection(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    base_group: str,
+    k: int = 64,
+) -> DataFrame:
+    """Estimate |distinct(base) ∩ distinct(g)| for every other group g —
+    KMV sketch algebra (Beyer et al. SIGMOD'07 §4): merge the two
+    sketches, keep the k smallest of the union, count how many of those
+    appear in BOTH inputs (k∩), then
+    ``est_inter = (k∩ / |L|) · est_union`` where ``est_union`` is the
+    plain KMV estimate on the merged k-min set L. This is how a planner
+    prices a join (or a curator measures vocabulary overlap between two
+    corpus slices) from two 16 KB sketches instead of two corpus scans.
+
+    The per-group k-min here is a single ranked window (the groups'
+    distinct-hash sets are vocabulary-scale); for open-ended item
+    domains reuse kmv_distinct's salted two-phase k-min as the input.
+    Replication of the base sketch across groups broadcasts the ≤k-row
+    sketch against the ≤|groups|-row group list (Catalyst folds the
+    constant key into a BroadcastNestedLoopJoin — bounded on BOTH
+    sides, the whitelisted scalar-broadcast class, never data-sized).
+
+    Returns (group, n_common_mins, kmv_overlap_estimate), one row per
+    non-base group.
+    """
+    hv = kmv_hash(F.col(item_col))
+    hashed = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
+    w = Window.partitionBy("grp").orderBy("hv")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("grp", "hv")
+    )
+    a = sk.filter(F.col("grp") == base_group).select(
+        "hv", F.lit(1).alias("in_a"), F.lit(1).alias("j")
+    )
+    b = sk.filter(F.col("grp") != base_group).select(
+        F.col("grp").alias("grp_b"), "hv", F.lit(1).alias("in_b")
+    )
+    groups = b.select("grp_b").distinct().withColumn("j", F.lit(1))
+    rep_a = groups.join(F.broadcast(a), on="j").select(
+        "grp_b", "hv", "in_a", F.lit(0).alias("in_b")
+    )
+    u = rep_a.unionByName(
+        b.select("grp_b", "hv", F.lit(0).alias("in_a"), "in_b")
+    )
+    merged = u.groupBy("grp_b", "hv").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    w2 = Window.partitionBy("grp_b").orderBy("hv")
+    top = merged.withColumn("rn", F.row_number().over(w2)).filter(
+        F.col("rn") <= k
+    )
+    n_l = F.count(F.lit(1))
+    h_k = F.max(F.when(F.col("rn") == k, F.col("hv")))
+    k_inter = F.sum(F.col("in_a") * F.col("in_b"))
+    est_union = F.when(n_l < k, n_l.cast("double")).otherwise(
+        F.lit(float(k - 1)) * F.lit(HASH_SPACE) / h_k.cast("double")
+    )
+    est_inter = (k_inter.cast("double") / n_l.cast("double")) * est_union
+    return top.groupBy("grp_b").agg(
+        k_inter.cast("long").alias("n_common_mins"),
+        F.round(est_inter, 4).alias("kmv_overlap_estimate"),
+    ).select(
+        F.col("grp_b").alias(group_col),
+        "n_common_mins",
+        "kmv_overlap_estimate",
+    )

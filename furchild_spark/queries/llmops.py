@@ -1452,3 +1452,104 @@ def ann_lsh_topk_probe0(spark, sf_dir):
         "neighbor_id",
         "sim",
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV sketch algebra — intersection estimate (vocabulary overlap / join
+# cardinality from two sketches, no corpus rescan)
+# ---------------------------------------------------------------------------
+
+@query(
+    "kmv_vocab_overlap",
+    section="LLM-corpus profiling (engine extra): KMV intersection "
+    "estimate — vocabulary overlap of each language slice vs 'en' from "
+    "two 64-hash sketches (the sketch algebra a planner prices joins with)",
+    oracle=f"""
+WITH items AS (
+  SELECT DISTINCT lang, unnest({_TOKS}) AS tok FROM documents
+),
+hashed AS (
+  SELECT DISTINCT lang,
+    list_sum(list_transform(range(0, 15), i ->
+      CAST(strpos('0123456789abcdef', substr(md5(tok), i + 1, 1)) - 1
+           AS BIGINT) << (4 * (14 - i)))) AS hv
+  FROM items
+),
+sk AS (
+  SELECT lang, hv FROM (
+    SELECT lang, hv,
+      row_number() OVER (PARTITION BY lang ORDER BY hv ASC) AS rn
+    FROM hashed
+  ) WHERE rn <= 64
+),
+a AS (SELECT hv FROM sk WHERE lang = 'en'),
+b AS (SELECT lang AS grp_b, hv FROM sk WHERE lang <> 'en'),
+u AS (
+  SELECT g.grp_b, a.hv, 1 AS in_a, 0 AS in_b
+  FROM (SELECT DISTINCT grp_b FROM b) g CROSS JOIN a
+  UNION ALL
+  SELECT grp_b, hv, 0, 1 FROM b
+),
+m AS (
+  SELECT grp_b, hv, MAX(in_a) AS in_a, MAX(in_b) AS in_b
+  FROM u GROUP BY grp_b, hv
+),
+top AS (
+  SELECT * FROM (
+    SELECT m.*, row_number() OVER (PARTITION BY grp_b ORDER BY hv ASC) AS rn
+    FROM m
+  ) WHERE rn <= 64
+),
+est AS (
+  SELECT grp_b, COUNT(*) AS n_l,
+    MAX(CASE WHEN rn = 64 THEN hv END) AS h_k,
+    SUM(in_a * in_b) AS k_inter
+  FROM top GROUP BY grp_b
+),
+exact AS (
+  SELECT bb.lang AS grp_b, COUNT(DISTINCT bb.tok) AS exact_overlap
+  FROM items bb
+  JOIN (SELECT DISTINCT tok FROM items WHERE lang = 'en') aa
+    ON aa.tok = bb.tok
+  WHERE bb.lang <> 'en' GROUP BY bb.lang
+)
+SELECT e.grp_b AS lang,
+  CAST(x.exact_overlap AS BIGINT) AS exact_overlap,
+  CAST(e.k_inter AS BIGINT) AS n_common_mins,
+  round((CAST(e.k_inter AS DOUBLE) / CAST(e.n_l AS DOUBLE))
+        * CASE WHEN e.n_l < 64 THEN CAST(e.n_l AS DOUBLE)
+               ELSE 63.0 * 1152921504606846976.0 / CAST(e.h_k AS DOUBLE)
+          END, 4) AS kmv_overlap_estimate
+FROM est e JOIN exact x ON e.grp_b = x.grp_b
+""",
+)
+def kmv_vocab_overlap(spark, sf_dir):
+    """How much of each language slice's vocabulary is shared with the
+    'en' slice — estimated from two 64-hash KMV sketches by the standard
+    intersection algebra (merge the sketches, keep the k smallest of the
+    union, scale the union estimate by the fraction present in both).
+    At 100 TB this answers set-overlap questions (join cardinality,
+    slice contamination, vocabulary drift between crawl snapshots) from
+    kilobyte sketches, no second corpus scan: the only full-data work is
+    building the per-group sketch once. The exact-overlap column exists
+    to demonstrate the estimate's error in-row; a real run drops it.
+    The base-sketch replication broadcasts the ≤64-row sketch against
+    the ≤|groups|-row group list — a bounded-both-sides nested-loop
+    broadcast in the whitelisted scalar class, never data-sized."""
+    from furchild_spark.operators import sketches
+
+    d = table(spark, sf_dir, "documents")
+    items = d.select(
+        "lang", F.explode(text.tokens("text")).alias("tok")
+    ).distinct()
+    sk = sketches.kmv_intersection(items, "lang", "tok", base_group="en", k=64)
+    en_vocab = items.filter(F.col("lang") == "en").select("tok").distinct()
+    exact = (
+        items.filter(F.col("lang") != "en")
+        .join(en_vocab, on="tok")
+        .groupBy("lang")
+        .agg(F.count_distinct("tok").cast("long").alias("exact_overlap"))
+    )
+    return exact.join(sk, on="lang").select(
+        "lang", "exact_overlap", "n_common_mins", "kmv_overlap_estimate"
+    )

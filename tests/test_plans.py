@@ -395,6 +395,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "tpch_q22_sales_opportunity",  # broadcast 1-row AVG balance floor
         "temperature_resample",  # broadcast 1-row min-tokens scalar
         "numeric_histogram",  # broadcast 1-row min/max bounds
+        "kmv_vocab_overlap",  # broadcast ≤64-row base sketch replication
     }
     for name in QUERIES:
         if name.endswith("_e2e"):

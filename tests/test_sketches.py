@@ -121,3 +121,29 @@ def test_lsh_probe0_touches_fewer_buckets_than_probe1(spark):
     assert only0.count() <= n0.count()
     for df in (n0, n1):
         assert df.agg(F.max("rank")).first()[0] <= 5
+
+
+def test_kmv_overlap_estimate_sane(spark):
+    """Intersection algebra tripwire: the overlap estimate must be
+    positive where the exact overlap is substantial, and can never
+    exceed the union estimate's support (n_common_mins <= k)."""
+    rows = QUERIES["kmv_vocab_overlap"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_common_mins"] <= 64
+        assert r["kmv_overlap_estimate"] >= 0.0
+        if r["exact_overlap"] >= 200:
+            rel_err = abs(r["kmv_overlap_estimate"] - r["exact_overlap"]) \
+                / r["exact_overlap"]
+            assert rel_err < 0.60, (r["lang"], dict(r.asDict()))
+
+
+def test_kmv_overlap_plan_bounded_broadcast(spark):
+    """The base-sketch replication joins a ≤64-row broadcast side against
+    the ≤|groups|-row group list — Catalyst constant-folds the dummy key
+    into a BroadcastNestedLoopJoin, which is the intended bounded shape
+    (both sides sketch-sized); what must never appear is an unkeyed
+    product of anything data-sized, i.e. a CartesianProduct."""
+    p = plan_of(spark, "kmv_vocab_overlap")
+    assert "CartesianProduct" not in p
+    assert "BroadcastExchange" in p
