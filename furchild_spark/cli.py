@@ -1,0 +1,162 @@
+"""dbt-style command line for the model DAG.
+
+The reference project's daily driver is ``dbt run`` / ``dbt test`` /
+``dbt build`` / ``dbt source freshness`` (reference: dbt_project.yml);
+this is the same surface over the Spark Runner:
+
+    python -m furchild_spark ls
+    python -m furchild_spark build --bronze DIR --warehouse DIR
+    python -m furchild_spark run   --models stg_orders,fct_orders --incremental
+    python -m furchild_spark test  --bronze DIR --warehouse DIR
+    python -m furchild_spark freshness --bronze DIR --now 2024-03-05T00:00:00
+    python -m furchild_spark show fct_orders --bronze DIR -n 5
+    python -m furchild_spark gen-fixtures --bronze DIR
+
+Bronze sources are parquet files named ``<source>.parquet`` under
+``--bronze`` (``gen-fixtures`` writes the deterministic demo set there).
+Exit codes mirror dbt: 0 success, 1 failing error-severity checks or
+stale sources, 2 usage errors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import sys
+
+
+def _parse_now(s: str | None):
+    if s is None:
+        return None
+    return dt.datetime.fromisoformat(s)
+
+
+def _make_runner(args, spark):
+    from furchild_spark.engine.registry import Runner
+    from furchild_spark.models import registry
+
+    def sources(name: str):
+        return spark.read.parquet(f"{args.bronze}/{name}.parquet")
+
+    return Runner(
+        spark,
+        registry,
+        sources=sources,
+        warehouse_dir=args.warehouse,
+        incremental=args.incremental,
+        variables=json.loads(args.vars) if args.vars else None,
+        now=_parse_now(args.now),
+        table_format=args.table_format,
+    )
+
+
+def _names(args) -> list[str] | None:
+    return args.models.split(",") if args.models else None
+
+
+def main(argv: list[str] | None = None, spark=None) -> int:
+    p = argparse.ArgumentParser(prog="furchild_spark", description=__doc__)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("--bronze", help="dir of <source>.parquet files")
+        sp.add_argument("--warehouse", help="materialization dir (omit = view-only run)")
+        sp.add_argument("--models", help="comma-separated subset (default: all)")
+        sp.add_argument("--incremental", action="store_true")
+        sp.add_argument("--table-format", default="parquet",
+                        choices=["parquet", "txlog"])
+        sp.add_argument("--vars", help="JSON object of dbt-style variables")
+        sp.add_argument("--now", help="frozen clock, ISO timestamp")
+
+    sub.add_parser("ls", help="list registered models")
+    for c in ("run", "build", "test", "freshness"):
+        common(sub.add_parser(c))
+    g = sub.add_parser("gen-fixtures", help="write deterministic bronze demo data")
+    g.add_argument("--bronze", required=True)
+    s = sub.add_parser("show", help="print rows of one model")
+    common(s)
+    s.add_argument("model")
+    s.add_argument("-n", type=int, default=10)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "ls":
+        from furchild_spark.models import registry
+
+        for name in registry.names():
+            m = registry[name]
+            print(f"{name:40s} {m.materialized:12s} "
+                  f"{'unique_key=' + str(m.unique_key) if m.unique_key else ''}")
+        return 0
+
+    if args.cmd == "gen-fixtures":
+        from furchild_spark.sources.fixtures import write_fixture_parquet
+
+        paths = write_fixture_parquet(args.bronze)
+        for name, path in sorted(paths.items()):
+            print(f"wrote {name} -> {path}")
+        return 0
+
+    if not args.bronze:
+        p.error(f"--bronze is required for {args.cmd}")
+
+    if spark is None:
+        from furchild_spark.engine.session import get_spark
+
+        spark = get_spark(app_name=f"furchild_{args.cmd}")
+    runner = _make_runner(args, spark)
+
+    from furchild_spark.engine import checks as C
+    from furchild_spark.engine.registry import BuildError
+
+    if args.cmd == "run":
+        built = runner.run(_names(args))
+        for name, df in built.items():
+            print(f"built {name}: {df.count()} rows")
+        return 0
+
+    if args.cmd == "freshness":
+        results = C.run_freshness(runner.source, runner.now, C.FRESHNESS)
+        worst = 0
+        for r in results:
+            print(f"{r.source:28s} lag={r.lag_hours:8.1f}h {r.status}")
+            worst = max(worst, 1 if r.status == "error" else 0)
+        return worst
+
+    if args.cmd == "test":
+        results = C.run_checks(runner.ref, C.CHECKS)
+        failed = 0
+        for r in results:
+            status = "PASS" if r.passed else r.severity.upper()
+            print(f"{r.name:56s} {status}"
+                  + ("" if r.passed else f" ({r.failures} rows)"))
+            if not r.passed and r.severity == "error":
+                failed += 1
+        print(f"{len(results)} checks, {failed} error-severity failures")
+        return 1 if failed else 0
+
+    if args.cmd == "build":
+        try:
+            result = runner.build(
+                _names(args), checks=C.CHECKS, freshness=C.FRESHNESS
+            )
+        except BuildError as e:
+            print(f"BUILD FAILED: {e}")
+            return 1
+        print(f"built {len(result.models)} models, "
+              f"{len(result.checks)} checks "
+              f"({len(result.errors)} errors), "
+              f"{len(result.freshness)} freshness probes")
+        return 0
+
+    if args.cmd == "show":
+        df = runner.ref(args.model)
+        df.show(args.n, truncate=False)
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())

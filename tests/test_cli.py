@@ -1,0 +1,77 @@
+"""The dbt-style CLI drives the same Runner the tests use — assert each
+subcommand's happy path and exit-code contract in-process (argv parsing
+included; no subprocess, the session is shared)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from furchild_spark.cli import main
+
+FROZEN = "2024-03-05T00:00:00"
+
+
+@pytest.fixture(scope="module")
+def bronze(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_bronze"))
+    assert main(["gen-fixtures", "--bronze", d]) == 0
+    return d
+
+
+def test_ls_lists_models(capsys):
+    assert main(["ls"]) == 0
+    out = capsys.readouterr().out
+    assert "stg_orders" in out and "fct_orders" in out
+    assert "incremental" in out
+
+
+def test_run_subset(bronze, spark, capsys):
+    rc = main(
+        ["run", "--bronze", bronze, "--models", "stg_orders", "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_orders" in out
+
+
+def test_freshness_exit_zero_when_fresh(bronze, spark):
+    rc = main(["freshness", "--bronze", bronze, "--now", FROZEN], spark=spark)
+    assert rc == 0
+
+
+def test_freshness_exit_one_when_stale(bronze, spark):
+    # Fixture _AIRBYTE_EXTRACTED_AT tops out ~58 days after FROZEN; a year
+    # later every source is past error_after_hours.
+    stale_now = (
+        dt.datetime.fromisoformat(FROZEN) + dt.timedelta(days=365)
+    ).isoformat()
+    rc = main(["freshness", "--bronze", bronze, "--now", stale_now], spark=spark)
+    assert rc == 1
+
+
+def test_build_and_test_green(bronze, spark, tmp_path, capsys):
+    wh = str(tmp_path / "wh")
+    rc = main(
+        ["build", "--bronze", bronze, "--warehouse", wh, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "built" in capsys.readouterr().out
+    rc = main(
+        ["test", "--bronze", bronze, "--warehouse", wh, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "0 error-severity failures" in capsys.readouterr().out
+
+
+def test_show_prints_rows(bronze, spark, capsys):
+    rc = main(
+        ["show", "stg_customers", "--bronze", bronze, "--now", FROZEN, "-n", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "customer_id" in capsys.readouterr().out
