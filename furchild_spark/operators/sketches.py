@@ -163,3 +163,80 @@ def kmv_intersection(
         "n_common_mins",
         "kmv_overlap_estimate",
     )
+
+
+def cms_bucket(col, row: int, width: int) -> F.Column:
+    """Bucket of ``col`` in CMS row ``row``: md5 of the salted value,
+    60-bit prefix mod width. Salting with the row index gives the d
+    pairwise-independent-ish hash functions; md5 keeps it deterministic
+    and engine-portable (the oracle rebuilds the identical bucket)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.pmod(
+        kmv_hash(F.concat(F.lit(f"{row}:"), c)), F.lit(width)
+    ).cast("long")
+
+
+def cms_sketch(
+    df: DataFrame, item_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of an item stream:
+    a depth × width grid of counters, ``cms[r][bucket_r(x)] += 1`` for
+    every occurrence. Built as ONE hash aggregation over the exploded
+    (row, bucket) pairs — depth-fold row growth but map-side combined
+    down to ≤ depth × width rows per partition, so the shuffle carries
+    the sketch, not the stream. The whole sketch is ``depth*width``
+    longs (8 KB at 4×256) regardless of corpus size; sketches of corpus
+    shards merge by cell-wise addition (the same groupBy), which is why
+    a 100 TB frequency profile can be maintained incrementally.
+
+    Returns (row, bucket, cnt)."""
+    c = F.col(item_col)
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("row"),
+                        cms_bucket(c, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb")
+    ).select("rb.row", "rb.bucket")
+    return pairs.groupBy("row", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame, candidates: DataFrame, item_col: str,
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Point-estimate candidate frequencies from a CMS: for each
+    candidate, min over the d rows of its bucket counters (each cell
+    over-counts by colliding items, never under-counts, so min is the
+    tightest upper bound — est ≥ true, E[err] ≤ e·N/width). The
+    candidate set joins the 8 KB sketch by (row, bucket) with the
+    sketch broadcast — the stream itself is never rescanned, which is
+    the point of carrying the sketch."""
+    c = F.col(item_col)
+    probes = candidates.select(
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).cast("long").alias("row"),
+                        cms_bucket(c, r, width).alias("bucket"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("rb"),
+    ).select(item_col, "rb.row", "rb.bucket")
+    return (
+        probes.join(F.broadcast(sketch), on=["row", "bucket"])
+        .groupBy(item_col)
+        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+    )

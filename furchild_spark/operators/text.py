@@ -7,7 +7,7 @@ filters push down to the parquet scan.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from .util import fanout
@@ -207,5 +207,59 @@ def suppress_duplicate_chunks(
             F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
             .cast("long")
             .alias("n_removed"),
+        )
+    )
+
+
+def bigram_repetition(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    "Scaling Language Models", Table A1): the fraction of bigrams that
+    occur more than once and the share taken by the single most frequent
+    bigram — the standard gates against boilerplate/spam docs whose text
+    loops. Per doc: (n_bigrams, n_distinct_bigrams, dup_bigram_frac,
+    top_bigram, top_bigram_frac); docs with < 2 tokens emit nothing.
+
+    Shape: explode bigram shingles → one hash agg on (doc, gram) — the
+    fan-out is map-side combined — then doc-keyed window functions
+    compute totals, dup mass and the (cnt DESC, gram ASC)-ranked top on
+    one exchange. All keys carry the doc id, so nothing concentrates:
+    at 100 TB this is two doc-partitioned shuffles, no skew, no
+    driver state. Fractions are quotients of exact integers (IEEE-
+    deterministic, hash-portable); top-bigram ties break lexically."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(shingles(tokens(text_col), 2)).alias("gram"),
+    )
+    counts = grams.groupBy(id_col, "gram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w_doc = Window.partitionBy(id_col)
+    w_rank = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("gram"))
+    return (
+        counts.withColumn("n_bigrams", F.sum("cnt").over(w_doc))
+        .withColumn("n_distinct_bigrams", F.count(F.lit(1)).over(w_doc))
+        .withColumn(
+            "dup_cnt",
+            F.sum(
+                F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(F.lit(0))
+            ).over(w_doc),
+        )
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            F.col("n_distinct_bigrams").cast("long").alias("n_distinct_bigrams"),
+            (
+                F.col("dup_cnt").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("dup_bigram_frac"),
+            F.col("gram").alias("top_bigram"),
+            (
+                F.col("cnt").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("top_bigram_frac"),
         )
     )

@@ -558,3 +558,243 @@ def numeric_histogram(spark, sf_dir):
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank over the nation trade graph (iterative relational algo)
+# ---------------------------------------------------------------------------
+
+_PR_REV = ("CAST(l_extendedprice AS DECIMAL(18,2)) * "
+           "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))")
+_PR_D = "CAST(0.85 AS DOUBLE)"
+_PR_TELEPORT = f"(CAST(1.0 AS DOUBLE) - {_PR_D})"
+
+
+def _pagerank_oracle(iterations: int = 8) -> str:
+    """Unrolled PageRank iterations as chained CTEs — the oracle replays
+    the EXACT trajectory (decimal-exact contribution sums, 8 dp rounding
+    per round) so the value hash proves all `iterations` rounds."""
+    ctes = [f"""
+WITH rev AS (
+  SELECT c.c_nationkey AS src, s.s_nationkey AS dst, SUM({_PR_REV}) AS rev_d
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  GROUP BY 1, 2
+),
+edges AS (
+  SELECT src, dst,
+    CAST(rev_d AS DOUBLE)
+      / CAST(SUM(rev_d) OVER (PARTITION BY src) AS DOUBLE) AS w
+  FROM rev
+),
+nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges
+  )
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (
+  SELECT node, 1.0 / CAST(nn.n AS DOUBLE) AS rank FROM nodes CROSS JOIN nn
+)"""]
+    for k in range(1, iterations + 1):
+        ctes.append(f""",
+r{k} AS (
+  SELECT n.node,
+    round({_PR_TELEPORT} / CAST(nn.n AS DOUBLE)
+      + {_PR_D} * coalesce(CAST(s.s AS DOUBLE), 0.0), 8) AS rank
+  FROM nodes n CROSS JOIN nn
+  LEFT JOIN (
+    SELECT x.node, SUM(x.c) AS s FROM (
+      SELECT e.dst AS node, CAST(e.w * r.rank AS DECIMAL(38,18)) AS c
+      FROM edges e JOIN r{k - 1} r ON e.src = r.node
+    ) x GROUP BY x.node
+  ) s ON n.node = s.node
+)""")
+    ctes.append(f"""
+SELECT CAST(r.node AS BIGINT) AS nation_key, n.n_name AS nation,
+  r.rank AS pagerank
+FROM r{iterations} r JOIN nation n ON r.node = n.n_nationkey
+""")
+    return "".join(ctes)
+
+
+@query(
+    "pagerank_trade",
+    section="engine extra (iterative graph algo beyond CC): weighted "
+    "PageRank over the customer-nation -> supplier-nation revenue graph — "
+    "the authority score a curation pipeline assigns to domains from a "
+    "link graph, as 8 relational join+agg rounds",
+    oracle=_pagerank_oracle(8),
+)
+def pagerank_trade(spark, sf_dir):
+    """Authority ranking of nations in the trade graph: edge weights are
+    each buyer nation's revenue share toward each supplier nation (exact
+    decimal sums; the share division is IEEE-deterministic), then 8
+    damped PageRank rounds via operators/graph.py — per round one
+    edges⋈ranks equi-join + one dst-keyed aggregation, contributions
+    summed EXACTLY in DECIMAL(38,18) and the new rank rounded to 8 dp so
+    the trajectory is byte-stable and the oracle can replay it. The node
+    count enters as a 1-row broadcast scalar (no driver action); dangling
+    nodes deliberately leak mass (documented variant). At 100 TB node
+    grain (domains), both per-round shuffles key on the node id — the
+    classic Pregel-as-relational plan."""
+    from furchild_spark.operators import graph
+
+    l = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    rev = (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("src"),
+            F.col("s_nationkey").alias("dst"),
+        )
+        .agg(
+            F.sum(
+                _m("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,2)") - _m("l_discount"))
+            ).alias("rev_d")
+        )
+    )
+    w_src = Window.partitionBy("src")
+    edges = rev.select(
+        "src",
+        "dst",
+        (
+            F.col("rev_d").cast("double")
+            / F.sum("rev_d").over(w_src).cast("double")
+        ).alias("w"),
+    )
+    ranks = graph.pagerank(
+        edges, src="src", dst="dst", weight="w",
+        iterations=8, damping=0.85, round_dp=8,
+    )
+    return ranks.join(
+        F.broadcast(n), ranks["node"] == n["n_nationkey"]
+    ).select(
+        F.col("node").cast("long").alias("nation_key"),
+        F.col("n_name").alias("nation"),
+        F.col("rank").alias("pagerank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# one-pass table profiling (per-column nulls / distincts / min / max)
+# ---------------------------------------------------------------------------
+
+@query(
+    "table_profile",
+    section="engine extra (data-quality profiling): per-column null "
+    "count, distinct count and min/max in ONE scan of the table — the "
+    "dbt-docs/Deequ-style profile a pipeline publishes next to every "
+    "materialized dataset",
+    oracle="""
+WITH b AS (
+  SELECT COUNT(*) AS n_rows,
+    COUNT(o_orderkey) AS c1, COUNT(DISTINCT o_orderkey) AS d1,
+      CAST(MIN(o_orderkey) AS VARCHAR) AS mn1, CAST(MAX(o_orderkey) AS VARCHAR) AS mx1,
+    COUNT(o_custkey) AS c2, COUNT(DISTINCT o_custkey) AS d2,
+      CAST(MIN(o_custkey) AS VARCHAR) AS mn2, CAST(MAX(o_custkey) AS VARCHAR) AS mx2,
+    COUNT(o_orderstatus) AS c3, COUNT(DISTINCT o_orderstatus) AS d3,
+      MIN(o_orderstatus) AS mn3, MAX(o_orderstatus) AS mx3,
+    COUNT(o_totalprice) AS c4, COUNT(DISTINCT o_totalprice) AS d4,
+      CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mn4,
+      CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR) AS mx4,
+    COUNT(o_orderdate) AS c5, COUNT(DISTINCT CAST(o_orderdate AS DATE)) AS d5,
+      CAST(CAST(MIN(o_orderdate) AS DATE) AS VARCHAR) AS mn5,
+      CAST(CAST(MAX(o_orderdate) AS DATE) AS VARCHAR) AS mx5,
+    COUNT(o_orderpriority) AS c6, COUNT(DISTINCT o_orderpriority) AS d6,
+      MIN(o_orderpriority) AS mn6, MAX(o_orderpriority) AS mx6
+  FROM orders
+)
+SELECT * FROM (
+  SELECT 'o_orderkey' AS column_name, CAST(n_rows AS BIGINT) AS n_rows,
+    CAST(n_rows - c1 AS BIGINT) AS n_nulls, CAST(d1 AS BIGINT) AS n_distinct,
+    mn1 AS min_repr, mx1 AS max_repr FROM b
+  UNION ALL SELECT 'o_custkey', CAST(n_rows AS BIGINT),
+    CAST(n_rows - c2 AS BIGINT), CAST(d2 AS BIGINT), mn2, mx2 FROM b
+  UNION ALL SELECT 'o_orderstatus', CAST(n_rows AS BIGINT),
+    CAST(n_rows - c3 AS BIGINT), CAST(d3 AS BIGINT), mn3, mx3 FROM b
+  UNION ALL SELECT 'o_totalprice', CAST(n_rows AS BIGINT),
+    CAST(n_rows - c4 AS BIGINT), CAST(d4 AS BIGINT), mn4, mx4 FROM b
+  UNION ALL SELECT 'o_orderdate', CAST(n_rows AS BIGINT),
+    CAST(n_rows - c5 AS BIGINT), CAST(d5 AS BIGINT), mn5, mx5 FROM b
+  UNION ALL SELECT 'o_orderpriority', CAST(n_rows AS BIGINT),
+    CAST(n_rows - c6 AS BIGINT), CAST(d6 AS BIGINT), mn6, mx6 FROM b
+)
+""",
+)
+def table_profile(spark, sf_dir):
+    """Profile the orders table in one aggregation: every per-column
+    measure (non-null count, distinct count, min/max) is an expression in
+    a SINGLE agg — Spark plans the multi-distinct via one Expand, so the
+    table is scanned once however many columns are profiled; the pivoted
+    per-column rows come from exploding an in-memory 6-element array, not
+    a second pass. min/max render through type-canonical forms (BIGINT →
+    string, DOUBLE through DECIMAL(18,2), TIMESTAMP through DATE) so the
+    representation is engine-portable. At 100 TB this is the profile you
+    compute WHILE writing a dataset, not a post-hoc scan per column."""
+    o = table(spark, sf_dir, "orders")
+    n_rows = F.count(F.lit(1))
+
+    def measures(c, kind):
+        col = F.col(c)
+        nn = F.count(col)
+        if kind == "key":
+            nd = F.count_distinct(col)
+            mn, mx = F.min(col).cast("string"), F.max(col).cast("string")
+        elif kind == "money":
+            nd = F.count_distinct(col)
+            mn = F.min(col).cast("decimal(18,2)").cast("string")
+            mx = F.max(col).cast("decimal(18,2)").cast("string")
+        elif kind == "date":
+            nd = F.count_distinct(col.cast("date"))
+            mn = F.min(col.cast("date")).cast("string")
+            mx = F.max(col.cast("date")).cast("string")
+        else:  # str
+            nd = F.count_distinct(col)
+            mn, mx = F.min(col), F.max(col)
+        return [
+            (n_rows - nn).cast("long").alias(f"nulls_{c}"),
+            nd.cast("long").alias(f"nd_{c}"),
+            mn.alias(f"mn_{c}"),
+            mx.alias(f"mx_{c}"),
+        ]
+
+    cols = [
+        ("o_orderkey", "key"), ("o_custkey", "key"),
+        ("o_orderstatus", "str"), ("o_totalprice", "money"),
+        ("o_orderdate", "date"), ("o_orderpriority", "str"),
+    ]
+    aggs = [n_rows.cast("long").alias("n_rows")]
+    for c, kind in cols:
+        aggs.extend(measures(c, kind))
+    one = o.agg(*aggs)
+    per_col = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col(f"nulls_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_repr"),
+                F.col(f"mx_{c}").alias("max_repr"),
+            )
+            for c, _ in cols
+        ]
+    )
+    return one.select(
+        "n_rows", F.explode(per_col).alias("p")
+    ).select(
+        F.col("p.column_name").alias("column_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.col("p.min_repr").alias("min_repr"),
+        F.col("p.max_repr").alias("max_repr"),
+    )

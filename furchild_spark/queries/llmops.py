@@ -1553,3 +1553,164 @@ def kmv_vocab_overlap(spark, sf_dir):
     return exact.join(sk, on="lang").select(
         "lang", "exact_overlap", "n_common_mins", "kmv_overlap_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style within-document repetition signals
+# ---------------------------------------------------------------------------
+
+@query(
+    "repetition_stats",
+    section="LLM-quality (engine extra): Gopher repetition gates — "
+    "duplicate-bigram mass and top-bigram share per document (Rae et al. "
+    "2021 Table A1), the standard loop/boilerplate filters",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+  FROM tok WHERE len(t) >= 2
+),
+counts AS (SELECT doc_id, gram, COUNT(*) AS cnt FROM grams GROUP BY doc_id, gram),
+stats AS (
+  SELECT doc_id,
+    CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+    CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+    CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT) AS dup_cnt
+  FROM counts GROUP BY doc_id
+),
+top AS (
+  SELECT doc_id, gram, cnt FROM (
+    SELECT doc_id, gram, cnt,
+      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+    FROM counts
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.n_bigrams, s.n_distinct_bigrams,
+  CAST(s.dup_cnt AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) AS dup_bigram_frac,
+  t.gram AS top_bigram,
+  CAST(t.cnt AS DOUBLE) / CAST(s.n_bigrams AS DOUBLE) AS top_bigram_frac
+FROM stats s JOIN top t ON s.doc_id = t.doc_id
+""",
+)
+def repetition_stats(spark, sf_dir):
+    """Per-document repetition gates (operators/text.py
+    bigram_repetition): explode bigrams → one map-side-combined hash agg
+    on (doc, gram) → doc-keyed windows for totals, duplicate mass, and
+    the lexically-tiebroken top bigram. Every key carries the doc id, so
+    the two exchanges stay skew-free at 100 TB; fractions are quotients
+    of exact integers (hash-portable without rounding)."""
+    d = table(spark, sf_dir, "documents")
+    return text.bigram_repetition(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# per-domain frequency cap (deterministic corpus downsampling)
+# ---------------------------------------------------------------------------
+
+@query(
+    "domain_cap_sample",
+    section="LLM-curation (engine extra): per-source frequency cap — keep "
+    "at most N docs per domain, selected by md5 order (deterministic, "
+    "seedless), the standard guard against one crawler domain dominating "
+    "the training mix",
+    oracle="""
+SELECT source, doc_id, CAST(rk AS BIGINT) AS rk FROM (
+  SELECT source, doc_id,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents
+) WHERE rk <= 20
+""",
+)
+def domain_cap_sample(spark, sf_dir):
+    """Keep ≤20 documents per source, chosen by md5(doc_id) rank — a
+    deterministic uniform draw (md5 order is independent of ingest
+    order), replayable byte-for-byte with no RNG state. One exchange on
+    the source key + a spill-safe ranked window; rows past the cap drop
+    before anything downstream materializes. A pathologically hot domain
+    makes one reducer sort-heavy — the window sort spills rather than
+    buffers, and the established salting pattern (operators/skew.py)
+    composes if a real corpus needs it."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.asc(F.md5(F.col("doc_id").cast("string"))), F.asc("doc_id")
+    )
+    return (
+        d.select("source", "doc_id")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+_H60 = (
+    "list_sum(list_transform(range(0, 15), i -> "
+    "CAST(strpos('0123456789abcdef', substr(md5({v}), i + 1, 1)) - 1 "
+    "AS BIGINT) << (4 * (14 - i))))"
+)
+_CMS_BUCKET = "(" + _H60.format(v="CAST(r AS VARCHAR) || ':' || tok") + ") % 256"
+
+@query(
+    "heavy_hitters_cms",
+    section="LLM-corpus profiling (engine extra): count-min-sketch "
+    "frequency estimates for the top tokens — the 8 KB mergeable sketch "
+    "that answers point-frequency queries without rescanning the stream "
+    "(Cormode & Muthukrishnan 2005)",
+    oracle=f"""
+WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+rr AS (SELECT unnest(range(0, 4)) AS r),
+pairs AS (
+  SELECT r, {_CMS_BUCKET} AS bucket FROM toks CROSS JOIN rr
+),
+sketch AS (SELECT r, bucket, COUNT(*) AS cnt FROM pairs GROUP BY r, bucket),
+exact AS (SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok),
+cand AS (
+  SELECT tok, exact_count FROM exact
+  ORDER BY exact_count DESC, tok ASC LIMIT 20
+),
+probes AS (
+  SELECT tok, r, {_CMS_BUCKET} AS bucket FROM cand CROSS JOIN rr
+),
+est AS (
+  SELECT p.tok, MIN(s.cnt) AS cms_estimate
+  FROM probes p JOIN sketch s ON p.r = s.r AND p.bucket = s.bucket
+  GROUP BY p.tok
+)
+SELECT c.tok AS token, CAST(c.exact_count AS BIGINT) AS exact_count,
+  CAST(e.cms_estimate AS BIGINT) AS cms_estimate
+FROM cand c JOIN est e ON c.tok = e.tok
+""",
+)
+def heavy_hitters_cms(spark, sf_dir):
+    """Build a 4×256 count-min sketch of the token stream (one hash agg,
+    map-side combined — the shuffle carries ≤1024 counter rows however
+    big the corpus), then point-estimate the 20 exact-top tokens from
+    the sketch: est = min over rows of the token's bucket counters,
+    always ≥ the true count. The exact counts exist to show the sketch's
+    error in-row; a production profile keeps only the sketch, merges
+    shard sketches cell-wise, and prices membership/frequency queries
+    against 8 KB instead of 100 TB. Deterministic md5 bucketing means
+    the oracle rebuilds the IDENTICAL sketch — the green hash proves
+    build + probe, which an engine-private sketch never could."""
+    from furchild_spark.operators import sketches
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(text.tokens("text")).alias("tok"))
+    sk = sketches.cms_sketch(toks, "tok", depth=4, width=256)
+    exact = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("exact_count")
+    )
+    cand = exact.orderBy(F.desc("exact_count"), F.asc("tok")).limit(20)
+    est = sketches.cms_estimate(
+        sk, cand.select("tok"), "tok", depth=4, width=256
+    )
+    return cand.join(est, on="tok").select(
+        F.col("tok").alias("token"), "exact_count", "cms_estimate"
+    )

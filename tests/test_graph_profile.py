@@ -1,0 +1,121 @@
+"""Unit tests for the round-5 additions: PageRank (operators/graph.py),
+the count-min sketch (operators/sketches.py), bigram repetition
+(operators/text.py), and the profiling/cap catalog entries' semantics.
+The catalog oracle test proves cross-engine parity; these prove the
+*algorithmic* properties the oracles can't state (estimate bounds,
+rank ordering, mass conservation)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from furchild_spark.operators import graph, sketches, text
+
+
+# ---------------------------------------------------------------------------
+# PageRank
+# ---------------------------------------------------------------------------
+
+def _toy_edges(spark):
+    # star graph: everyone links to 'hub' with weight 1; hub links back
+    # to 'a' only. hub must out-rank every spoke.
+    rows = [
+        ("a", "hub", 1.0), ("b", "hub", 1.0), ("c", "hub", 1.0),
+        ("d", "hub", 1.0), ("hub", "a", 1.0),
+    ]
+    return spark.createDataFrame(rows, ["src", "dst", "w"])
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # the a<->hub 2-cycle makes this graph periodic: ranks oscillate with
+    # amplitude decaying as damping^2 per round, so run far past the
+    # default 8 rounds to reach the fixed point (hub=0.4757, a=0.4343)
+    ranks = {
+        r["node"]: r["rank"]
+        for r in graph.pagerank(_toy_edges(spark), iterations=24).collect()
+    }
+    assert set(ranks) == {"a", "b", "c", "d", "hub"}
+    assert ranks["hub"] == max(ranks.values())
+    # 'a' receives the hub's whole mass — it must beat the other spokes
+    assert ranks["a"] > ranks["b"] == ranks["c"] == ranks["d"]
+    assert all(v > 0 for v in ranks.values())
+
+
+def test_pagerank_mass_conserved_without_dangling(spark):
+    # every node has out-edges -> total mass stays 1 (up to rounding)
+    total = sum(
+        r["rank"]
+        for r in graph.pagerank(_toy_edges(spark), iterations=8).collect()
+    )
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_pagerank_dangling_leaks_documented_variant(spark):
+    # 'sink' has no out-edges: the documented leak variant loses its
+    # damped mass, so the total drops strictly below 1.
+    e = spark.createDataFrame(
+        [("a", "sink", 1.0), ("sink2", "a", 1.0)], ["src", "dst", "w"]
+    )
+    total = sum(r["rank"] for r in graph.pagerank(e, iterations=4).collect())
+    assert total < 1.0
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch
+# ---------------------------------------------------------------------------
+
+def test_cms_never_underestimates(spark):
+    items = spark.createDataFrame(
+        [(w,) for w in ["x"] * 50 + ["y"] * 7 + ["z"] * 1 + ["q"] * 13],
+        ["tok"],
+    )
+    sk = sketches.cms_sketch(items, "tok", depth=4, width=64)
+    exact = items.groupBy("tok").agg(F.count(F.lit(1)).alias("exact"))
+    est = sketches.cms_estimate(sk, exact.select("tok"), "tok", depth=4, width=64)
+    joined = {r["tok"]: (r["exact"], r["cms_estimate"])
+              for r in exact.join(est, on="tok").collect()}
+    assert set(joined) == {"x", "y", "z", "q"}
+    for ex, e in joined.values():
+        assert e >= ex  # CMS only over-counts
+    # 4 tokens in a 4x64 grid: collisions are essentially impossible,
+    # the estimates should be exact
+    assert all(e == ex for ex, e in joined.values())
+
+
+def test_cms_sketch_is_bounded(spark):
+    items = spark.range(10_000).select(
+        F.concat(F.lit("t"), (F.col("id") % 500).cast("string")).alias("tok")
+    )
+    sk = sketches.cms_sketch(items, "tok", depth=4, width=32)
+    assert sk.count() <= 4 * 32
+    # total counts per row == stream size (each row counts every item)
+    per_row = {r["row"]: r["s"] for r in
+               sk.groupBy("row").agg(F.sum("cnt").alias("s")).collect()}
+    assert set(per_row) == {0, 1, 2, 3}
+    assert all(v == 10_000 for v in per_row.values())
+
+
+# ---------------------------------------------------------------------------
+# bigram repetition
+# ---------------------------------------------------------------------------
+
+def test_bigram_repetition_looped_doc_flagged(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "one"),  # < 2 tokens -> no row
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in
+           text.bigram_repetition(docs).collect()}
+    assert set(out) == {1, 2}
+    # doc 1: grams = [buy now, now buy, ...] — every gram duplicated
+    assert out[1]["dup_bigram_frac"] == 1.0
+    assert out[1]["top_bigram"] == "buy now"
+    assert out[1]["n_bigrams"] == 7
+    # doc 2: all 8 bigrams distinct
+    assert out[2]["dup_bigram_frac"] == 0.0
+    assert out[2]["top_bigram_frac"] == pytest.approx(1 / 8)

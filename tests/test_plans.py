@@ -396,6 +396,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "temperature_resample",  # broadcast 1-row min-tokens scalar
         "numeric_histogram",  # broadcast 1-row min/max bounds
         "kmv_vocab_overlap",  # broadcast ≤64-row base sketch replication
+        "pagerank_trade",  # broadcast 1-row node-count scalar (per round)
     }
     for name in QUERIES:
         if name.endswith("_e2e"):
