@@ -223,3 +223,81 @@ def partitioned_merge_e2e(spark, sf_dir):
     out = mat.read_table(spark, path)
     # partition columns come back as the directory-inferred type; pin string
     return out.select(*_ORDER_COLS, F.col("o_month").cast("string").alias("o_month"))
+
+
+@query(
+    "bucketed_join_e2e",
+    section="engine extra: bucketed co-located join — both sides written "
+    "bucketBy(join key) so the big-big join plans as a shuffle-FREE "
+    "sort-merge join (the 100 TB technique when neither side broadcasts)",
+    oracle="""
+SELECT o_orderstatus,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(line_rev) AS DOUBLE) AS revenue
+FROM (
+  SELECT o.o_orderkey, o.o_orderstatus,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS line_rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderstatus
+)
+GROUP BY o_orderstatus
+""",
+)
+def bucketed_join_e2e(spark, sf_dir):
+    """Write orders and a per-order lineitem revenue rollup as BUCKETED
+    tables (8 buckets on the order key, sortBy the same key), then join
+    them with a forced sort-merge join: because both sides' on-disk
+    layout already satisfies the join's distribution AND ordering, the
+    plan has NO exchange and NO sort under the join — the only shuffle
+    left is the final 3-group status rollup
+    (tests/test_plans.py::test_bucketed_join_is_shuffle_free asserts
+    this). This is the pre-partitioning play for recurring big-big
+    joins at 100 TB: pay the bucketing shuffle once at write time,
+    amortize it over every subsequent join on that key. The merge hint
+    pins SMJ so the demonstration doesn't degenerate to a broadcast at
+    toy scale (at target scale neither side fits the broadcast
+    threshold anyway). Result is read from the committed bucketed
+    tables, not the in-memory plans."""
+    import os
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="furchild_bucketed_")
+    db = "bkt_" + os.path.basename(base).rsplit("_", 1)[-1]
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{base}'")
+
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    (
+        o.write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(f"{db}.orders_b")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    # line_rev stays DECIMAL end-to-end (parquet carries decimal(38,4)):
+    # a double round-trip would re-round per order and diverge from the
+    # oracle at .xx5 ties — only the FINAL status total casts to double
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("line_rev"))
+    )
+    (
+        li.write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(f"{db}.linerev_b")
+    )
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.linerev_b")
+    return (
+        ob.hint("merge")
+        .join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("line_rev").cast("double").alias("revenue"),
+        )
+    )

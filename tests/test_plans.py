@@ -541,3 +541,15 @@ def test_driver_window_ordering_is_evidence_driven(spark):
         f"window wastes slots on proven {proven_inside[:5]} while "
         f"unproven {unproven_outside[:5]} wait outside"
     )
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """bucketed_join_e2e's point: both sides bucketed+sorted on the join
+    key -> the sort-merge join consumes the on-disk layout directly. The
+    plan must contain the SMJ, read bucketed scans, and carry exactly ONE
+    exchange — the final status rollup — with NO sort under the join
+    beyond what the bucket files already provide."""
+    p = plan_of(spark, "bucketed_join_e2e")
+    assert "SortMergeJoin" in p
+    assert "Bucketed: true" in p, "scan did not use the bucketed layout"
+    assert _n_exchanges(p) == 1, f"expected only the rollup exchange:\n{p}"
