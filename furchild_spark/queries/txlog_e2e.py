@@ -478,3 +478,110 @@ def join_ivm_e2e(spark, sf_dir):
 
     assert mv.count() == fact.count(), "MV row count drifted from fact"
     return mv.snapshot()
+
+
+@query(
+    "txlog_compact_e2e",
+    section=(
+        "engine extra: small-file compaction on the txlog format — the "
+        "maintenance commit a streaming-append table needs (one commit "
+        "dir per micro-batch accumulates thousands of KB-scale files); "
+        "contents are bit-identical across the physical rewrite"
+    ),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders WHERE o_orderkey % 5 < 4
+""",
+)
+def txlog_compact_e2e(spark, sf_dir):
+    """Simulate a streaming appender: four separate append commits (one
+    small file each), then ``compact()`` folds the small files into one
+    clustered file in a pure-physical commit. The proofs: the file count
+    drops (asserted), readers of the PRE-compaction version still see
+    the old layout (time travel), and the returned snapshot hash-matches
+    the plain union of the four batches — compaction changed bytes on
+    disk, never the logical table. At 100 TB this is the nightly
+    maintenance job that keeps scan task counts sane under continuous
+    ingestion."""
+    from furchild_spark.engine.txlog import TxTable
+
+    base = os.path.join(tempfile.gettempdir(), "furchild_txcompact_e2e")
+    shutil.rmtree(base, ignore_errors=True)
+    t = TxTable(spark, f"{base}/orders_cmp")
+
+    o = table(spark, sf_dir, "orders").select(*_COLS)
+    for r in range(4):  # four micro-batch-sized append commits
+        t.append(o.filter(F.col("o_orderkey") % 5 == r).coalesce(1))
+    v_before = t.current_version()
+    n_files_before = len(t._read_manifest(v_before)["files"])
+    assert n_files_before >= 4
+
+    v_after = t.compact(small_file_bytes=64 * 1024 * 1024)
+    assert v_after is not None and v_after > v_before
+    n_files_after = len(t._read_manifest(v_after)["files"])
+    assert n_files_after < n_files_before
+    # the pre-compaction version remains readable with the OLD layout
+    assert len(t._read_manifest(v_before)["files"]) == n_files_before
+    assert t.snapshot(v_before).count() == t.count()
+    return t.snapshot()
+
+
+@query(
+    "txlog_wap_e2e",
+    section=(
+        "engine extra: write-audit-publish — CHECK constraints enforced "
+        "atomically at commit time; a violating batch aborts with ZERO "
+        "trace in the table (snapshot isolation), then the corrected "
+        "batch lands"
+    ),
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+  CASE WHEN o_totalprice <= 0 THEN 1.0 ELSE o_totalprice END AS o_totalprice,
+  o_orderdate
+FROM orders
+""",
+)
+def txlog_wap_e2e(spark, sf_dir):
+    """The audit gate a production pipeline puts in front of every
+    publish: the table carries CHECK constraints (positive price,
+    non-null key), the good half of orders commits, a poisoned batch
+    (prices negated) is REJECTED at commit — enforcement is fused into
+    the write job via the Observation API, no second scan — and the
+    table's version and row count are asserted unchanged after the
+    failure (the aborted files stay uncommitted garbage for vacuum).
+    The corrected batch then lands. The returned snapshot hash-matches
+    good ∪ corrected — byte-level proof the poisoned write left
+    nothing behind."""
+    from furchild_spark.engine.txlog import ConstraintViolationError, TxTable
+
+    base = os.path.join(tempfile.gettempdir(), "furchild_txwap_e2e")
+    shutil.rmtree(base, ignore_errors=True)
+    t = TxTable(spark, f"{base}/orders_wap")
+    t.constraints = (
+        ("positive_price", "o_totalprice > 0"),
+        ("key_present", "o_orderkey IS NOT NULL"),
+    )
+
+    o = table(spark, sf_dir, "orders").select(*_COLS)
+    good = o.filter(F.col("o_orderkey") % 2 == 0)
+    bad = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice", -F.col("o_totalprice")
+    )
+    corrected = o.filter(F.col("o_orderkey") % 2 == 1).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_totalprice") <= 0, F.lit(1.0)).otherwise(
+            F.col("o_totalprice")
+        ),
+    )
+
+    t.append(good)
+    v_good, n_good = t.current_version(), t.count()
+    try:
+        t.append(bad)
+        raise AssertionError("poisoned batch must violate positive_price")
+    except ConstraintViolationError:
+        pass
+    assert t.current_version() == v_good, "failed write advanced the log"
+    assert t.count() == n_good, "failed write leaked rows"
+    t.append(corrected)
+    return t.snapshot()
