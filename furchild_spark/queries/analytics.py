@@ -798,3 +798,55 @@ def table_profile(spark, sf_dir):
         F.col("p.min_repr").alias("min_repr"),
         F.col("p.max_repr").alias("max_repr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# native VARIANT semi-structured path (Spark 4 parse_json / variant_get)
+# ---------------------------------------------------------------------------
+
+@query(
+    "variant_props_rollup",
+    section="engine extra (modern F5 twin): Spark 4 native VARIANT — "
+    "parse_json once, typed variant_get extraction, malformed-input "
+    "null-safety via try_parse_json; the binary-encoded semi-structured "
+    "path that replaces from_json-with-declared-schema when the shape "
+    "is open-ended",
+    oracle="""
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(COUNT(*) FILTER (WHERE NOT json_valid(props)) AS BIGINT)
+    AS n_unparseable,
+  CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+  CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+  CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events GROUP BY event_type
+""",
+)
+def variant_props_rollup(spark, sf_dir):
+    """The F5 JSON path on Spark 4's native VARIANT type instead of
+    ``from_json`` with a declared schema: ``parse_json`` decodes each
+    props payload ONCE into the binary VARIANT encoding, every
+    ``variant_get`` then navigates the binary form (no re-parse per
+    path, and columnar readers can shred hot paths at scan time —
+    the open-schema answer when producers add fields freely).
+    ``try_parse_json`` gives the malformed-row null path the staging
+    models implement with try_cast. Plan is a single map-side-combined
+    aggregation — the JSON never shuffles, only the extracted longs."""
+    e = table(spark, sf_dir, "events")
+    v = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select(
+            "event_type",
+            v.alias("k"),
+            F.try_parse_json(F.col("props")).isNull().alias("bad"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.when(F.col("bad"), 1).otherwise(0))
+            .cast("long").alias("n_unparseable"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )

@@ -131,3 +131,45 @@ def range_interval_window(spark, sf_dir):
     no tiebreak is needed for determinism."""
     _register_views(spark, sf_dir)
     return spark.sql(_RANGE_INTERVAL_SQL)
+
+
+# WITH RECURSIVE, byte-identical on both engines (Spark 4 added recursive
+# CTEs; DuckDB has always had them). The dbt-utils `date_spine` macro —
+# which the reference's dim_date family would call — is exactly this
+# shape: generate the calendar, left-join the fact grain, keep the gaps.
+_RECURSIVE_SPINE_SQL = """
+WITH RECURSIVE spine(d) AS (
+  SELECT DATE '1996-01-01'
+  UNION ALL
+  SELECT d + INTERVAL '1' DAY FROM spine WHERE d < DATE '1997-12-31'
+)
+SELECT spine.d AS cal_date,
+  CAST(COALESCE(x.n, 0) AS BIGINT) AS n_orders
+FROM spine LEFT JOIN (
+  SELECT CAST(o_orderdate AS DATE) AS od, COUNT(*) AS n
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+) x ON spine.d = x.od
+"""
+
+
+@query(
+    "recursive_date_spine",
+    section="§2 SQL front end (engine extra): WITH RECURSIVE — the "
+    "dbt_utils.date_spine pattern (calendar generation + gap-preserving "
+    "left join) as one byte-identical recursive CTE on both engines",
+    oracle=_RECURSIVE_SPINE_SQL,
+)
+def recursive_date_spine(spark, sf_dir):
+    """Recursive CTE front end: a 731-day calendar spine unions one day
+    per recursion step, then LEFT JOINs daily order counts so zero-order
+    days survive (the property a groupBy alone can't give you). The
+    recursion is driver-free and bounded by the WHERE guard; Spark plans
+    each step as a UnionLoop over the previous iteration's frame. For a
+    pure calendar at 100 TB you'd use ``sequence()`` + explode (map-only)
+    — this entry exists to prove the recursive SQL surface a migrating
+    dbt user reaches for first. Spark caps recursion depth at 100 by
+    default; the 731-day spine needs the conf raised (runtime-settable,
+    so the SQL text itself stays byte-identical across engines)."""
+    _register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
+    return spark.sql(_RECURSIVE_SPINE_SQL)

@@ -13,6 +13,7 @@ def test_identical_text_is_literally_shared():
     assert QUERIES["sql_identical_text"].oracle is sqlapi._IDENTICAL_SQL
     assert QUERIES["grouping_sets_revenue"].oracle is sqlapi._GROUPING_SETS_SQL
     assert QUERIES["range_interval_window"].oracle is sqlapi._RANGE_INTERVAL_SQL
+    assert QUERIES["recursive_date_spine"].oracle is sqlapi._RECURSIVE_SPINE_SQL
 
 
 def test_grouping_sets_single_expand(spark):
@@ -30,5 +31,14 @@ def test_range_window_partitioned_by_user(spark):
 
 def test_sql_entries_no_cartesian(spark):
     for name in ("sql_identical_text", "grouping_sets_revenue",
-                 "range_interval_window"):
+                 "range_interval_window", "recursive_date_spine"):
         assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_recursive_spine_depth_and_gaps(spark):
+    """731 calendar rows regardless of order sparsity; the recursion conf
+    raise sticks for the session (the entry sets it)."""
+    from test_plans import SF
+
+    df = QUERIES["recursive_date_spine"].fn(spark, SF)
+    assert df.count() == 731
