@@ -227,10 +227,16 @@ def bigram_repetition(
     one exchange. All keys carry the doc id, so nothing concentrates:
     at 100 TB this is two doc-partitioned shuffles, no skew, no
     driver state. Fractions are quotients of exact integers (IEEE-
-    deterministic, hash-portable); top-bigram ties break lexically."""
-    grams = df.select(
+    deterministic, hash-portable); top-bigram ties break lexically.
+
+    ⚠ The token array is STAGED through its own projection (the
+    shingle_sets pattern): inlining ``tokens(text)`` into ``shingles``
+    duplicates the regex+split at every element_at reference — measured
+    ~5× slower on the bench before staging."""
+    staged = fanout(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = staged.select(
         F.col(id_col),
-        F.explode(shingles(tokens(text_col), 2)).alias("gram"),
+        F.explode(shingles("__toks", 2)).alias("gram"),
     )
     counts = grams.groupBy(id_col, "gram").agg(
         F.count(F.lit(1)).alias("cnt")

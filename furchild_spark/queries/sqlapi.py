@@ -173,3 +173,37 @@ def recursive_date_spine(spark, sf_dir):
     _register_views(spark, sf_dir)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
     return spark.sql(_RECURSIVE_SPINE_SQL)
+
+
+# LATERAL correlated subquery — per-group top-k as the SQL front end
+# writes it. Byte-identical on both engines (Spark 3.2+/4 lateral
+# subquery support; DuckDB LATERAL). The DataFrame twin of this shape is
+# a ranked window (shipping_priority_topk etc.); LATERAL is the form a
+# migrating SQL user already has in their models.
+_LATERAL_TOPK_SQL = """
+SELECT n_name, x.c_name, x.c_acctbal
+FROM nation, LATERAL (
+  SELECT c_name, c_acctbal FROM customer
+  WHERE c_nationkey = n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC LIMIT 3
+) x
+"""
+
+
+@query(
+    "lateral_topk_per_group",
+    section="§2.3 LATERAL correlated subquery (engine extra): per-nation "
+    "top-3 customers — the correlated form Catalyst decorrelates into a "
+    "ranked window, proven by the shared byte-identical text",
+    oracle=_LATERAL_TOPK_SQL,
+)
+def lateral_topk_per_group(spark, sf_dir):
+    """A correlated LIMIT subquery per outer row looks like O(|nation|)
+    separate queries; Catalyst decorrelates it into one windowed
+    rank-and-filter over customer partitioned by nationkey joined back
+    to nation — the same single-exchange plan the DataFrame top-k
+    entries build explicitly (no per-row re-execution, no cartesian).
+    Determinism: the (c_acctbal DESC, c_name ASC) total order makes the
+    LIMIT-3 cut unique on both engines."""
+    _register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_TOPK_SQL)

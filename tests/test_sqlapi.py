@@ -14,6 +14,7 @@ def test_identical_text_is_literally_shared():
     assert QUERIES["grouping_sets_revenue"].oracle is sqlapi._GROUPING_SETS_SQL
     assert QUERIES["range_interval_window"].oracle is sqlapi._RANGE_INTERVAL_SQL
     assert QUERIES["recursive_date_spine"].oracle is sqlapi._RECURSIVE_SPINE_SQL
+    assert QUERIES["lateral_topk_per_group"].oracle is sqlapi._LATERAL_TOPK_SQL
 
 
 def test_grouping_sets_single_expand(spark):
@@ -33,6 +34,14 @@ def test_sql_entries_no_cartesian(spark):
     for name in ("sql_identical_text", "grouping_sets_revenue",
                  "range_interval_window", "recursive_date_spine"):
         assert "CartesianProduct" not in plan_of(spark, name)
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LIMIT subquery must decorrelate into one windowed
+    rank over customer — not |nation| re-executions and not a cartesian."""
+    p = plan_of(spark, "lateral_topk_per_group")
+    assert "CartesianProduct" not in p
+    assert "Window" in p
 
 
 def test_recursive_spine_depth_and_gaps(spark):
