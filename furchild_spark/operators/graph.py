@@ -42,28 +42,49 @@ def pagerank(
     iterations: int = 8,
     damping: float = 0.85,
     round_dp: int = 8,
+    broadcast_ranks: bool = False,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (out-weights should sum to 1 per
     src). Returns (node, rank). Deterministic: exact decimal contribution
-    sums + per-iteration rounding (see module docstring)."""
+    sums + per-iteration rounding (see module docstring).
+
+    ``broadcast_ranks`` is the join-strategy dial: when the node set is
+    small relative to the edge set (domains vs links — the authority-
+    scoring case) AND the edge side is too large to shuffle per round,
+    True broadcasts the rank table into every iteration's joins so the
+    edges never exchange. The cost is a driver-synchronized broadcast
+    barrier per iteration — measurably SLOWER at bench scale, so the
+    default is False: both per-iteration joins shuffle co-partitioned
+    on the node key and ReuseExchange amortizes everything shared (the
+    scalable Pregel layout; see the inline note below).
+    """
+    # The edge subplan appears in every iteration's join, but NOT as
+    # repeated work: its exchanges are byte-identical across iterations,
+    # so Spark's ReuseExchange computes them once and every later
+    # iteration reads the shuffle files — caching for free, with size
+    # statistics intact. (Both df.persist() and persist+broadcast-hint
+    # variants were measured SLOWER on the bench graph: the cache
+    # boundary hides stats / adds a per-iteration broadcast barrier,
+    # 4.3 s -> 7-8.5 s. Don't "optimize" this into a persist.)
+    e = edges.select(
+        F.col(src).alias("e_src"), F.col(dst).alias("node"), F.col(weight).alias("e_w")
+    )
     nodes = (
-        edges.select(F.col(src).alias("node"))
-        .union(edges.select(F.col(dst).alias("node")))
+        e.select(F.col("e_src").alias("node"))
+        .union(e.select("node"))
         .distinct()
     )
+    maybe_b = F.broadcast if broadcast_ranks else (lambda df: df)
     # 1-row scalar; broadcast-crossJoin keeps N in-plan (no driver action)
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n_nodes"))
     ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
         "node",
         (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("rank"),
     )
-    e = edges.select(
-        F.col(src).alias("e_src"), F.col(dst).alias("node"), F.col(weight).alias("e_w")
-    )
     teleport = F.lit(1.0 - damping) / F.col("n_nodes").cast("double")
     for _ in range(iterations):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "e_src"), on="e_src")
+            e.join(maybe_b(ranks.withColumnRenamed("node", "e_src")), on="e_src")
             .groupBy("node")
             .agg(
                 F.sum((F.col("e_w") * F.col("rank")).cast("decimal(38,18)"))
@@ -71,7 +92,7 @@ def pagerank(
             )
         )
         ranks = (
-            nodes.join(contrib, on="node", how="left")
+            nodes.join(maybe_b(contrib), on="node", how="left")
             .crossJoin(F.broadcast(n_nodes))
             .select(
                 "node",
