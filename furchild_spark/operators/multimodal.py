@@ -286,3 +286,46 @@ def frame_sample_plan(df: DataFrame, every_nth: int = 8) -> DataFrame:
         )
         .select("id", "modality", "frame_idx", "byte_len", "checksum")
     )
+
+
+SPECTRUM_SCHEMA = "id long, n_frames long, k long, corr long"
+
+
+def spectral_correlations(
+    df: DataFrame, id_col: str = "id", payload_col: str = "payload",
+    ks: tuple = (1, 2, 4, 8),
+) -> DataFrame:
+    """Square-wave (Walsh-style) spectral correlations of decoded audio:
+    for each frequency index k, corr_k = Σ xᵢ·sᵢ where sᵢ = ±1 flips
+    every half-cycle of a k-cycle square wave — the integer-exact
+    tone-detection transform. A true float DFT (numpy rfft) computes the
+    same physics but cannot sit behind a cross-engine value-hash gate:
+    libm trig and summation order drift at the ulp level, and after the
+    |·|² the drift crosses rounding boundaries. The ±1 correlation keeps
+    every operation in int64 — bit-exact on any engine — while still
+    separating tonal energy by band (the feature a curation pipeline
+    gates audio on). Arrow-batched map-only; emits one row per (item, k);
+    payload bytes never leave the scan-side partition."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nfr, kk, corr = [], [], [], []
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                samples, _rate = mc.decode_wav(bytes(b))
+                x = samples[:, 0].astype(np.int64)
+                n = x.shape[0]
+                i = np.arange(n, dtype=np.int64)
+                for k in ks:
+                    sign = 1 - 2 * (((2 * k * i) // n) % 2)
+                    ids.append(int(rid))
+                    nfr.append(n)
+                    kk.append(int(k))
+                    corr.append(int((x * sign).sum()))
+            yield pd.DataFrame(
+                {"id": pd.array(ids, dtype="Int64"),
+                 "n_frames": pd.array(nfr, dtype="Int64"),
+                 "k": pd.array(kk, dtype="Int64"),
+                 "corr": pd.array(corr, dtype="Int64")}
+            )
+
+    return df.mapInPandas(run, schema=SPECTRUM_SCHEMA)

@@ -1714,3 +1714,43 @@ def heavy_hitters_cms(spark, sf_dir):
     return cand.join(est, on="tok").select(
         F.col("tok").alias("token"), "exact_count", "cms_estimate"
     )
+
+
+# ---------------------------------------------------------------------------
+# audio square-wave spectrum (integer-exact tone features)
+# ---------------------------------------------------------------------------
+
+@query(
+    "multimodal_audio_spectrum",
+    section="LLM-multimodal audio feature extraction: Walsh-style "
+    "square-wave band correlations over REAL-decoded PCM — the "
+    "integer-exact stand-in for a float DFT (which can't survive a "
+    "cross-engine value-hash gate)",
+    oracle="""
+WITH p AS (
+  SELECT doc_id, doc_id % 400 + 50 AS n FROM documents
+),
+kk AS (SELECT unnest([1, 2, 4, 8]) AS k),
+c AS (
+  SELECT doc_id, n, k,
+    list_sum(list_transform(range(0, n), i ->
+      ((doc_id*31 + i*17) % 4001 - 2000)
+      * (CASE WHEN ((2*k*i) // n) % 2 = 0 THEN 1 ELSE -1 END))) AS corr
+  FROM p CROSS JOIN kk
+)
+SELECT doc_id AS id, CAST(n AS BIGINT) AS n_frames,
+  CAST(k AS BIGINT) AS k, CAST(corr AS BIGINT) AS corr
+FROM c
+""",
+)
+def multimodal_audio_spectrum(spark, sf_dir):
+    """documents → synthesized PCM16 WAV bytes → REAL RIFF/WAVE decode →
+    per-band ±1 square-wave correlations (k = 1,2,4,8 cycles), all in
+    int64 so the oracle recomputes the identical values from the
+    synthesis formula — decode + transform proven end-to-end by the hash
+    gate. One Arrow mapInPandas stage, zero shuffles, 4 rows out per
+    clip; at 100 TB the payload bytes never move off the scan partition
+    and only the 32-byte feature rows ship."""
+    d = table(spark, sf_dir, "documents")
+    payloads = multimodal.synthesize_payloads(d, "doc_id", kind="audio")
+    return multimodal.spectral_correlations(payloads)
