@@ -532,6 +532,7 @@ def pq_train(
     subspaces: int = PQ_SUBSPACES,
     k: int = PQ_K,
     iters: int = 1,
+    pre_quantized: bool = False,
 ) -> list[list[list[int]]]:
     """Deterministic per-subspace k-means (Lloyd) over quantized-integer
     subvectors; returns ``codebook[m][c][j]`` longs.
@@ -551,7 +552,10 @@ def pq_train(
     plan literals. At 100 TB you train on a sample — the loop is
     O(iters · scan), independent of k beyond the expression size."""
     sub = dim // subspaces
-    qv = F.expr(_pq_quantize_sql(vec_col))
+    qv = (
+        F.col(vec_col) if pre_quantized
+        else F.expr(_pq_quantize_sql(vec_col))
+    )
     # (id, m, subq) rows once, reused every iteration
     sub_rows = df.select(
         F.col(id_col).alias("id"), qv.alias("qv")
@@ -581,7 +585,8 @@ def pq_train(
         # see pq_encode), then component-wise floor-mean per (m, code)
         assigned = (
             pq_encode(
-                df, id_col, vec_col, dim, subspaces, k, codebook=codebook
+                df, id_col, vec_col, dim, subspaces, k, codebook=codebook,
+                pre_quantized=pre_quantized,
             )
             .select(
                 F.col("vec_id").alias("id"),
@@ -617,6 +622,7 @@ def pq_encode(
     subspaces: int = PQ_SUBSPACES,
     k: int = PQ_K,
     codebook: list[list[list[int]]] | None = None,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Product-quantize each embedding: split into ``subspaces``
     subvectors, assign each to its nearest codebook centroid → a
@@ -655,7 +661,13 @@ def pq_encode(
                 {"vec_id": pdf["vec_id"], "codes": list(codes)}
             )
 
-    staged = df.selectExpr(f"{id_col} AS vec_id", f"{qv} AS qv")
+    # pre_quantized: vec_col already holds the long-array form (e.g. an
+    # IVF residual computed in the quantized integer domain) — skip the
+    # decimal cast, it would double-quantize
+    staged = df.selectExpr(
+        f"{id_col} AS vec_id",
+        f"{vec_col} AS qv" if pre_quantized else f"{qv} AS qv",
+    )
     return staged.mapInPandas(assign, schema="vec_id long, codes array<long>")
 
 
@@ -764,4 +776,140 @@ def pq_topk_reranked(
         .select("query_id", "neighbor_id", "sim")
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= n_neighbors)
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+    subspaces: int = 32,
+    kcodes: int = 16,
+) -> DataFrame:
+    """IVF-PQ ANN — the FAISS-style serving architecture, composed from
+    this module's pieces: coarse inverted lists (IVF) partition the
+    corpus; each vector stores only the PQ code of its RESIDUAL from its
+    coarse centroid; queries probe ``nprobe`` lists and rank candidates
+    by asymmetric distance (ADC) between the query's residual and each
+    candidate's reconstructed residual.
+
+    Why this is the 100 TB shape: the corpus is represented by
+    (cent_id, 16-byte code) — the raw vectors are read ONCE at build
+    time (coarse assign + residual encode, both map-only over a
+    broadcast centroid set); queries touch ~nprobe/num_centroids of the
+    code table, never the vectors; ADC is pure integer arithmetic per
+    candidate against the trained codebook, which enters the expression
+    as ONE constant-folded flat array literal (a per-cell literal table
+    would repeat 1024 constants per reference — the codegen blowout
+    pq_encode documents). The residual codebook is TRAINED (pq_train's
+    deterministic Lloyd on the integer residuals — fitting the residual
+    distribution is what makes IVF-PQ usable, exactly as FAISS trains on
+    residuals); residuals live in the quantized integer domain (zip_with
+    subtract of longs) and every distance is an exact int64, so an
+    ANSI-SQL oracle reproduces train + build + probe bit-for-bit.
+    Recall < exact by design (coarse pruning + residual quantization);
+    the re-rank pattern of pq_topk_reranked composes on top unchanged.
+    At 100 TB, train on a sample: the loop is O(iters · scan) and only
+    the k×subspaces centroid table reaches the driver."""
+    sub = dim // subspaces
+    cents = centroid_array(corpus, id_col, vec_col, num_centroids)
+    assign = ivf_assign(corpus, cents, id_col, vec_col)
+    cent_rows = cents.select(F.explode("__cents").alias("c")).select(
+        F.col("c.cid").alias("cent_id"), F.col("c.cq").alias("cent_cq")
+    )
+    resid = assign.join(F.broadcast(cent_rows), on="cent_id").select(
+        "cent_id",
+        "neighbor_id",
+        F.zip_with("c_q", "cent_cq", lambda a, b: a - b).alias("r_q"),
+    )
+    cb = pq_train(
+        resid, "neighbor_id", "r_q", dim, subspaces, kcodes,
+        iters=1, pre_quantized=True,
+    )
+    codes = pq_encode(
+        resid, "neighbor_id", "r_q", dim, subspaces, kcodes,
+        codebook=cb, pre_quantized=True,
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    coded = resid.select("cent_id", "neighbor_id").join(codes, on="neighbor_id")
+
+    # query side: nprobe nearest coarse lists (same in-row argsort as
+    # ivf_topk), then the query residual PER PROBED LIST
+    qb = queries.select(
+        F.col(id_col).alias("query_id"), quantize(vec_col).alias("q_q")
+    ).select("query_id", "q_q", norm_q(F.col("q_q")).alias("q_norm"))
+    probe_arr = F.slice(
+        F.array_sort(
+            F.transform(
+                "__cents",
+                lambda c: F.struct(
+                    (-_sim_to_cent("q_q", "q_norm", c)).alias("negsim"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        ),
+        1,
+        nprobe,
+    )
+    probes = (
+        qb.withColumn("__one", F.lit(1))
+        .join(F.broadcast(cents), on="__one")
+        .select("query_id", "q_q", F.explode(probe_arr).alias("__p"))
+        .select(F.col("__p.cid").alias("cent_id"), "query_id", "q_q")
+        .join(F.broadcast(cent_rows), on="cent_id")
+        .select(
+            "cent_id",
+            "query_id",
+            F.zip_with("q_q", "cent_cq", lambda a, b: a - b).alias("qr"),
+        )
+    )
+
+    # ADC: in-row fold over the 32 subspaces — candidate join on the
+    # coarse list key, zero extra shuffles before the final top-k window.
+    # The trained codebook is ONE flat array literal (constant-folded by
+    # Catalyst), indexed as m·(kcodes·sub) + code·sub + j.
+    cb_flat = F.lit([int(v) for mrows in cb for crow in mrows for v in crow])
+
+    def _adc(qr, codes_col):
+        def step(acc, m):
+            code = F.element_at(codes_col, (m + 1).cast("int"))
+            d = F.lit(0).cast("long")
+            for j in range(sub):
+                cent_j = F.element_at(
+                    cb_flat,
+                    (m * (kcodes * sub) + code * sub + j + 1).cast("int"),
+                )
+                diff = F.element_at(
+                    qr, (m * sub + j + 1).cast("int")
+                ) - cent_j
+                d = d + diff * diff
+            return acc + d
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(subspaces - 1)),
+            F.lit(0).cast("long"),
+            step,
+        )
+
+    scored = (
+        F.broadcast(probes)
+        .join(coded, on="cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            _adc(F.col("qr"), F.col("codes")).alias("adc_dist"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dist")
     )

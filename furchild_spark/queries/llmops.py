@@ -1754,3 +1754,139 @@ def multimodal_audio_spectrum(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     payloads = multimodal.synthesize_payloads(d, "doc_id", kind="audio")
     return multimodal.spectral_correlations(payloads)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (coarse inverted lists + product-quantized residuals + ADC)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ann_ivfpq_topk",
+    section="LLM-similarity IVF-PQ ANN — the FAISS-style serving "
+    "architecture: coarse inverted lists, product-quantized RESIDUALS "
+    "(16 bytes/vector), asymmetric-distance ranking; build + probe both "
+    "integer-exact so the oracle replays them bit-for-bit",
+    oracle=f"""
+WITH e AS ({_IVF_E}),
+q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id < 8
+),
+centq AS (SELECT vec_id AS cent_id, qv AS ccq FROM q WHERE vec_id < 8),
+assign AS (
+  SELECT cent_id, neighbor_id FROM (
+    SELECT c.cent_id, x.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM e x CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.cent_id, a.neighbor_id,
+    list_transform(range(0, 64), i -> nq.qv[i+1] - cq.ccq[i+1]) AS rq
+  FROM assign a
+  JOIN q nq ON nq.vec_id = a.neighbor_id
+  JOIN centq cq ON cq.cent_id = a.cent_id
+),
+sub AS (
+  SELECT neighbor_id, cent_id, mm.m AS m, rq[mm.m*2+1 : mm.m*2+2] AS subq
+  FROM resid, (SELECT unnest(range(0, 32)) AS m) mm
+),
+c0 AS (SELECT m, neighbor_id AS c, subq AS cent FROM sub WHERE neighbor_id < 16),
+a1 AS (
+  SELECT s.neighbor_id, s.m, cc.c,
+    row_number() OVER (PARTITION BY s.neighbor_id, s.m ORDER BY
+      (s.subq[1] - cc.cent[1]) * (s.subq[1] - cc.cent[1])
+      + (s.subq[2] - cc.cent[2]) * (s.subq[2] - cc.cent[2]) ASC,
+      cc.c ASC) AS rn
+  FROM sub s JOIN c0 cc ON s.m = cc.m
+),
+a1f AS (SELECT neighbor_id, m, c AS code FROM a1 WHERE rn = 1),
+u1 AS (
+  SELECT s.m, a.code, jj.j,
+    CAST(floor(CAST(SUM(s.subq[jj.j+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM sub s JOIN a1f a ON s.neighbor_id = a.neighbor_id AND s.m = a.m,
+       (SELECT unnest(range(0, 2)) AS j) jj
+  GROUP BY s.m, a.code, jj.j
+),
+g1 AS (SELECT m, code AS c, list(v ORDER BY j) AS cent FROM u1 GROUP BY m, code),
+c1 AS (
+  SELECT c0.m, c0.c, coalesce(g1.cent, c0.cent) AS cent
+  FROM c0 LEFT JOIN g1 ON c0.m = g1.m AND c0.c = g1.c
+),
+acode AS (
+  SELECT neighbor_id, cent_id, m, c AS code FROM (
+    SELECT s.neighbor_id, s.cent_id, s.m, cc.c,
+      row_number() OVER (PARTITION BY s.neighbor_id, s.m ORDER BY
+        (s.subq[1] - cc.cent[1]) * (s.subq[1] - cc.cent[1])
+        + (s.subq[2] - cc.cent[2]) * (s.subq[2] - cc.cent[2]) ASC,
+        cc.c ASC) AS rn
+    FROM sub s JOIN c1 cc ON s.m = cc.m
+  ) WHERE rn = 1
+),
+qq AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT cent_id, query_id FROM (
+    SELECT c.cent_id, qq.query_id,
+      row_number() OVER (
+        PARTITION BY qq.query_id
+        ORDER BY round(CAST({_DOT.format(a='qq.qvec', b='c.cvec')} AS DOUBLE)
+                       / (qq.qnrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM qq CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+probe_res AS (
+  SELECT p.cent_id, p.query_id,
+    list_transform(range(0, 64), i -> pq.qv[i+1] - cq.ccq[i+1]) AS qrq
+  FROM probes p
+  JOIN q pq ON pq.vec_id = p.query_id
+  JOIN centq cq ON cq.cent_id = p.cent_id
+),
+adc AS (
+  SELECT pr.query_id, a.neighbor_id,
+    CAST(SUM(
+      (pr.qrq[a.m*2+1] - ct.cent[1]) * (pr.qrq[a.m*2+1] - ct.cent[1])
+      + (pr.qrq[a.m*2+2] - ct.cent[2]) * (pr.qrq[a.m*2+2] - ct.cent[2])
+    ) AS BIGINT) AS adc_dist
+  FROM probe_res pr
+  JOIN acode a ON pr.cent_id = a.cent_id
+  JOIN c1 ct ON ct.m = a.m AND ct.c = a.code
+  WHERE pr.query_id <> a.neighbor_id
+  GROUP BY pr.query_id, a.neighbor_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+""",
+)
+def ann_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed end-to-end (operators/similarity.py ivfpq_topk):
+    map-only coarse assignment against a broadcast centroid array,
+    integer residuals (zip_with subtract in the quantized domain), a
+    codebook TRAINED on those residuals (pq_train's deterministic Lloyd
+    — fitting the residual distribution is what makes IVF-PQ usable,
+    exactly as FAISS trains on residuals), numpy-exact encode, then
+    probe-side ADC as one in-row fold over a constant-folded flat
+    codebook literal. The oracle rebuilds the identical index
+    relationally — coarse argmax, residuals, the Lloyd iteration
+    (init/assign/floor-mean update), per-subspace argmin codes, ADC
+    sums — so the green hash certifies train + build + serve.
+    Candidates touched per query: ~nprobe/8 of the code table; the raw
+    vectors are never read at query time."""
+    emb = table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    out = similarity.ivfpq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=5, num_centroids=8, nprobe=2, dim=64, subspaces=32, kcodes=16,
+    )
+    return out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"),
+        "neighbor_id", "adc_dist",
+    )

@@ -115,3 +115,32 @@ def test_pq_rerank_recall_floor(spark, truth, pq_codebook):
     hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
     recall = hits / sum(len(t) for t in truth.values())
     assert recall >= 0.9, f"PQ re-rank recall collapsed: {recall}"
+
+
+def test_ivfpq_recall_floor(spark, truth):
+    """IVF-PQ stacks two lossy stages (coarse pruning + 0.3-step residual
+    quantization) — the floor is below IVF-flat's by design, but a
+    collapse means broken residuals or a mis-keyed candidate join."""
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    approx = similarity.ivfpq_topk(
+        emb, queries, "vec_id", "embedding",
+        k=K, num_centroids=8, nprobe=2, dim=64, subspaces=32, kcodes=16,
+    )
+    r = _recall(approx, truth)
+    assert r >= 0.3, f"IVF-PQ recall@{K} collapsed to {r:.2f}"
+
+
+def test_ivfpq_nprobe_exhaustive_matches_ivf_candidates(spark, truth):
+    """At nprobe = num_centroids the coarse stage prunes nothing, so any
+    remaining recall loss is purely the PQ quantization — it must be at
+    least as good as the pruned configuration."""
+    emb = table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    pruned = similarity.ivfpq_topk(
+        emb, queries, "vec_id", "embedding", k=K, num_centroids=8, nprobe=2
+    )
+    full = similarity.ivfpq_topk(
+        emb, queries, "vec_id", "embedding", k=K, num_centroids=8, nprobe=8
+    )
+    assert _recall(full, truth) >= _recall(pruned, truth)

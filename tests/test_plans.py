@@ -391,6 +391,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "ann_ivf_topk",    # 8-row centroid-array broadcast
         "ann_pq_topk",     # broadcast per-query ADC lookup tables
         "ann_pq_rerank_topk",  # same broadcast + shortlist re-rank join
+        "ann_ivfpq_topk",  # same 8-row centroid-array constant-key broadcast
         "tpch_q11_important_parts",  # broadcast 1-row scalar threshold
         "tpch_q22_sales_opportunity",  # broadcast 1-row AVG balance floor
         "temperature_resample",  # broadcast 1-row min-tokens scalar
