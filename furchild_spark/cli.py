@@ -72,6 +72,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     sub.add_parser("ls", help="list registered models")
     for c in ("run", "build", "test", "freshness"):
         common(sub.add_parser(c))
+    dg = sub.add_parser(
+        "dag", help="print the observed model lineage (dbt docs equivalent)"
+    )
+    common(dg)
+    dg.add_argument("--json", action="store_true", dest="as_json")
     g = sub.add_parser("gen-fixtures", help="write deterministic bronze demo data")
     g.add_argument("--bronze", required=True)
     s = sub.add_parser("show", help="print rows of one model")
@@ -109,6 +114,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from furchild_spark.engine import checks as C
     from furchild_spark.engine.registry import BuildError
+
+    if args.cmd == "dag":
+        # Lineage is OBSERVED, not declared (the dbt-manifest equivalent):
+        # resolving every model through ref() builds the lazy plans —
+        # no Spark action runs — and records each ref()/source() edge.
+        from furchild_spark.models import registry
+
+        for name in registry.names():
+            runner.ref(name)
+        if args.as_json:
+            print(json.dumps(runner.lineage, indent=2, sort_keys=True))
+        else:
+            for name in registry.names():
+                lin = runner.lineage.get(name, {"refs": [], "sources": []})
+                deps = [f"ref:{r}" for r in lin["refs"]] + [
+                    f"src:{s}" for s in lin["sources"]
+                ]
+                print(f"{name} <- {', '.join(deps) if deps else '(none)'}")
+        return 0
 
     if args.cmd == "run":
         built = runner.run(_names(args))

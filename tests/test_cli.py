@@ -75,3 +75,22 @@ def test_show_prints_rows(bronze, spark, capsys):
     )
     assert rc == 0
     assert "customer_id" in capsys.readouterr().out
+
+
+def test_dag_prints_observed_lineage(bronze, spark, capsys):
+    rc = main(["dag", "--bronze", bronze, "--now", FROZEN], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    line = next(l for l in out.splitlines() if l.startswith("fct_orders "))
+    assert "ref:stg_orders" in line
+    assert any("src:" in l for l in out.splitlines())
+
+
+def test_dag_json_shape(bronze, spark, capsys):
+    import json as _json
+
+    rc = main(["dag", "--bronze", bronze, "--now", FROZEN, "--json"],
+              spark=spark)
+    assert rc == 0
+    lineage = _json.loads(capsys.readouterr().out)
+    assert "stg_orders" in lineage["fct_orders"]["refs"]
