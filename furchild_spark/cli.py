@@ -27,8 +27,12 @@ import sys
 
 
 def _parse_now(s: str | None):
+    """--now omitted = the real wall clock (dbt's run_started_at), in UTC
+    to match the bronze timestamps. Passing None through would silently
+    disable the freshness gate (lag vs NULL compares to 'fresh') and
+    crash the lag printout."""
     if s is None:
-        return None
+        return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
     return dt.datetime.fromisoformat(s)
 
 

@@ -67,7 +67,15 @@ def kmv_distinct(
     estimate equals n_mins; kth_min is null in that case.
     """
     hv = kmv_hash(F.col(item_col))
-    base = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
+    # NULL items hash to NULL, which Spark's ascending window ranks
+    # FIRST — a NULL would eat a k-min slot and bias the estimate (and
+    # DuckDB ranks nulls LAST, so the oracle would diverge). A sketch
+    # counts distinct VALUES; drop nulls before ranking.
+    base = (
+        df.select(F.col(group_col).alias("grp"), hv.alias("hv"))
+        .filter(F.col("hv").isNotNull())
+        .distinct()
+    )
     w1 = Window.partitionBy("grp", "salt").orderBy("hv")
     p1 = (
         base.withColumn(
@@ -121,7 +129,11 @@ def kmv_intersection(
     non-base group.
     """
     hv = kmv_hash(F.col(item_col))
-    hashed = df.select(F.col(group_col).alias("grp"), hv.alias("hv")).distinct()
+    hashed = (
+        df.select(F.col(group_col).alias("grp"), hv.alias("hv"))
+        .filter(F.col("hv").isNotNull())  # same null rule as kmv_distinct
+        .distinct()
+    )
     w = Window.partitionBy("grp").orderBy("hv")
     sk = (
         hashed.withColumn("rn", F.row_number().over(w))
@@ -219,7 +231,10 @@ def cms_estimate(
     tightest upper bound — est ≥ true, E[err] ≤ e·N/width). The
     candidate set joins the 8 KB sketch by (row, bucket) with the
     sketch broadcast — the stream itself is never rescanned, which is
-    the point of carrying the sketch."""
+    the point of carrying the sketch. The join is LEFT with empty cells
+    counting 0: a candidate absent from the stream must estimate ≤ its
+    collision mass (possibly 0), not vanish from the output or take the
+    min over only its non-empty cells."""
     c = F.col(item_col)
     probes = candidates.select(
         item_col,
@@ -236,7 +251,10 @@ def cms_estimate(
         ).alias("rb"),
     ).select(item_col, "rb.row", "rb.bucket")
     return (
-        probes.join(F.broadcast(sketch), on=["row", "bucket"])
+        probes.join(F.broadcast(sketch), on=["row", "bucket"], how="left")
         .groupBy(item_col)
-        .agg(F.min("cnt").cast("long").alias("cms_estimate"))
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long").alias("cms_estimate")
+        )
     )

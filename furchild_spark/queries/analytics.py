@@ -814,8 +814,8 @@ def table_profile(spark, sf_dir):
     oracle="""
 SELECT event_type,
   CAST(COUNT(*) AS BIGINT) AS n_events,
-  CAST(COUNT(*) FILTER (WHERE NOT json_valid(props)) AS BIGINT)
-    AS n_unparseable,
+  CAST(COUNT(*) FILTER (WHERE props IS NULL OR NOT json_valid(props))
+       AS BIGINT) AS n_unparseable,
   CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
   CAST(MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
   CAST(MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
@@ -833,7 +833,10 @@ def variant_props_rollup(spark, sf_dir):
     models implement with try_cast. Plan is a single map-side-combined
     aggregation — the JSON never shuffles, only the extracted longs."""
     e = table(spark, sf_dir, "events")
-    v = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json in the VALUE path too — strict parse_json would
+    # throw on the first malformed row, the exact input this entry's
+    # null-safety column exists to tolerate
+    v = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         e.select(
             "event_type",

@@ -261,11 +261,17 @@ def bucketed_join_e2e(spark, sf_dir):
     threshold anyway). Result is read from the committed bucketed
     tables, not the in-memory plans."""
     import os
-    import tempfile
+    import shutil
 
-    base = tempfile.mkdtemp(prefix="furchild_bucketed_")
-    db = "bkt_" + os.path.basename(base).rsplit("_", 1)[-1]
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db} LOCATION '{base}'")
+    # fixed path + drop-before-recreate (the txlog_e2e convention):
+    # a mkdtemp-per-run variant leaked a bucketed table copy AND a
+    # metastore database every bench invocation (bench re-runs each
+    # entry up to 6 times)
+    base = os.path.join(tempfile.gettempdir(), "furchild_bucketed_e2e")
+    db = "bkt_e2e"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}'")
 
     o = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     (

@@ -94,3 +94,13 @@ def test_dag_json_shape(bronze, spark, capsys):
     assert rc == 0
     lineage = _json.loads(capsys.readouterr().out)
     assert "stg_orders" in lineage["fct_orders"]["refs"]
+
+
+def test_freshness_defaults_to_wall_clock(bronze, spark, capsys):
+    """--now omitted must mean the REAL clock (dbt's run_started_at), not
+    a silent None that reports every source fresh and crashes the lag
+    printout. The 2024 fixtures are years stale against any real run."""
+    rc = main(["freshness", "--bronze", bronze], spark=spark)
+    assert rc == 1
+    out = capsys.readouterr().out
+    assert "error" in out

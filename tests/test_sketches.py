@@ -104,22 +104,34 @@ def test_histogram_bounds_broadcast(spark, name):
 
 
 def test_lsh_probe0_touches_fewer_buckets_than_probe1(spark):
-    """The two registered LSH operating points must actually differ in
-    probe fan-out: radius 0 explodes a 1-element probe array, radius 1 a
-    5-element one (home + 4 bit-flips). Compare candidate row counts."""
-    n0 = QUERIES["ann_lsh_topk_probe0"].fn(spark, SF)
-    n1 = QUERIES["ann_lsh_topk"].fn(spark, SF)
-    # every probe0 (query, neighbor) pair is also reachable at radius 1
-    only0 = n0.select("query_id", "neighbor_id").exceptAll(
-        n1.select("query_id", "neighbor_id")
-    )
-    # radius-1 re-ranks over a superset of candidates, so a neighbor kept
-    # at radius 0 may fall out of the top-5 at radius 1 — but the probe-0
-    # HOME-bucket candidates are a subset, so at least verify radius 1
-    # returns no fewer rows overall and both return k-bounded ranks
-    assert n1.count() >= n0.count()
-    assert only0.count() <= n0.count()
-    for df in (n0, n1):
+    """The two LSH operating points must actually differ in probe
+    fan-out. The k=5 catalog outputs can't witness this (both truncate
+    to ~10·k rows — a radius-0 implementation that secretly probed
+    everything would still pass a count comparison), so compare the
+    UNTRUNCATED candidate sets: k larger than the corpus disables the
+    rank filter, radius-1 candidates must be a strict superset of the
+    radius-0 home-bucket candidates."""
+    from furchild_spark.operators import similarity
+    from furchild_spark.queries.catalog import table as _table
+
+    emb = _table(spark, SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    big_k = emb.count() + 1
+    n0 = similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=big_k,
+        num_planes=4, seed=42, dim=64, probe_radius=0,
+    ).select("query_id", "neighbor_id")
+    n1 = similarity.lsh_bucketed_topk(
+        emb, queries, "vec_id", "embedding", k=big_k,
+        num_planes=4, seed=42, dim=64, probe_radius=1,
+    ).select("query_id", "neighbor_id")
+    c0, c1 = n0.count(), n1.count()
+    assert c1 > c0, f"radius 1 candidates ({c1}) not > radius 0 ({c0})"
+    # home bucket is always among the radius-1 probes -> strict subset
+    assert n0.exceptAll(n1).count() == 0
+    # and the registered k=5 entries stay rank-bounded
+    for name in ("ann_lsh_topk_probe0", "ann_lsh_topk"):
+        df = QUERIES[name].fn(spark, SF)
         assert df.agg(F.max("rank")).first()[0] <= 5
 
 

@@ -49,14 +49,13 @@ def driver_evidence() -> dict[str, str]:
                 and row.get("schema_match")
                 and row.get("hash_match")
             )
-            prev = state.get(name)
-            # a green row always wins; a red row only records if the
-            # entry has never been green
-            if ok or prev is None or (not prev[1] and rnd > prev[0]):
-                if ok and prev and prev[1]:
-                    state[name] = (max(rnd, prev[0]), True)
-                elif ok or prev is None or not prev[1]:
-                    state[name] = (rnd, ok)
+            # green always wins (latest green round shown); a red row
+            # records only while the entry has never been green. Files
+            # glob in round order, so rnd is monotonically increasing.
+            if ok:
+                state[name] = (rnd, True)
+            elif name not in state or not state[name][1]:
+                state[name] = (rnd, False)
     return {
         name: (f"green r{rnd}" if ok else f"RED r{rnd}")
         for name, (rnd, ok) in state.items()

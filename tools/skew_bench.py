@@ -148,7 +148,10 @@ def main() -> None:
                     cnt = fn().count()
                     dt = time.perf_counter() - t0
                     best = dt if best is None else min(best, dt)
-                    spark.catalog.clearCache()
+                    # NOT spark.catalog.clearCache(): that would also drop
+                    # the persisted `names` vocabulary both variants are
+                    # meant to time against, so run 2 (and the other
+                    # variant) would silently re-derive the input
                 return best, cnt
 
             dt_blk, n_blk = _timed_count(lambda: fuzzy_blocked(names))
