@@ -554,3 +554,19 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert "SortMergeJoin" in p
     assert "Bucketed: true" in p, "scan did not use the bucketed layout"
     assert _n_exchanges(p) == 1, f"expected only the rollup exchange:\n{p}"
+
+
+def test_catalog_wide_no_python_row_udfs(spark):
+    """Catalog-WIDE: no entry's plan may contain a Python row UDF
+    (BatchEvalPython) or a pandas scalar UDF (ArrowEvalPython). The only
+    sanctioned Python path is Arrow mapInPandas (MapInPandas nodes —
+    multimodal codecs and the PQ encoder, each justified and measured);
+    anything else silently breaks whole-stage codegen for the whole
+    stage it lands in. (Write-path *_e2e entries excluded as in the
+    cartesian lint.)"""
+    for name in QUERIES:
+        if name.endswith("_e2e"):
+            continue
+        p = plan_of(spark, name)
+        assert "BatchEvalPython" not in p, f"{name}: Python row UDF"
+        assert "ArrowEvalPython" not in p, f"{name}: pandas scalar UDF"
