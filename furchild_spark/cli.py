@@ -55,8 +55,60 @@ def _make_runner(args, spark):
     )
 
 
-def _names(args) -> list[str] | None:
-    return args.models.split(",") if args.models else None
+def _observed_lineage(args, spark):
+    """Harvest the ref()/source() DAG by resolving every model through a
+    VIEW-ONLY probe runner — plan construction only, no Spark action and
+    (critically) no warehouse writes even when the caller passed one."""
+    import argparse as _ap
+
+    from furchild_spark.models import registry
+
+    probe = _ap.Namespace(**{**vars(args), "warehouse": None})
+    runner = _make_runner(probe, spark)
+    for name in registry.names():
+        runner.ref(name)
+    return runner.lineage, list(registry.names())
+
+
+def _names(args, spark=None) -> list[str] | None:
+    """--models list, with dbt graph selectors: ``+name`` = name and its
+    ancestors, ``name+`` = name and its descendants, ``+name+`` = both.
+    Selector expansion resolves against the OBSERVED lineage (a view-only
+    plan pass), so it needs the session — plain lists don't."""
+    if not args.models:
+        return None
+    toks = args.models.split(",")
+    if not any(t.startswith("+") or t.endswith("+") for t in toks):
+        return toks
+    lineage, order = _observed_lineage(args, spark)
+    parents = {n: set(lineage.get(n, {}).get("refs", [])) for n in order}
+    children: dict[str, set] = {n: set() for n in order}
+    for n, ps in parents.items():
+        for pnt in ps:
+            children.setdefault(pnt, set()).add(n)
+
+    def closure(start: str, edges: dict) -> set:
+        seen, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(edges.get(x, ()))
+        return seen
+
+    selected: set = set()
+    for t in toks:
+        up, down = t.startswith("+"), t.endswith("+")
+        name = t.strip("+")
+        if name not in parents:
+            raise SystemExit(f"unknown model in --models selector: {name!r}")
+        selected.add(name)
+        if up:
+            selected |= closure(name, parents)
+        if down:
+            selected |= closure(name, children)
+    return [n for n in order if n in selected]
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -121,17 +173,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if args.cmd == "dag":
         # Lineage is OBSERVED, not declared (the dbt-manifest equivalent):
-        # resolving every model through ref() builds the lazy plans —
-        # no Spark action runs — and records each ref()/source() edge.
-        from furchild_spark.models import registry
-
-        for name in registry.names():
-            runner.ref(name)
+        # a view-only probe resolves every model through ref(), building
+        # the lazy plans — no Spark action, and no warehouse writes even
+        # if --warehouse was passed — while recording each edge.
+        lineage, order = _observed_lineage(args, spark)
         if args.as_json:
-            print(json.dumps(runner.lineage, indent=2, sort_keys=True))
+            print(json.dumps(lineage, indent=2, sort_keys=True))
         else:
-            for name in registry.names():
-                lin = runner.lineage.get(name, {"refs": [], "sources": []})
+            for name in order:
+                lin = lineage.get(name, {"refs": [], "sources": []})
                 deps = [f"ref:{r}" for r in lin["refs"]] + [
                     f"src:{s}" for s in lin["sources"]
                 ]
@@ -139,7 +189,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if args.cmd == "run":
-        built = runner.run(_names(args))
+        built = runner.run(_names(args, spark))
         for name, df in built.items():
             print(f"built {name}: {df.count()} rows")
         return 0
@@ -167,7 +217,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "build":
         try:
             result = runner.build(
-                _names(args), checks=C.CHECKS, freshness=C.FRESHNESS
+                _names(args, spark), checks=C.CHECKS, freshness=C.FRESHNESS
             )
         except BuildError as e:
             print(f"BUILD FAILED: {e}")

@@ -104,3 +104,39 @@ def test_freshness_defaults_to_wall_clock(bronze, spark, capsys):
     assert rc == 1
     out = capsys.readouterr().out
     assert "error" in out
+
+
+def test_graph_selector_ancestors(bronze, spark, capsys):
+    """dbt-style +model: building fct_orders must pull its staging
+    ancestors into the run set."""
+    rc = main(
+        ["run", "--bronze", bronze, "--models", "+fct_orders",
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built fct_orders" in out
+    assert "built stg_orders" in out
+    assert "built stg_transactions" in out
+
+
+def test_graph_selector_descendants(bronze, spark, capsys):
+    rc = main(
+        ["run", "--bronze", bronze, "--models", "stg_orders+",
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_orders" in out
+    assert "built fct_orders" in out  # downstream of stg_orders
+    assert "built stg_customers" not in out  # not in stg_orders' cone
+
+
+def test_graph_selector_unknown_model_errors(bronze, spark):
+    with pytest.raises(SystemExit):
+        main(
+            ["run", "--bronze", bronze, "--models", "+nope", "--now", FROZEN],
+            spark=spark,
+        )
