@@ -139,6 +139,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     common(s)
     s.add_argument("model")
     s.add_argument("-n", type=int, default=10)
+    s.add_argument(
+        "--explain", action="store_true",
+        help="print the physical plan instead of rows (dbt compile analog)",
+    )
 
     args = p.parse_args(argv)
 
@@ -230,7 +234,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     if args.cmd == "show":
         df = runner.ref(args.model)
-        df.show(args.n, truncate=False)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.n, truncate=False)
         return 0
 
     return 2

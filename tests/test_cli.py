@@ -140,3 +140,14 @@ def test_graph_selector_unknown_model_errors(bronze, spark):
             ["run", "--bronze", bronze, "--models", "+nope", "--now", FROZEN],
             spark=spark,
         )
+
+
+def test_show_explain_prints_plan(bronze, spark, capsys):
+    rc = main(
+        ["show", "stg_orders", "--bronze", bronze, "--now", FROZEN,
+         "--explain"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out
