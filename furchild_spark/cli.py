@@ -55,17 +55,25 @@ def _make_runner(args, spark):
     )
 
 
-def _observed_lineage(args, spark):
-    """Harvest the ref()/source() DAG by resolving every model through a
-    VIEW-ONLY probe runner — plan construction only, no Spark action and
-    (critically) no warehouse writes even when the caller passed one."""
-    import argparse as _ap
+def _probe_runner(args, spark):
+    """A VIEW-ONLY runner for plan-construction-time introspection — no
+    Spark action and (critically) no warehouse writes even when the
+    caller passed --warehouse."""
+    probe = argparse.Namespace(**{**vars(args), "warehouse": None})
+    return _make_runner(probe, spark)
 
+
+def _observed_lineage(args, spark, roots=None):
+    """Harvest the ref()/source() DAG through a view-only probe runner.
+    ``roots=None`` resolves every registered model (needed for
+    descendant walks and the dag listing); a roots list resolves only
+    those models — ref() recurses, so each root's full ANCESTOR cone is
+    still recorded, and an unrelated model that fails at plan time can't
+    abort a run whose selected cone is healthy."""
     from furchild_spark.models import registry
 
-    probe = _ap.Namespace(**{**vars(args), "warehouse": None})
-    runner = _make_runner(probe, spark)
-    for name in registry.names():
+    runner = _probe_runner(args, spark)
+    for name in (registry.names() if roots is None else roots):
         runner.ref(name)
     return runner.lineage, list(registry.names())
 
@@ -80,7 +88,29 @@ def _names(args, spark=None) -> list[str] | None:
     toks = args.models.split(",")
     if not any(t.startswith("+") or t.endswith("+") for t in toks):
         return toks
-    lineage, order = _observed_lineage(args, spark)
+
+    def usage_error(msg: str):
+        # match argparse's p.error contract: message to stderr, exit 2
+        print(f"furchild_spark: error: {msg}", file=sys.stderr)
+        raise SystemExit(2)
+
+    from furchild_spark.models import registry
+
+    known = set(registry.names())
+    parsed = []  # (name, up, down)
+    for t in toks:
+        up, down = t.startswith("+"), t.endswith("+")
+        name = t.removeprefix("+").removesuffix("+")
+        if not name or "+" in name:
+            usage_error(f"malformed --models selector: {t!r}")
+        if name not in known:
+            usage_error(f"unknown model in --models selector: {name!r}")
+        parsed.append((name, up, down))
+    # descendant walks need the whole graph; ancestor-only selectors
+    # probe just the named cones, so an unrelated broken model can't
+    # abort the run
+    roots = None if any(d for _, _, d in parsed) else [n for n, _, _ in parsed]
+    lineage, order = _observed_lineage(args, spark, roots=roots)
     parents = {n: set(lineage.get(n, {}).get("refs", [])) for n in order}
     children: dict[str, set] = {n: set() for n in order}
     for n, ps in parents.items():
@@ -98,11 +128,7 @@ def _names(args, spark=None) -> list[str] | None:
         return seen
 
     selected: set = set()
-    for t in toks:
-        up, down = t.startswith("+"), t.endswith("+")
-        name = t.strip("+")
-        if name not in parents:
-            raise SystemExit(f"unknown model in --models selector: {name!r}")
+    for name, up, down in parsed:
         selected.add(name)
         if up:
             selected |= closure(name, parents)
@@ -170,7 +196,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from furchild_spark.engine.session import get_spark
 
         spark = get_spark(app_name=f"furchild_{args.cmd}")
-    runner = _make_runner(args, spark)
 
     from furchild_spark.engine import checks as C
     from furchild_spark.engine.registry import BuildError
@@ -191,6 +216,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 ]
                 print(f"{name} <- {', '.join(deps) if deps else '(none)'}")
         return 0
+
+    runner = _make_runner(args, spark)
 
     if args.cmd == "run":
         built = runner.run(_names(args, spark))
@@ -233,11 +260,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if args.cmd == "show":
-        df = runner.ref(args.model)
         if args.explain:
-            df.explain("formatted")
+            # plan inspection must not materialize the model's upstream
+            # DAG into --warehouse (and the composed plan, not a scan of
+            # freshly-written parquet, is what the user asked to see)
+            _probe_runner(args, spark).ref(args.model).explain("formatted")
         else:
-            df.show(args.n, truncate=False)
+            runner.ref(args.model).show(args.n, truncate=False)
         return 0
 
     return 2

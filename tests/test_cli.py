@@ -151,3 +151,26 @@ def test_show_explain_prints_plan(bronze, spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+
+
+def test_graph_selector_malformed_is_usage_error(bronze, spark):
+    """Malformed selectors exit 2 (argparse's usage-error code), not 1."""
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--bronze", bronze, "--models", "++fct_orders",
+              "--now", FROZEN], spark=spark)
+    assert e.value.code == 2
+
+
+def test_show_explain_writes_nothing_to_warehouse(bronze, spark, tmp_path,
+                                                  capsys):
+    wh = str(tmp_path / "wh_explain")
+    rc = main(
+        ["show", "fct_orders", "--bronze", bronze, "--warehouse", wh,
+         "--now", FROZEN, "--explain"],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "Physical Plan" in capsys.readouterr().out
+    import os
+
+    assert not os.path.exists(wh) or os.listdir(wh) == []
