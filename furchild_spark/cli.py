@@ -30,10 +30,16 @@ def _parse_now(s: str | None):
     """--now omitted = the real wall clock (dbt's run_started_at), in UTC
     to match the bronze timestamps. Passing None through would silently
     disable the freshness gate (lag vs NULL compares to 'fresh') and
-    crash the lag printout."""
+    crash the lag printout. Offset-carrying ISO inputs
+    (2024-03-05T00:00:00+02:00) are normalized to naive UTC — freshness
+    lag arithmetic subtracts naive bronze timestamps, and mixing aware
+    with naive raises TypeError (r5 ADVICE)."""
     if s is None:
         return dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
-    return dt.datetime.fromisoformat(s)
+    parsed = dt.datetime.fromisoformat(s)
+    if parsed.tzinfo is not None:
+        parsed = parsed.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return parsed
 
 
 def _make_runner(args, spark):
@@ -234,7 +240,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return worst
 
     if args.cmd == "test":
-        results = C.run_checks(runner.ref, C.CHECKS)
+        # dbt `dbt test --models`: only checks ATTACHED to the selected
+        # models run (relationship checks belong to their child model,
+        # matching dbt's ownership). Previously --models was accepted but
+        # silently ignored here (r5 ADVICE).
+        selected = _names(args, spark)
+        suite = (
+            C.CHECKS
+            if selected is None
+            else [c for c in C.CHECKS if c.model in set(selected)]
+        )
+        results = C.run_checks(runner.ref, suite)
         failed = 0
         for r in results:
             status = "PASS" if r.passed else r.severity.upper()

@@ -514,8 +514,9 @@ def higher_order_funcs(spark, sf_dir):
     oracle="""
 WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders),
 binned AS (
-  SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT),
-               CAST(19 AS BIGINT)) AS bin,
+  SELECT CASE WHEN hi = lo THEN CAST(0 AS BIGINT)
+         ELSE least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20.0)) AS BIGINT),
+                    CAST(19 AS BIGINT)) END AS bin,
          lo, (hi - lo) / 20.0 AS w
   FROM orders, b
 )
@@ -533,17 +534,24 @@ def numeric_histogram(spark, sf_dir):
     binning + 20-key aggregation. Bin edges are IEEE-deterministic
     (identical subtraction/division/floor on identical doubles in both
     engines); the max value lands in the last bin via least(). bin_lo is
-    a derived double → rounded to the catalog's 6 dp noise floor."""
+    a derived double → rounded to the catalog's 6 dp noise floor. A
+    CONSTANT column (hi == lo → zero bin width) degenerates to one bin 0
+    holding every row instead of NaN/NULL bins — guarded identically in
+    the oracle, so the branch is hash-provable too (r5 ADVICE)."""
     o = table(spark, sf_dir, "orders")
     b = o.agg(
         F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
     )
     w = (F.col("hi") - F.col("lo")) / F.lit(20.0)
     binned = o.crossJoin(F.broadcast(b)).select(
-        F.least(
-            F.floor((F.col("o_totalprice") - F.col("lo")) / w),
-            F.lit(19).cast("long"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("lo")) / w),
+                F.lit(19).cast("long"),
+            )
+        )
+        .alias("bin"),
         F.col("lo"),
         w.alias("w"),
     )

@@ -169,10 +169,22 @@ def recursive_date_spine(spark, sf_dir):
     — this entry exists to prove the recursive SQL surface a migrating
     dbt user reaches for first. Spark caps recursion depth at 100 by
     default; the 731-day spine needs the conf raised (runtime-settable,
-    so the SQL text itself stays byte-identical across engines)."""
+    so the SQL text itself stays byte-identical across engines).
+
+    The limit is read at EXECUTION time, not plan time (measured: a
+    restore before collect() fails with RECURSION_LEVEL_LIMIT_EXCEEDED),
+    so a lazy return can't scope the conf. The spine is 731 rows —
+    localCheckpoint materializes it while the raise is in effect, then
+    the prior limit is restored so the session conf never leaks into
+    later catalog entries sharing the session."""
     _register_views(spark, sf_dir)
-    spark.conf.set("spark.sql.cteRecursionLevelLimit", "2000")
-    return spark.sql(_RECURSIVE_SPINE_SQL)
+    key = "spark.sql.cteRecursionLevelLimit"
+    prior = spark.conf.get(key)
+    spark.conf.set(key, "2000")
+    try:
+        return spark.sql(_RECURSIVE_SPINE_SQL).localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(key, prior)
 
 
 # LATERAL correlated subquery — per-group top-k as the SQL front end

@@ -174,3 +174,43 @@ def test_show_explain_writes_nothing_to_warehouse(bronze, spark, tmp_path,
     import os
 
     assert not os.path.exists(wh) or os.listdir(wh) == []
+
+
+def test_parse_now_normalizes_aware_iso_to_naive_utc():
+    """Offset-carrying ISO --now values must land as NAIVE UTC — the
+    freshness lag subtracts naive bronze timestamps, and aware-minus-
+    naive raises TypeError (r5 ADVICE)."""
+    from furchild_spark.cli import _parse_now
+
+    got = _parse_now("2024-03-05T02:00:00+02:00")
+    assert got.tzinfo is None
+    assert got == dt.datetime(2024, 3, 5, 0, 0, 0)
+    # naive input passes through untouched
+    assert _parse_now(FROZEN) == dt.datetime.fromisoformat(FROZEN)
+
+
+def test_test_models_filters_check_suite(bronze, spark, tmp_path, capsys):
+    """`test --models stg_items` runs ONLY checks attached to stg_items
+    (dbt `dbt test --models` semantics) — previously the flag was
+    silently ignored and the full suite ran (r5 ADVICE)."""
+    from furchild_spark.engine import checks as C
+
+    wh = str(tmp_path / "wh_testsel")
+    assert main(
+        ["run", "--bronze", bronze, "--warehouse", wh, "--models",
+         "stg_items", "--now", FROZEN],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    rc = main(
+        ["test", "--bronze", bronze, "--warehouse", wh, "--models",
+         "stg_items", "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    want = sum(1 for c in C.CHECKS if c.model == "stg_items")
+    assert want > 0
+    assert f"{want} checks" in out
+    # nothing outside the selection ran
+    assert "stg_transactions_order_id_unique" not in out

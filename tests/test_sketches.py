@@ -103,6 +103,38 @@ def test_histogram_bounds_broadcast(spark, name):
     assert "CartesianProduct" not in p
 
 
+def test_histogram_constant_column_single_bin(spark, tmp_path):
+    """A CONSTANT profiled column (hi == lo → zero bin width) must
+    degenerate to ONE bin-0 row holding every order, not NaN/NULL bins
+    (r5 ADVICE) — proven on BOTH engines, so the guard branch keeps the
+    cross-engine hash parity the entry's green rows rely on."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"o_orderkey": list(range(7)), "o_totalprice": [42.5] * 7}
+    )
+    path = str(tmp_path / "orders.parquet")
+    spark.createDataFrame(pdf).coalesce(1).write.mode("overwrite").parquet(path)
+    out = (
+        QUERIES["numeric_histogram"].fn(spark, str(tmp_path)).toPandas()
+    )
+    assert len(out) == 1
+    assert int(out["bin"].iloc[0]) == 0
+    assert int(out["n_orders"].iloc[0]) == 7
+    assert abs(float(out["bin_lo"].iloc[0]) - 42.5) < 1e-9
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS "
+        f"SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    ora = con.execute(QUERIES["numeric_histogram"].oracle).df()
+    assert len(ora) == 1
+    assert int(ora["bin"].iloc[0]) == 0
+    assert int(ora["n_orders"].iloc[0]) == 7
+
+
 def test_lsh_probe0_touches_fewer_buckets_than_probe1(spark):
     """The two LSH operating points must actually differ in probe
     fan-out. The k=5 catalog outputs can't witness this (both truncate

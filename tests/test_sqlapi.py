@@ -45,9 +45,14 @@ def test_lateral_topk_decorrelates_to_window(spark):
 
 
 def test_recursive_spine_depth_and_gaps(spark):
-    """731 calendar rows regardless of order sparsity; the recursion conf
-    raise sticks for the session (the entry sets it)."""
+    """731 calendar rows regardless of order sparsity — and the recursion
+    conf raise is SCOPED: the entry materializes the spine while the
+    limit is raised, then restores the prior value, so the session conf
+    never leaks into later catalog entries (r5 ADVICE)."""
     from test_plans import SF
 
+    key = "spark.sql.cteRecursionLevelLimit"
+    prior = spark.conf.get(key)
     df = QUERIES["recursive_date_spine"].fn(spark, SF)
+    assert spark.conf.get(key) == prior
     assert df.count() == 731
