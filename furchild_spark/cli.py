@@ -75,25 +75,36 @@ def _observed_lineage(args, spark, roots=None):
     descendant walks and the dag listing); a roots list resolves only
     those models — ref() recurses, so each root's full ANCESTOR cone is
     still recorded, and an unrelated model that fails at plan time can't
-    abort a run whose selected cone is healthy."""
+    abort a run whose selected cone is healthy. Returns the probe runner
+    too: its memoized lazy plans are what state-selector fingerprints
+    hash, so callers never pay a second plan pass."""
     from furchild_spark.models import registry
 
     runner = _probe_runner(args, spark)
     for name in (registry.names() if roots is None else roots):
         runner.ref(name)
-    return runner.lineage, list(registry.names())
+    return runner.lineage, list(registry.names()), runner
 
 
 def _names(args, spark=None) -> list[str] | None:
     """--models list, with dbt graph selectors: ``+name`` = name and its
-    ancestors, ``name+`` = name and its descendants, ``+name+`` = both.
-    Selector expansion resolves against the OBSERVED lineage (a view-only
-    plan pass), so it needs the session — plain lists don't."""
+    ancestors, ``name+`` = name and its descendants, ``+name+`` = both —
+    plus dbt slim-CI state selectors: ``state:modified`` = models whose
+    plan fingerprint differs from the ``--state`` manifest,
+    ``state:modified+`` = those plus their descendant cone. Selector
+    expansion resolves against the OBSERVED lineage (a view-only plan
+    pass), so it needs the session — plain lists don't. May return an
+    EMPTY list (state selectors with nothing modified): that means
+    "build nothing", distinct from None's "build everything"."""
     if not args.models:
         return None
     toks = args.models.split(",")
-    if not any(t.startswith("+") or t.endswith("+") for t in toks):
-        return toks
+    state_toks = [t for t in toks if t.startswith("state:")]
+    graph_toks = [t for t in toks if not t.startswith("state:")]
+    if not state_toks and not any(
+        t.startswith("+") or t.endswith("+") for t in graph_toks
+    ):
+        return graph_toks
 
     def usage_error(msg: str):
         # match argparse's p.error contract: message to stderr, exit 2
@@ -104,7 +115,7 @@ def _names(args, spark=None) -> list[str] | None:
 
     known = set(registry.names())
     parsed = []  # (name, up, down)
-    for t in toks:
+    for t in graph_toks:
         up, down = t.startswith("+"), t.endswith("+")
         name = t.removeprefix("+").removesuffix("+")
         if not name or "+" in name:
@@ -112,11 +123,22 @@ def _names(args, spark=None) -> list[str] | None:
         if name not in known:
             usage_error(f"unknown model in --models selector: {name!r}")
         parsed.append((name, up, down))
-    # descendant walks need the whole graph; ancestor-only selectors
-    # probe just the named cones, so an unrelated broken model can't
-    # abort the run
-    roots = None if any(d for _, _, d in parsed) else [n for n, _, _ in parsed]
-    lineage, order = _observed_lineage(args, spark, roots=roots)
+    for t in state_toks:
+        if t not in ("state:modified", "state:modified+"):
+            usage_error(f"unknown state selector: {t!r} "
+                        "(supported: state:modified, state:modified+)")
+        if not getattr(args, "state", None):
+            usage_error("state: selectors need --state PATH "
+                        "(a manifest.json from a prior run)")
+    # descendant walks and state fingerprints need the whole graph;
+    # ancestor-only selectors probe just the named cones, so an
+    # unrelated broken model can't abort the run
+    roots = (
+        None
+        if state_toks or any(d for _, _, d in parsed)
+        else [n for n, _, _ in parsed]
+    )
+    lineage, order, probe = _observed_lineage(args, spark, roots=roots)
     parents = {n: set(lineage.get(n, {}).get("refs", [])) for n in order}
     children: dict[str, set] = {n: set() for n in order}
     for n, ps in parents.items():
@@ -140,7 +162,35 @@ def _names(args, spark=None) -> list[str] | None:
             selected |= closure(name, parents)
         if down:
             selected |= closure(name, children)
+    if state_toks:
+        from furchild_spark.engine import state as ST
+
+        prior = ST.load_manifest(args.state)
+        # fingerprints hash the probe's already-built lazy plans — no
+        # second plan pass, no Spark action
+        current = ST.build_manifest(probe)
+        mods = ST.modified_models(prior, current)
+        selected |= set(mods)
+        if any(t.endswith("+") for t in state_toks):
+            for m in mods:
+                selected |= closure(m, children)
     return [n for n in order if n in selected]
+
+
+def _write_state_manifest(args, spark) -> str | None:
+    """dbt writes target/manifest.json after every run; the analog here
+    is ``<warehouse>/manifest.json`` — the fingerprint baseline a later
+    ``--models state:modified+ --state <path>`` diffs against."""
+    if not args.warehouse:
+        return None
+    import os
+
+    from furchild_spark.engine import state as ST
+
+    _, _, probe = _observed_lineage(args, spark)
+    path = os.path.join(args.warehouse, "manifest.json")
+    ST.save_manifest(ST.build_manifest(probe), path)
+    return path
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -151,11 +201,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         sp.add_argument("--bronze", help="dir of <source>.parquet files")
         sp.add_argument("--warehouse", help="materialization dir (omit = view-only run)")
         sp.add_argument("--models", help="comma-separated subset (default: all)")
+        sp.add_argument(
+            "--threads", type=int, default=1,
+            help="dbt --threads: build independent DAG branches on N "
+                 "concurrent threads (each in its own FAIR scheduler pool)",
+        )
         sp.add_argument("--incremental", action="store_true")
         sp.add_argument("--table-format", default="parquet",
                         choices=["parquet", "txlog"])
         sp.add_argument("--vars", help="JSON object of dbt-style variables")
         sp.add_argument("--now", help="frozen clock, ISO timestamp")
+        sp.add_argument(
+            "--state",
+            help="prior manifest.json for state: selectors (dbt slim CI); "
+                 "run/build write one to <warehouse>/manifest.json",
+        )
 
     sub.add_parser("ls", help="list registered models")
     for c in ("run", "build", "test", "freshness"):
@@ -211,7 +271,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # a view-only probe resolves every model through ref(), building
         # the lazy plans — no Spark action, and no warehouse writes even
         # if --warehouse was passed — while recording each edge.
-        lineage, order = _observed_lineage(args, spark)
+        lineage, order, _ = _observed_lineage(args, spark)
         if args.as_json:
             print(json.dumps(lineage, indent=2, sort_keys=True))
         else:
@@ -226,9 +286,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     runner = _make_runner(args, spark)
 
     if args.cmd == "run":
-        built = runner.run(_names(args, spark))
+        names = _names(args, spark)
+        if names is not None and not names:
+            print("nothing to do (state selection found no modified models)")
+            return 0
+        built = runner.run(names, threads=args.threads)
         for name, df in built.items():
             print(f"built {name}: {df.count()} rows")
+        path = _write_state_manifest(args, spark)
+        if path:
+            print(f"wrote manifest: {path}")
         return 0
 
     if args.cmd == "freshness":
@@ -262,9 +329,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 1 if failed else 0
 
     if args.cmd == "build":
+        names = _names(args, spark)
+        if names is not None and not names:
+            print("nothing to do (state selection found no modified models)")
+            return 0
         try:
             result = runner.build(
-                _names(args, spark), checks=C.CHECKS, freshness=C.FRESHNESS
+                names, checks=C.CHECKS, freshness=C.FRESHNESS,
+                threads=args.threads,
             )
         except BuildError as e:
             print(f"BUILD FAILED: {e}")
@@ -273,6 +345,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
               f"{len(result.checks)} checks "
               f"({len(result.errors)} errors), "
               f"{len(result.freshness)} freshness probes")
+        path = _write_state_manifest(args, spark)
+        if path:
+            print(f"wrote manifest: {path}")
         return 0
 
     if args.cmd == "show":

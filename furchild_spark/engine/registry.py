@@ -25,6 +25,7 @@ Materialization modes mirror the reference:
 from __future__ import annotations
 
 import datetime as dt
+import threading
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -186,8 +187,30 @@ class Runner:
         # observed DAG edges (dbt manifest equivalent), recorded as models
         # build: lineage[name] = {"refs": [...], "sources": [...]}
         self.lineage: dict[str, dict[str, list[str]]] = {}
-        self._building: list[str] = []
+        # per-THREAD build stack (cycle detection + edge attribution):
+        # under run(threads=N) each worker resolves its own ref() chain,
+        # and a shared stack would interleave two chains into phantom
+        # edges/cycles. Cross-thread cycles can't arise — each model
+        # builds on exactly one thread (per-model lock below) and reentry
+        # within that thread is detected here.
+        self._tls = threading.local()
         self._exists: dict[str, bool] = {}
+        # one lock per model so concurrent ref()s of a shared upstream
+        # build it exactly ONCE (double-checked against _cache); lock
+        # acquisition order follows DAG edges, so on an acyclic graph the
+        # wait graph is acyclic too — no deadlock. RLock, not Lock: a
+        # same-thread CYCLE (a→b→a) must fall through to _build's stack
+        # check and raise the clear cycle error, not deadlock on its own
+        # lock before reaching it.
+        self._ref_locks: dict[str, threading.RLock] = {}
+        self._locks_guard = threading.Lock()
+
+    @property
+    def _building(self) -> list[str]:
+        stack = getattr(self._tls, "stack", None)
+        if stack is None:
+            stack = self._tls.stack = []
+        return stack
 
     # -- source / ref resolution ------------------------------------------
     def _record_edge(self, kind: str, name: str) -> None:
@@ -205,15 +228,20 @@ class Runner:
     def ref(self, name: str) -> DataFrame:
         self._record_edge("refs", name)
         if name not in self._cache:
-            df = self._build(self.registry[name])
-            # View-only runs (warehouse_dir=None) re-execute a ref's whole
-            # subtree once per consumer; with cache_refs the first build is
-            # persisted so fan-in models (stg_orders feeds 5+ marts) compute
-            # once — the in-memory analogue of materializing to the
-            # warehouse. Callers own spark.catalog.clearCache() hygiene.
-            if self.cache_refs and self.warehouse_dir is None:
-                df = df.persist()
-            self._cache[name] = df
+            with self._locks_guard:
+                lock = self._ref_locks.setdefault(name, threading.RLock())
+            with lock:
+                if name not in self._cache:
+                    df = self._build(self.registry[name])
+                    # View-only runs (warehouse_dir=None) re-execute a
+                    # ref's whole subtree once per consumer; with
+                    # cache_refs the first build is persisted so fan-in
+                    # models (stg_orders feeds 5+ marts) compute once —
+                    # the in-memory analogue of materializing to the
+                    # warehouse. Callers own clearCache() hygiene.
+                    if self.cache_refs and self.warehouse_dir is None:
+                        df = df.persist()
+                    self._cache[name] = df
         return self._cache[name]
 
     # -- incremental state -------------------------------------------------
@@ -342,11 +370,53 @@ class Runner:
         self._exists[model.name] = True
         return out
 
-    def run(self, names: list[str] | None = None) -> dict[str, DataFrame]:
-        out = {}
-        for name in names or self.registry.names():
-            out[name] = self.ref(name)
-        return out
+    def run(
+        self, names: list[str] | None = None, threads: int = 1
+    ) -> dict[str, DataFrame]:
+        """Materialize ``names`` (default: every registered model).
+
+        ``threads`` is dbt's ``--threads N``: with N > 1, targets resolve
+        on a thread pool so INDEPENDENT DAG branches materialize
+        concurrently — Spark job submission is thread-safe, and on a
+        cluster this keeps executors busy between the narrow stages of
+        one model by running another model's stages alongside (SURVEY
+        §3.1 step 4; serial submission under-utilizes wide DAG levels).
+        Shared upstreams still build exactly once: every worker's ref()
+        chain funnels through the per-model locks, so a thread needing a
+        model another thread is building simply waits for that build —
+        the recursion itself is the topological schedule, no explicit
+        level-barrier needed (a barrier would idle the pool while the
+        slowest model of each level finishes).
+
+        Each worker tags its jobs with its own FAIR scheduler pool
+        (sessions from engine.session enable FAIR mode) so concurrent
+        models round-robin executor slots instead of FIFO head-of-line
+        blocking behind the widest plan.
+        """
+        targets = list(names) if names is not None else self.registry.names()
+        if threads <= 1 or len(targets) <= 1:
+            return {name: self.ref(name) for name in targets}
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        sc = self.spark.sparkContext
+
+        def _build_one(name: str) -> DataFrame:
+            # pinned-thread mode (Spark 3.2+ default) keeps local
+            # properties per Python thread, so pools don't bleed
+            sc.setLocalProperty(
+                "spark.scheduler.pool", f"runner-{threading.get_ident()}"
+            )
+            try:
+                return self.ref(name)
+            finally:
+                sc.setLocalProperty("spark.scheduler.pool", None)
+
+        with ThreadPoolExecutor(
+            max_workers=threads, thread_name_prefix="runner"
+        ) as pool:
+            built = list(pool.map(_build_one, targets))
+        return dict(zip(targets, built))
 
     def register_views(
         self, names: list[str] | None = None, prefix: str = ""
@@ -370,6 +440,7 @@ class Runner:
         checks=None,
         freshness=None,
         raise_on_error: bool = True,
+        threads: int = 1,
     ) -> "BuildResult":
         """``dbt build`` lifecycle: source freshness gate → materialize the
         DAG → run the data-test suite, with dbt severity semantics
@@ -401,7 +472,7 @@ class Runner:
                 "stale sources (error_after exceeded): "
                 + ", ".join(f"{f.source} lag={f.lag_hours:.1f}h" for f in stale)
             )
-        models = {} if stale else self.run(names)
+        models = {} if stale else self.run(names, threads=threads)
         check_results = (
             []
             if stale

@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # FAIR scheduling so thread-parallel Runner builds (run --threads N)
+        # share executor slots fairly: each runner thread submits jobs into
+        # its own pool (spark.scheduler.pool local property), and pools are
+        # round-robined instead of FIFO head-of-line blocking the narrow
+        # models behind the widest one. No-op for single-threaded sessions
+        # (one pool), and only read at SparkContext creation.
+        .config("spark.scheduler.mode", "FAIR")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

@@ -214,3 +214,18 @@ def test_test_models_filters_check_suite(bronze, spark, tmp_path, capsys):
     assert f"{want} checks" in out
     # nothing outside the selection ran
     assert "stg_transactions_order_id_unique" not in out
+
+
+def test_run_threads_flag(bronze, spark, capsys):
+    """`run --threads 4` (dbt --threads analog) builds the selected cone
+    concurrently — same outputs as a serial run, just submitted from a
+    thread pool with per-thread FAIR scheduler pools."""
+    rc = main(
+        ["run", "--bronze", bronze, "--models", "+fct_orders",
+         "--threads", "4", "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built fct_orders" in out
+    assert "built stg_orders" in out

@@ -261,3 +261,109 @@ def test_ref_cycle_raises_clear_error(spark):
     r = Runner(spark, reg, sources={})
     with pytest.raises(RuntimeError, match="cycle: a -> b -> a"):
         r.ref("a")
+
+
+# ---------------------------------------------------------------------------
+# thread-parallel DAG execution (dbt --threads; SURVEY §3.1 step 4)
+# ---------------------------------------------------------------------------
+
+def _counted_registry(calls):
+    """A diamond DAG (4 children fan out of one shared base) whose model
+    fns count their invocations — the witness that per-model locks build
+    a shared upstream exactly ONCE under run(threads=N)."""
+    import threading
+
+    reg = ModelRegistry()
+    guard = threading.Lock()
+
+    def count(name):
+        with guard:
+            calls[name] = calls.get(name, 0) + 1
+
+    @reg.model(name="base", materialized="table")
+    def base(ctx):
+        count("base")
+        return ctx.source("nums")
+
+    def _child(i):
+        @reg.model(name=f"child_{i}", materialized="table")
+        def child(ctx):
+            count(f"child_{i}")
+            return ctx.ref("base").withColumn("tag", F.lit(i))
+
+    for i in range(4):
+        _child(i)
+    return reg
+
+
+def test_threaded_run_builds_shared_upstream_once(spark, tmp_path):
+    """run(threads=4) over the diamond: base's fn runs once (not once per
+    child), every child materializes, and every txlog table lands exactly
+    ONE atomic commit (version 1) — concurrent writers never interleave
+    into a table's manifest chain because each model builds under its own
+    lock and tables are disjoint."""
+    calls: dict[str, int] = {}
+    reg = _counted_registry(calls)
+    src = spark.range(1000).withColumnRenamed("id", "n")
+    wh = str(tmp_path / "wh_threads")
+    r = Runner(
+        spark, reg, sources={"nums": src}, warehouse_dir=wh,
+        table_format="txlog",
+    )
+    out = r.run(threads=4)
+    assert calls["base"] == 1, f"shared upstream built {calls['base']}×"
+    assert set(out) == {"base"} | {f"child_{i}" for i in range(4)}
+    for i in range(4):
+        assert out[f"child_{i}"].count() == 1000
+        tx = TxTable(spark, f"{wh}/child_{i}")
+        assert tx.current_version() == 1
+        assert tx.snapshot().count() == 1000
+
+
+def test_threaded_run_real_dag_matches_serial(
+    spark, bronze_dir, tmp_path_factory
+):
+    """The REAL model DAG built with threads=4 is row-identical to the
+    serial build — same models, same values, txlog manifests all at
+    version 1 (one atomic commit per model, no torn/duplicate commits
+    under concurrency)."""
+    now = INGEST + dt.timedelta(days=1)
+    targets = ["fct_orders", "fct_order_items", "dim_customer",
+               "agg_orders_daily"]
+    rows = {}
+    for label, threads in (("serial", 1), ("threaded", 4)):
+        wh = str(tmp_path_factory.mktemp(f"wh_{label}"))
+        r = _runner(spark, bronze_dir, wh, "txlog",
+                    incremental=False, now=now)
+        out = r.run(targets, threads=threads)
+        rows[label] = {
+            t: sorted((tuple(x) for x in
+                       (lambda d: d.select(*sorted(d.columns)))(
+                           out[t]).collect()), key=repr)
+            for t in targets
+        }
+        for t in targets:
+            assert TxTable(spark, f"{wh}/{t}").current_version() == 1
+    for t in targets:
+        assert rows["serial"][t] == rows["threaded"][t], f"{t} diverged"
+
+
+def test_threaded_run_propagates_model_failure(spark, tmp_path):
+    """A failing model under threads=N surfaces its exception to the
+    caller (not swallowed on a worker thread); healthy siblings may or
+    may not have built — the contract is the error, like dbt's."""
+    reg = ModelRegistry()
+
+    @reg.model(name="ok", materialized="table")
+    def ok(ctx):
+        return ctx.source("nums")
+
+    @reg.model(name="boom", materialized="table")
+    def boom(ctx):
+        raise ValueError("model exploded")
+
+    src = spark.range(10).withColumnRenamed("id", "n")
+    r = Runner(spark, reg, sources={"nums": src},
+               warehouse_dir=str(tmp_path / "wh_boom"))
+    with pytest.raises(ValueError, match="model exploded"):
+        r.run(threads=2)
