@@ -225,6 +225,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     common(dg)
     dg.add_argument("--json", action="store_true", dest="as_json")
+    dg.add_argument(
+        "--columns", metavar="MODEL.COLUMN",
+        help="column-level lineage: print the source columns feeding one "
+             "output column (resolved from the analyzed plan; no Spark "
+             "action)",
+    )
     g = sub.add_parser("gen-fixtures", help="write deterministic bronze demo data")
     g.add_argument("--bronze", required=True)
     s = sub.add_parser("show", help="print rows of one model")
@@ -267,6 +273,29 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     from furchild_spark.engine.registry import BuildError
 
     if args.cmd == "dag":
+        if args.columns:
+            from furchild_spark.engine.lineage import column_lineage
+            from furchild_spark.models import registry
+
+            if "." not in args.columns:
+                p.error("--columns wants MODEL.COLUMN (e.g. "
+                        "fct_orders.order_sk)")
+            model, _, col = args.columns.partition(".")
+            if model not in registry:
+                p.error(f"unknown model: {model!r}")
+            # the composed VIEW-mode plan, so lineage crosses model
+            # boundaries all the way to the bronze scans
+            df = _probe_runner(args, spark).ref(model)
+            try:
+                srcs = column_lineage(df, col)
+            except KeyError as e:
+                p.error(str(e))
+            for s in sorted(srcs, key=str):
+                print(f"{args.columns} <- {s}")
+            if not srcs:
+                print(f"{args.columns} <- (no source columns: literal "
+                      "or generated)")
+            return 0
         # Lineage is OBSERVED, not declared (the dbt-manifest equivalent):
         # a view-only probe resolves every model through ref(), building
         # the lazy plans — no Spark action, and no warehouse writes even
