@@ -43,6 +43,7 @@ def pagerank(
     damping: float = 0.85,
     round_dp: int = 8,
     broadcast_ranks: bool = False,
+    checkpoint_interval: int | None = None,
 ) -> DataFrame:
     """Weighted PageRank over ``edges`` (out-weights should sum to 1 per
     src). Returns (node, rank). Deterministic: exact decimal contribution
@@ -57,6 +58,17 @@ def pagerank(
     default is False: both per-iteration joins shuffle co-partitioned
     on the node key and ReuseExchange amortizes everything shared (the
     scalable Pregel layout; see the inline note below).
+
+    ``checkpoint_interval`` bounds LINEAGE for long runs: every k
+    iterations the rank state is localCheckpoint-ed (same cadence
+    discipline as connected_components, operators/curate.py), so plan
+    depth stays O(k) instead of O(iterations) — past ~10 rounds the
+    unbounded plan costs more to analyze/codegen than to execute, and
+    at 100 TB a lost executor would otherwise replay the whole chain.
+    The default None keeps the catalog entry's single composed
+    oracle-replayable plan (8 rounds fits comfortably); rounding makes
+    each iteration's state byte-stable, so checkpointing any cadence
+    CANNOT change results — proven in tests/test_graph_profile.py.
     """
     # The edge subplan appears in every iteration's join, but NOT as
     # repeated work: its exchanges are byte-identical across iterations,
@@ -82,7 +94,15 @@ def pagerank(
         (F.lit(1.0) / F.col("n_nodes").cast("double")).alias("rank"),
     )
     teleport = F.lit(1.0 - damping) / F.col("n_nodes").cast("double")
-    for _ in range(iterations):
+    for it in range(iterations):
+        if (
+            checkpoint_interval
+            and it > 0
+            and it % checkpoint_interval == 0
+        ):
+            # truncate lineage: the checkpointed frame becomes a leaf,
+            # so the next iteration's plan starts from O(1) depth
+            ranks = ranks.localCheckpoint(eager=True)
         contrib = (
             e.join(maybe_b(ranks.withColumnRenamed("node", "e_src")), on="e_src")
             .groupBy("node")
