@@ -231,8 +231,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
              "output column (resolved from the analyzed plan; no Spark "
              "action)",
     )
+    dc = sub.add_parser(
+        "docs",
+        help="emit a dbt-docs-style JSON manifest: every model's config, "
+             "resolved output columns, observed dependencies, and attached "
+             "checks (pure plan introspection, no Spark action)",
+    )
+    common(dc)
+    dc.add_argument("--output", help="write JSON here instead of stdout")
     g = sub.add_parser("gen-fixtures", help="write deterministic bronze demo data")
     g.add_argument("--bronze", required=True)
+    mt = sub.add_parser(
+        "maintain",
+        help="txlog warehouse maintenance: small-file compaction, version "
+             "vacuum, commit history (the OPTIMIZE/VACUUM ops surface)",
+    )
+    mt.add_argument("--warehouse", required=True)
+    mt.add_argument("--models",
+                    help="comma-separated subset (default: every txlog "
+                         "table found in the warehouse)")
+    mt.add_argument("--history", action="store_true",
+                    help="print each table's commit history")
+    mt.add_argument("--compact", action="store_true",
+                    help="rewrite small files into fewer clustered ones "
+                         "(bit-identical contents, new version)")
+    mt.add_argument("--small-file-mb", type=float, default=32.0)
+    mt.add_argument("--vacuum", action="store_true",
+                    help="drop data unreferenced by the retained newest "
+                         "versions plus aged-out temp manifests")
+    mt.add_argument("--retain-last", type=int, default=2)
+    mt.add_argument("--min-age-seconds", type=float, default=3600.0,
+                    help="in-flight-writer guard: younger files survive")
     s = sub.add_parser("show", help="print rows of one model")
     common(s)
     s.add_argument("model")
@@ -259,6 +288,57 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         paths = write_fixture_parquet(args.bronze)
         for name, path in sorted(paths.items()):
             print(f"wrote {name} -> {path}")
+        return 0
+
+    if args.cmd == "maintain":
+        import os
+
+        from furchild_spark.engine.txlog import TxTable
+        from furchild_spark.models import registry
+
+        if not (args.compact or args.vacuum or args.history):
+            p.error("maintain wants at least one of "
+                    "--history/--compact/--vacuum")
+        names = (
+            args.models.split(",")
+            if args.models
+            else sorted(
+                d for d in os.listdir(args.warehouse)
+                if os.path.isdir(os.path.join(args.warehouse, d, "_txlog"))
+            )
+        )
+        if spark is None:
+            from furchild_spark.engine.session import get_spark
+
+            spark = get_spark(app_name="furchild_maintain")
+        for name in names:
+            path = os.path.join(args.warehouse, name)
+            if not os.path.isdir(os.path.join(path, "_txlog")):
+                print(f"{name}: not a txlog table, skipped")
+                continue
+            # compacted files keep the model's declared cluster layout so
+            # file-scoped merges stay scoped after maintenance
+            cluster = (
+                tuple(registry[name].partition_by)
+                if name in registry else ()
+            )
+            tx = TxTable(spark, path, cluster_by=cluster)
+            if args.history:
+                for h in tx.history():
+                    print(f"{name} v{h['version']} {h['op']} "
+                          f"files={h['num_files']}")
+            if args.compact:
+                v = tx.compact(
+                    small_file_bytes=int(args.small_file_mb * 1024 * 1024)
+                )
+                print(f"{name}: compact -> "
+                      f"{'v' + str(v) if v else 'nothing to do'}")
+            if args.vacuum:
+                removed = tx.vacuum(
+                    retain_last=args.retain_last,
+                    min_age_seconds=args.min_age_seconds,
+                )
+                print(f"{name}: vacuum removed {len(removed)} commit dirs")
         return 0
 
     if not args.bronze:
@@ -312,6 +392,61 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"{name} <- {', '.join(deps) if deps else '(none)'}")
         return 0
 
+    if args.cmd == "docs":
+        # dbt docs generate: one artifact holding what a reader needs to
+        # navigate the warehouse without executing it — configs, observed
+        # edges, resolved column types (from the analyzed schema of the
+        # view-mode composed plan), and the tests attached to each model.
+        from furchild_spark.models import registry
+
+        lineage, order, probe = _observed_lineage(args, spark)
+        checks_by_model: dict[str, list] = {}
+        for c in C.CHECKS:
+            checks_by_model.setdefault(c.model, []).append(
+                {"name": c.name, "severity": c.severity}
+            )
+        nodes = {}
+        for name in order:
+            m = registry[name]
+            df = probe.ref(name)
+            nodes[name] = {
+                "materialized": m.materialized,
+                "unique_key": m.unique_key,
+                "partition_by": list(m.partition_by),
+                "tags": list(m.tags),
+                "depends_on": lineage.get(
+                    name, {"refs": [], "sources": []}
+                ),
+                "columns": {
+                    f.name: f.dataType.simpleString()
+                    for f in df.schema.fields
+                },
+                "checks": checks_by_model.get(name, []),
+            }
+        doc = {
+            "nodes": nodes,
+            "sources": sorted(
+                {s for lin in lineage.values() for s in lin["sources"]}
+            ),
+            "freshness": [
+                {
+                    "source": f.source,
+                    "loaded_at": f.loaded_at_col,
+                    "warn_after_hours": f.warn_after_hours,
+                    "error_after_hours": f.error_after_hours,
+                }
+                for f in C.FRESHNESS
+            ],
+        }
+        text = json.dumps(doc, indent=1, sort_keys=True)
+        if args.output:
+            with open(args.output, "w") as fh:
+                fh.write(text)
+            print(f"wrote {args.output}")
+        else:
+            print(text)
+        return 0
+
     runner = _make_runner(args, spark)
 
     if args.cmd == "run":
@@ -346,7 +481,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if selected is None
             else [c for c in C.CHECKS if c.model in set(selected)]
         )
-        results = C.run_checks(runner.ref, suite)
+        results = C.run_checks(runner.ref, suite, threads=args.threads)
         failed = 0
         for r in results:
             status = "PASS" if r.passed else r.severity.upper()

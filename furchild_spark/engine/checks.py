@@ -234,14 +234,25 @@ def run_checks(
     ref: Callable[[str], DataFrame],
     checks: list[Check] | None = None,
     models: set[str] | None = None,
+    threads: int = 1,
 ) -> list[CheckResult]:
     """Execute the suite against a ``ref`` resolver (e.g. ``runner.ref``).
     ``models`` restricts to checks attached to those models (dbt's node
-    selection: tests run only for selected nodes)."""
-    results = []
-    for c in (CHECKS if checks is None else checks):
-        if models is not None and c.model not in models:
-            continue
+    selection: tests run only for selected nodes).
+
+    ``threads`` parallelizes the counts (dbt runs tests on its thread
+    pool too): every check is one independent count job, and on a
+    cluster a serial suite leaves executors idle between the narrow
+    single-check stages. Requires a thread-safe ``ref`` — the Runner's
+    is (per-model locks). Result order matches the suite order
+    regardless of completion order."""
+    suite = [
+        c
+        for c in (CHECKS if checks is None else checks)
+        if models is None or c.model in models
+    ]
+
+    def one(c: Check) -> CheckResult:
         df = ref(c.model)
         if c.name == "stg_packages_fk_shipment_id_to_shipments":
             failures = relationships(
@@ -249,8 +260,16 @@ def run_checks(
             ).count()
         else:
             failures = c.fn(df).count()
-        results.append(CheckResult(c.name, c.model, c.severity, failures))
-    return results
+        return CheckResult(c.name, c.model, c.severity, failures)
+
+    if threads <= 1 or len(suite) <= 1:
+        return [one(c) for c in suite]
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(
+        max_workers=threads, thread_name_prefix="checks"
+    ) as pool:
+        return list(pool.map(one, suite))
 
 
 # ---------------------------------------------------------------------------

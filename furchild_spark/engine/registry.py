@@ -479,6 +479,7 @@ class Runner:
             else C.run_checks(
                 self.ref, checks or [],
                 models=set(models) if names is not None else None,
+                threads=threads,
             )
         )
         result = BuildResult(models=models, checks=check_results, freshness=fresh)

@@ -997,6 +997,8 @@ class TxTable:
         app_id: str,
         key_cols: list[str] | None = None,
         scope_col: str | None = None,
+        compact_every: int | None = None,
+        small_file_bytes: int = 32 * 1024 * 1024,
     ):
         """The function to pass to ``writeStream.foreachBatch`` for an
         exactly-once transactional sink::
@@ -1004,12 +1006,27 @@ class TxTable:
             stream.writeStream.foreachBatch(
                 table.foreach_batch_sink("ingest-v1")
             ).option("checkpointLocation", ...).start()
-        """
+
+        ``compact_every=N`` folds maintenance into the sink: after every
+        N COMMITTED batches, small files are compacted (bit-identical
+        contents, one extra version). Streaming appends are compaction's
+        motivating case — one commit-dir per micro-batch means a day of
+        1-minute batches leaves 1440 small files per partition, and scan
+        cost at 100 TB is dominated by file count, not bytes. The cadence
+        counts committed batches (duplicate redeliveries return None and
+        don't advance it), and compact() already retries commit races
+        against the next live batch."""
+        committed = 0
 
         def sink(batch_df: DataFrame, batch_id: int) -> None:
-            self.write_stream_batch(
+            nonlocal committed
+            v = self.write_stream_batch(
                 batch_df, app_id, int(batch_id), key_cols=key_cols, scope_col=scope_col
             )
+            if v is not None and compact_every:
+                committed += 1
+                if committed % compact_every == 0:
+                    self.compact(small_file_bytes=small_file_bytes)
 
         return sink
 

@@ -173,3 +173,14 @@ def test_build_freshness_gate_blocks_stale_source(spark):
     assert not built, "models must not build past a failed freshness gate"
     res = r.build(freshness=specs, raise_on_error=False)
     assert res.freshness[0].status == "error" and not res.models
+
+
+def test_run_checks_threaded_matches_serial(runner):
+    """threads=4 must return the SAME results in the SAME order as the
+    serial suite — counts are independent jobs, order is the contract
+    (dbt prints tests in manifest order regardless of completion)."""
+    serial = C.run_checks(runner.ref)
+    threaded = C.run_checks(runner.ref, threads=4)
+    assert [(r.name, r.failures) for r in serial] == [
+        (r.name, r.failures) for r in threaded
+    ]

@@ -229,3 +229,68 @@ def test_run_threads_flag(bronze, spark, capsys):
     out = capsys.readouterr().out
     assert "built fct_orders" in out
     assert "built stg_orders" in out
+
+
+def test_maintain_history_compact_vacuum(bronze, spark, tmp_path, capsys):
+    """The OPTIMIZE/VACUUM ops surface: after a full + incremental txlog
+    build, `maintain` prints history, compacts small files into a new
+    bit-identical version, vacuums old versions, and leaves the table
+    readable at head."""
+    wh = str(tmp_path / "wh_maint")
+    for extra in ([], ["--incremental"]):
+        assert main(
+            ["run", "--bronze", bronze, "--warehouse", wh,
+             "--table-format", "txlog", "--models", "fct_orders",
+             "--now", FROZEN] + extra,
+            spark=spark,
+        ) == 0
+    capsys.readouterr()
+    rc = main(
+        ["maintain", "--warehouse", wh, "--history", "--compact",
+         "--vacuum", "--retain-last", "1", "--min-age-seconds", "0"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "fct_orders v1 overwrite" in out
+    assert "compact ->" in out
+    assert "vacuum removed" in out
+
+    from furchild_spark.engine.txlog import TxTable
+
+    assert TxTable(spark, f"{wh}/fct_orders").snapshot().count() > 0
+
+
+def test_maintain_requires_an_action(tmp_path):
+    import os
+
+    wh = str(tmp_path / "wh_empty")
+    os.makedirs(wh)
+    with pytest.raises(SystemExit) as e:
+        main(["maintain", "--warehouse", wh])
+    assert e.value.code == 2
+
+
+def test_docs_manifest_shape(bronze, spark, tmp_path, capsys):
+    """`docs` (dbt docs generate analog) emits one JSON artifact with
+    configs, observed dependencies, resolved column types, and attached
+    checks — enough to navigate the warehouse without executing it."""
+    import json
+
+    out_path = str(tmp_path / "docs.json")
+    rc = main(
+        ["docs", "--bronze", bronze, "--output", out_path, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    doc = json.loads(open(out_path).read())
+    fo = doc["nodes"]["fct_orders"]
+    assert fo["materialized"] == "incremental"
+    assert "order_sk" in fo["columns"]
+    assert "stg_orders" in fo["depends_on"]["refs"]
+    items = doc["nodes"]["stg_items"]
+    assert any(
+        c["name"].startswith("stg_items") for c in items["checks"]
+    )
+    assert "transactions" in doc["sources"]
+    assert any(f["source"] == "transactions" for f in doc["freshness"])

@@ -457,3 +457,27 @@ def test_clone_refuses_existing_target(spark, tmp_table):
     other.overwrite(t.spark.createDataFrame(_rows(1, start=7, val="x")))
     with pytest.raises(ValueError, match="already a table"):
         t.clone(other_path)
+
+
+def test_foreach_batch_sink_auto_compaction(spark):
+    """compact_every=3 folds maintenance into the streaming sink: after
+    every 3rd COMMITTED batch the small micro-batch files are rewritten
+    into one (file count drops, rows identical, op='compact' in history).
+    Duplicate redeliveries return None and must NOT advance the cadence."""
+    base = tempfile.mkdtemp(prefix="txlog_autocompact_")
+    t = TxTable(spark, os.path.join(base, "t"))
+    sink = t.foreach_batch_sink("app", compact_every=3)
+    for b in range(3):
+        sink(spark.createDataFrame(_rows(2, start=10 * b)), b)
+        sink(spark.createDataFrame(_rows(2, start=10 * b)), b)  # redelivery
+    hist = t.history()
+    ops = [h["op"] for h in hist]
+    assert ops.count("compact") == 1
+    assert ops[-1] == "compact"  # fired right after the 3rd commit
+    assert hist[-1]["num_files"] < hist[-2]["num_files"]
+    assert t.snapshot().count() == 6
+    # three more committed batches -> exactly one more compaction
+    for b in range(3, 6):
+        sink(spark.createDataFrame(_rows(2, start=10 * b)), b)
+    assert [h["op"] for h in t.history()].count("compact") == 2
+    assert t.snapshot().count() == 12
