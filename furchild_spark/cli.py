@@ -100,8 +100,12 @@ def _names(args, spark=None) -> list[str] | None:
         return None
     toks = args.models.split(",")
     state_toks = [t for t in toks if t.startswith("state:")]
-    graph_toks = [t for t in toks if not t.startswith("state:")]
-    if not state_toks and not any(
+    result_toks = [t for t in toks if t.startswith("result:")]
+    graph_toks = [
+        t for t in toks
+        if not t.startswith("state:") and not t.startswith("result:")
+    ]
+    if not state_toks and not result_toks and not any(
         t.startswith("+") or t.endswith("+") for t in graph_toks
     ):
         return graph_toks
@@ -130,12 +134,24 @@ def _names(args, spark=None) -> list[str] | None:
         if not getattr(args, "state", None):
             usage_error("state: selectors need --state PATH "
                         "(a manifest.json from a prior run)")
+    valid_results = {
+        f"result:{s}{plus}"
+        for s in ("error", "skipped", "success")
+        for plus in ("", "+")
+    }
+    for t in result_toks:
+        if t not in valid_results:
+            usage_error(f"unknown result selector: {t!r} (supported: "
+                        "result:error/skipped/success, optional +)")
+        if not getattr(args, "state_results", None):
+            usage_error("result: selectors need --state-results PATH "
+                        "(a run_results.json from a prior run)")
     # descendant walks and state fingerprints need the whole graph;
     # ancestor-only selectors probe just the named cones, so an
     # unrelated broken model can't abort the run
     roots = (
         None
-        if state_toks or any(d for _, _, d in parsed)
+        if state_toks or result_toks or any(d for _, _, d in parsed)
         else [n for n, _, _ in parsed]
     )
     lineage, order, probe = _observed_lineage(args, spark, roots=roots)
@@ -174,6 +190,19 @@ def _names(args, spark=None) -> list[str] | None:
         if any(t.endswith("+") for t in state_toks):
             for m in mods:
                 selected |= closure(m, children)
+    if result_toks:
+        with open(args.state_results) as fh:
+            prior_results = json.load(fh).get("results", {})
+        for t in result_toks:
+            status = t.removeprefix("result:").removesuffix("+")
+            matched = [
+                n for n, r in prior_results.items()
+                if r.get("status") == status and n in known
+            ]
+            selected |= set(matched)
+            if t.endswith("+"):
+                for m in matched:
+                    selected |= closure(m, children)
     return [n for n in order if n in selected]
 
 
@@ -190,6 +219,22 @@ def _write_state_manifest(args, spark) -> str | None:
     _, _, probe = _observed_lineage(args, spark)
     path = os.path.join(args.warehouse, "manifest.json")
     ST.save_manifest(ST.build_manifest(probe), path)
+    return path
+
+
+def _write_run_results(args, runner) -> str | None:
+    """dbt's run_results.json: per-model status (success/error/skipped)
+    and build seconds — the artifact ``--models result:error+`` retries
+    from."""
+    if not args.warehouse or not runner.run_results:
+        return None
+    import os
+
+    path = os.path.join(args.warehouse, "run_results.json")
+    with open(path, "w") as fh:
+        json.dump(
+            {"results": runner.run_results}, fh, indent=1, sort_keys=True
+        )
     return path
 
 
@@ -215,6 +260,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--state",
             help="prior manifest.json for state: selectors (dbt slim CI); "
                  "run/build write one to <warehouse>/manifest.json",
+        )
+        sp.add_argument(
+            "--state-results",
+            help="prior run_results.json for result: selectors (dbt "
+                 "retry); run writes one to <warehouse>/run_results.json",
+        )
+        sp.add_argument(
+            "--fail-fast", action="store_true",
+            help="abort on the first model failure (dbt --fail-fast); "
+                 "default mirrors dbt: independent branches keep "
+                 "building, failures and skips are reported at the end",
         )
 
     sub.add_parser("ls", help="list registered models")
@@ -452,15 +508,34 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "run":
         names = _names(args, spark)
         if names is not None and not names:
-            print("nothing to do (state selection found no modified models)")
+            print("nothing to do (selection matched no models)")
             return 0
-        built = runner.run(names, threads=args.threads)
+        built = runner.run(
+            names,
+            threads=args.threads,
+            on_error="raise" if args.fail_fast else "continue",
+        )
         for name, df in built.items():
             print(f"built {name}: {df.count()} rows")
-        path = _write_state_manifest(args, spark)
-        if path:
-            print(f"wrote manifest: {path}")
-        return 0
+        errors = {
+            n: r for n, r in runner.run_results.items()
+            if r["status"] == "error"
+        }
+        for n, r in sorted(errors.items()):
+            print(f"FAILED {n}: {r['error']}")
+        for n, r in sorted(runner.run_results.items()):
+            if r["status"] == "skipped":
+                print(f"skipped {n} (upstream {r.get('because')} failed)")
+        # a failed run must not advance the slim-CI baseline: state
+        # fingerprints describe a warehouse that was fully built
+        if not errors:
+            path = _write_state_manifest(args, spark)
+            if path:
+                print(f"wrote manifest: {path}")
+        rr = _write_run_results(args, runner)
+        if rr:
+            print(f"wrote run results: {rr}")
+        return 1 if errors else 0
 
     if args.cmd == "freshness":
         results = C.run_freshness(runner.source, runner.now, C.FRESHNESS)

@@ -187,6 +187,15 @@ class Runner:
         # observed DAG edges (dbt manifest equivalent), recorded as models
         # build: lineage[name] = {"refs": [...], "sources": [...]}
         self.lineage: dict[str, dict[str, list[str]]] = {}
+        # dbt run_results analog: per-model status/seconds, filled as
+        # models build. status: success | error | skipped (an upstream
+        # failed, so this model never ran its own build).
+        self.run_results: dict[str, dict] = {}
+        # name -> the exception its OWN build raised. A model whose ref()
+        # chain hits a recorded failure re-raises the SAME object, so
+        # consumers can tell "my upstream failed" (skip) from "I failed"
+        # (error) by checking which model the object is recorded under.
+        self._failed: dict[str, BaseException] = {}
         # per-THREAD build stack (cycle detection + edge attribution):
         # under run(threads=N) each worker resolves its own ref() chain,
         # and a shared stack would interleave two chains into phantom
@@ -231,8 +240,36 @@ class Runner:
             with self._locks_guard:
                 lock = self._ref_locks.setdefault(name, threading.RLock())
             with lock:
+                if name in self._failed:
+                    # dbt semantics: a model that failed THIS run is not
+                    # retried by later consumers — they skip. Re-raise
+                    # the original object so blame stays attributable.
+                    raise self._failed[name]
                 if name not in self._cache:
-                    df = self._build(self.registry[name])
+                    import time as _time
+
+                    t0 = _time.perf_counter()
+                    try:
+                        df = self._build(self.registry[name])
+                    except BaseException as e:
+                        # only the ORIGIN records itself failed; a
+                        # consumer re-raising an upstream's exception
+                        # must not blame itself (its status is skipped,
+                        # decided at the run() target level)
+                        if not any(f is e for f in self._failed.values()):
+                            self._failed[name] = e
+                            self.run_results[name] = {
+                                "status": "error",
+                                "error": f"{type(e).__name__}: {e}",
+                                "seconds": round(
+                                    _time.perf_counter() - t0, 3
+                                ),
+                            }
+                        raise
+                    self.run_results[name] = {
+                        "status": "success",
+                        "seconds": round(_time.perf_counter() - t0, 3),
+                    }
                     # View-only runs (warehouse_dir=None) re-execute a
                     # ref's whole subtree once per consumer; with
                     # cache_refs the first build is persisted so fan-in
@@ -371,7 +408,10 @@ class Runner:
         return out
 
     def run(
-        self, names: list[str] | None = None, threads: int = 1
+        self,
+        names: list[str] | None = None,
+        threads: int = 1,
+        on_error: str = "raise",
     ) -> dict[str, DataFrame]:
         """Materialize ``names`` (default: every registered model).
 
@@ -392,31 +432,61 @@ class Runner:
         (sessions from engine.session enable FAIR mode) so concurrent
         models round-robin executor slots instead of FIFO head-of-line
         blocking behind the widest plan.
+
+        ``on_error='continue'`` is dbt's default failure behavior: a
+        failing model doesn't abort the run — its own status is
+        ``error``, targets downstream of it become ``skipped`` (their
+        build never ran), and every INDEPENDENT branch still
+        materializes. ``run_results`` holds per-model status/seconds
+        either way; the returned dict contains successes only. The
+        library default stays ``'raise'``.
         """
+        if on_error not in ("raise", "continue"):
+            raise ValueError(f"unknown on_error {on_error!r}")
         targets = list(names) if names is not None else self.registry.names()
+
+        def _resolve(name: str):
+            try:
+                return name, self.ref(name)
+            except BaseException as e:
+                if on_error == "raise":
+                    raise
+                # ref() already recorded the ORIGIN's error; any target
+                # seeing someone else's exception never built → skipped
+                if self.run_results.get(name, {}).get("status") != "error":
+                    origin = next(
+                        (m for m, f in self._failed.items() if f is e), None
+                    )
+                    self.run_results[name] = {
+                        "status": "skipped",
+                        "because": origin,
+                    }
+                return name, None
+
         if threads <= 1 or len(targets) <= 1:
-            return {name: self.ref(name) for name in targets}
+            resolved = [_resolve(name) for name in targets]
+            return {n: df for n, df in resolved if df is not None}
 
         from concurrent.futures import ThreadPoolExecutor
 
         sc = self.spark.sparkContext
 
-        def _build_one(name: str) -> DataFrame:
+        def _build_one(name: str):
             # pinned-thread mode (Spark 3.2+ default) keeps local
             # properties per Python thread, so pools don't bleed
             sc.setLocalProperty(
                 "spark.scheduler.pool", f"runner-{threading.get_ident()}"
             )
             try:
-                return self.ref(name)
+                return _resolve(name)
             finally:
                 sc.setLocalProperty("spark.scheduler.pool", None)
 
         with ThreadPoolExecutor(
             max_workers=threads, thread_name_prefix="runner"
         ) as pool:
-            built = list(pool.map(_build_one, targets))
-        return dict(zip(targets, built))
+            resolved = list(pool.map(_build_one, targets))
+        return {n: df for n, df in resolved if df is not None}
 
     def register_views(
         self, names: list[str] | None = None, prefix: str = ""

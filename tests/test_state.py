@@ -162,3 +162,39 @@ def test_cli_unknown_state_selector_is_usage_error(bronze, spark, tmp_path):
             spark=spark,
         )
     assert e.value.code == 2
+
+
+def test_cli_result_error_retry_selector(bronze, spark, tmp_path, capsys):
+    """dbt retry: `--models result:error+ --state-results PATH` rebuilds
+    the models a prior run recorded as failed, plus their descendant
+    cone — and a successful run writes the run_results.json the next
+    retry would read."""
+    rr = str(tmp_path / "run_results.json")
+    with open(rr, "w") as fh:
+        json.dump({"results": {"stg_items": {"status": "error"}}}, fh)
+    rc = main(
+        ["run", "--bronze", bronze, "--warehouse",
+         str(tmp_path / "wh_retry"), "--models", "result:error+",
+         "--state-results", rr, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_items" in out
+    assert "built fct_orders_revenue" in out  # descendant cone
+    assert "built stg_addresses" not in out
+    assert "wrote run results" in out
+    written = json.load(
+        open(str(tmp_path / "wh_retry" / "run_results.json"))
+    )
+    assert written["results"]["stg_items"]["status"] == "success"
+
+
+def test_cli_result_selector_requires_results_path(bronze, spark):
+    with pytest.raises(SystemExit) as e:
+        main(
+            ["run", "--bronze", bronze, "--models", "result:error",
+             "--now", FROZEN],
+            spark=spark,
+        )
+    assert e.value.code == 2

@@ -367,3 +367,35 @@ def test_threaded_run_propagates_model_failure(spark, tmp_path):
                warehouse_dir=str(tmp_path / "wh_boom"))
     with pytest.raises(ValueError, match="model exploded"):
         r.run(threads=2)
+
+
+def test_fail_soft_run_statuses(spark, tmp_path):
+    """on_error='continue' (dbt's default behavior): a failing model gets
+    status=error, its downstream target is skipped WITH blame, every
+    independent branch still builds, and the returned dict holds only
+    successes. Works identically under threads."""
+    reg = ModelRegistry()
+
+    @reg.model(name="ok", materialized="table")
+    def ok(ctx):
+        return ctx.source("nums")
+
+    @reg.model(name="boom", materialized="table")
+    def boom(ctx):
+        raise ValueError("nope")
+
+    @reg.model(name="child_of_boom", materialized="table")
+    def child(ctx):
+        return ctx.ref("boom")
+
+    src = spark.range(5).withColumnRenamed("id", "n")
+    r = Runner(spark, reg, sources={"nums": src},
+               warehouse_dir=str(tmp_path / "wh_failsoft"))
+    out = r.run(threads=2, on_error="continue")
+    assert set(out) == {"ok"}
+    st = {n: v["status"] for n, v in r.run_results.items()}
+    assert st == {
+        "ok": "success", "boom": "error", "child_of_boom": "skipped"
+    }
+    assert r.run_results["child_of_boom"]["because"] == "boom"
+    assert "ValueError" in r.run_results["boom"]["error"]
