@@ -58,6 +58,7 @@ def _make_runner(args, spark):
         variables=json.loads(args.vars) if args.vars else None,
         now=_parse_now(args.now),
         table_format=args.table_format,
+        defer_to=getattr(args, "defer_to", None),
     )
 
 
@@ -265,6 +266,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--state-results",
             help="prior run_results.json for result: selectors (dbt "
                  "retry); run writes one to <warehouse>/run_results.json",
+        )
+        sp.add_argument(
+            "--defer-to", dest="defer_to", metavar="DIR",
+            help="dbt --defer: resolve refs to models OUTSIDE the "
+                 "selection from this (e.g. production) warehouse "
+                 "instead of rebuilding them",
         )
         sp.add_argument(
             "--fail-fast", action="store_true",

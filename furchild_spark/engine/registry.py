@@ -152,6 +152,7 @@ class Runner:
         cache_refs: bool = False,
         table_format: str = "parquet",
         tx_target_files: int | None = None,
+        defer_to: str | None = None,
     ) -> None:
         """``table_format`` selects the warehouse storage backend:
 
@@ -166,6 +167,15 @@ class Runner:
           when the model declares a single ``partition_by`` column, so
           merge cost is O(touched files), mirroring Delta/Iceberg
           ``MERGE INTO`` semantics).
+
+        ``defer_to`` is dbt's ``--defer``: a PRIOR warehouse (usually
+        production) whose materialized tables satisfy refs to models NOT
+        selected for this run. A dev run of one mart then reads its
+        staging upstreams from prod instead of rebuilding them — at
+        100 TB the difference between a minutes dev loop and re-running
+        the bronze layer. Only refs outside the run's target set defer,
+        and only when the table exists there; anything else builds
+        normally (dbt's fallback).
         """
         if table_format not in ("parquet", "txlog"):
             raise ValueError(f"unknown table_format {table_format!r}")
@@ -181,6 +191,10 @@ class Runner:
         # range repartition into one file (killing file-scoped merges);
         # at scale None is right — AQE sizes files from data volume.
         self.tx_target_files = tx_target_files
+        self.defer_to = defer_to
+        # set by run(): refs OUTSIDE this set may defer; None = no run
+        # in progress, every ref builds (library back-compat)
+        self._build_set: set[str] | None = None
         self.vars = {**DEFAULT_VARS, **(variables or {})}
         self.now = now
         self._cache: dict[str, DataFrame] = {}
@@ -246,6 +260,12 @@ class Runner:
                     # the original object so blame stays attributable.
                     raise self._failed[name]
                 if name not in self._cache:
+                    deferred = self._deferred(name)
+                    if deferred is not None:
+                        self.run_results[name] = {"status": "deferred"}
+                        self._cache[name] = deferred
+                        return deferred
+                if name not in self._cache:
                     import time as _time
 
                     t0 = _time.perf_counter()
@@ -280,6 +300,27 @@ class Runner:
                         df = df.persist()
                     self._cache[name] = df
         return self._cache[name]
+
+    def _deferred(self, name: str) -> DataFrame | None:
+        """The defer-warehouse table for ``name``, or None when this ref
+        must build: no defer configured, no run in progress, the model IS
+        a run target (targets always build locally), or the table simply
+        isn't materialized there (views never are — they inline)."""
+        if (
+            self.defer_to is None
+            or self._build_set is None
+            or name in self._build_set
+        ):
+            return None
+        path = f"{self.defer_to}/{name}"
+        if self.table_format == "txlog":
+            from . import txlog
+
+            tx = txlog.TxTable(self.spark, path)
+            return tx.snapshot() if tx.exists() else None
+        if mat.parquet_exists(self.spark, path):
+            return mat.read_table(self.spark, path)
+        return None
 
     # -- incremental state -------------------------------------------------
     def _path(self, name: str) -> str | None:
@@ -444,6 +485,11 @@ class Runner:
         if on_error not in ("raise", "continue"):
             raise ValueError(f"unknown on_error {on_error!r}")
         targets = list(names) if names is not None else self.registry.names()
+        # defer boundary: targets always build locally; refs outside the
+        # set may resolve from the defer warehouse (see _deferred). Left
+        # in place after the run so post-run ref()s (checks in build())
+        # keep the same resolution rules.
+        self._build_set = set(targets)
 
         def _resolve(name: str):
             try:

@@ -294,3 +294,40 @@ def test_docs_manifest_shape(bronze, spark, tmp_path, capsys):
     )
     assert "transactions" in doc["sources"]
     assert any(f["source"] == "transactions" for f in doc["freshness"])
+
+
+def test_defer_to_prod_warehouse(bronze, spark, tmp_path, capsys):
+    """dbt --defer: a dev run of ONE mart against a built prod warehouse
+    reads its staging upstreams from prod — the dev warehouse ends up
+    holding exactly the selected model, nothing else rebuilt."""
+    import os
+
+    prod = str(tmp_path / "prod_wh")
+    assert main(
+        ["run", "--bronze", bronze, "--warehouse", prod, "--now", FROZEN],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+
+    dev = str(tmp_path / "dev_wh")
+    rc = main(
+        ["run", "--bronze", bronze, "--warehouse", dev, "--models",
+         "fct_orders", "--defer-to", prod, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built fct_orders" in out
+    dev_tables = {
+        d for d in os.listdir(dev) if os.path.isdir(os.path.join(dev, d))
+    }
+    assert dev_tables == {"fct_orders"}, dev_tables
+    # deferred upstreams recorded in run results
+    import json as _json
+
+    rr = _json.load(open(os.path.join(dev, "run_results.json")))["results"]
+    assert rr["stg_orders"]["status"] == "deferred"
+    # and the deferred-input build matches the all-local prod build
+    prod_n = spark.read.parquet(os.path.join(prod, "fct_orders")).count()
+    dev_n = spark.read.parquet(os.path.join(dev, "fct_orders")).count()
+    assert prod_n == dev_n > 0
