@@ -279,6 +279,99 @@ def tfidf_top_terms(
 
 
 # ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batch BM25 retrieval: top-k documents per query (Robertson/Walker
+    Okapi BM25, Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))``
+    so every term contributes a positive score).
+
+    ``queries`` is a small (query_id, term) DataFrame — the query
+    workload. It broadcasts everywhere it appears, so the corpus-side
+    cost is ONE token explode semi-filtered to query terms before the tf
+    groupBy: at 100 TB the shuffle carries only rows whose token is in
+    some query, not the corpus vocabulary. Document length (dl) comes
+    from the same pre-explode token projection (no second tokenize), and
+    the corpus scalars (N, avgdl) join in as a 1-row broadcast aggregate
+    — no ``collect``. df is counted from the already-filtered tf table
+    (docs containing the term), which is exact for query terms.
+
+    Cross-engine parity: tf/df/dl/N are integers; avgdl is one exact
+    bigint sum divided once (IEEE-deterministic); idf is rounded to 6 dp
+    before use; each per-term score is scalar double arithmetic in a
+    fixed operand order, rounded to 6 dp and summed as DECIMAL(18,6)
+    (order-independent), final cast back to double. Ranking carries a
+    doc-id tiebreak so rank assignment is unique."""
+    toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
+    dl = toks.select(F.col(id_col), F.size("__t").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")).alias("avgdl"),
+    )
+    qterms = queries.select(F.col("term").alias("token")).distinct()
+    tok_rows = (
+        toks.select(F.col(id_col), F.explode("__t").alias("token"))
+        .join(F.broadcast(qterms), on="token", how="left_semi")
+    )
+    tf = tok_rows.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    idf = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("double").alias("df"))
+        .crossJoin(F.broadcast(stats.select("n_docs")))
+        .select(
+            "token",
+            F.round(
+                F.log(
+                    F.lit(1.0)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                ),
+                6,
+            ).alias("idf"),
+        )
+    )
+    tfd = F.col("tf").cast("double")
+    dld = F.col("dl").cast("double")
+    term_score = (
+        F.col("idf")
+        * (tfd * F.lit(k1 + 1.0))
+        / (tfd + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * (dld / F.col("avgdl"))))
+    )
+    scored = (
+        tf.join(F.broadcast(queries), tf.token == queries.term)
+        .join(F.broadcast(idf), on="token")
+        .join(dl, on=id_col)
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum(F.round(term_score, 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col(id_col),
+            "score",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

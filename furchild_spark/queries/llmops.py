@@ -1890,3 +1890,76 @@ def ann_ivfpq_topk(spark, sf_dir):
         "query_id", F.col("rank").cast("long").alias("rank"),
         "neighbor_id", "adc_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (batch top-k per query over the corpus)
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    ("q_merge", "spark"), ("q_merge", "merge"), ("q_merge", "join"),
+    ("q_stream", "window"), ("q_stream", "agg"), ("q_stream", "stream"),
+    ("q_scan", "fast"), ("q_scan", "scan"), ("q_scan", "filter"),
+]
+
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_QUERIES)
+
+
+@query(
+    "bm25_topk",
+    section="LLM-retrieval BM25 ranking (engine extra): batch top-k lexical "
+    "search — the retrieval twin of the ANN family (Robertson/Walker Okapi "
+    "BM25, Lucene idf; public-paper algorithm, no reference counterpart)",
+    oracle=f"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tfr AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM tok)
+  WHERE token IN (SELECT term FROM q)
+  GROUP BY doc_id, token
+), idf AS (
+  SELECT token,
+    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+  FROM (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tfr GROUP BY token)
+  CROSS JOIN stats
+), scored AS (
+  SELECT q.query_id, tfr.doc_id,
+    CAST(SUM(CAST(round(
+      idf.idf * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+    6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM q
+  JOIN tfr ON q.term = tfr.token
+  JOIN idf ON idf.token = tfr.token
+  JOIN dl ON dl.doc_id = tfr.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tfr.doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC
+  ) AS rank FROM scored
+) WHERE rank <= 10
+""",
+)
+def bm25_topk(spark, sf_dir):
+    """Batch lexical retrieval over the corpus: 3 fixed queries, top-10
+    docs each. The corpus-side plan is ONE token explode semi-filtered to
+    the (broadcast) query terms before the tf shuffle — at 100 TB the
+    exchange carries only query-term hits, and dl comes from the same
+    token projection; N/avgdl are a 1-row broadcast aggregate. See
+    operators/curate.bm25_topk for the parity argument (integer tf/df/dl,
+    6-dp-rounded idf and per-term scores, decimal sum)."""
+    from furchild_spark.operators import curate
+
+    d = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    return curate.bm25_topk(d, "doc_id", "text", queries, k=10)

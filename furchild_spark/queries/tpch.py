@@ -17,14 +17,20 @@ pushdown, conditional aggregation):
 - Q6  → conjunctive range scan (filter pushdown proof)
 - Q7/Q8/Q9 → multi-way star joins with CASE volume splits
 - Q11 → scalar-subquery threshold → broadcast single-row cross join
+- Q12 → CASE-split conditional double count over a fact-dim join
 - Q13 → left join with ON-clause filter + distribution-of-counts
 - Q14 → conditional-aggregation percentage
 - Q15 → max-revenue via scalar-aggregate join (ties preserved)
+- Q16 → NOT IN exclusion anti join + per-group COUNT DISTINCT
 - Q17 → correlated AVG → broadcast per-key aggregate join
 - Q18 → HAVING-IN → ``left_semi`` join on an aggregated key set
 - Q19 → OR-of-ANDs predicate pushed through a part join
+- Q20 → nested correlated aggregates → two-level rollup + semi join
 - Q21 → EXISTS + NOT EXISTS self-joins → ``left_semi`` + ``left_anti``
 - Q22 → scalar AVG threshold + NOT EXISTS anti join
+
+With Q1/Q3/Q5/Q10 in the relational module, all 22 decision-support
+shapes are covered.
 
 Scale notes (100 TB): every aggregate here is a map-side-combined hash
 agg on the natural key; small sides (part, supplier, nation, the
@@ -864,4 +870,199 @@ def tpch_q22_sales_opportunity(spark, sf_dir):
             F.count(F.lit(1)).alias("numcust"),
             F.sum(_m("c_acctbal")).cast("double").alias("totacctbal"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12 — shipping delay vs priority (conditional aggregation over a join)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q12_late_priority",
+    section="§2.5 conditional aggregation over a fact-dim join (TPC-H Q12 "
+    "shape; no shipmode/commit/receipt dates — the group key is a derived "
+    "late/on-time bucket: shipped more than 60 days after the order date)",
+    oracle="""
+SELECT delay_bucket,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM (
+  SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                             CAST(l_shipdate AS DATE)) > 60
+              THEN 'LATE' ELSE 'ONTIME' END AS delay_bucket,
+         o_orderpriority
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+)
+GROUP BY delay_bucket
+""",
+)
+def tpch_q12_late_priority(spark, sf_dir):
+    """Q12's operator shape is the CASE-split double count: one
+    lineitem⋈orders equi join (shipdate slice pushed to the scan), then
+    conditional sums bucketed by a derived column.  Two counts come out
+    of ONE pass — the naive two-query formulation would scan the fact
+    twice.  The join shuffles on the order key both sides are keyed by;
+    the rollup output is 2 rows."""
+    l = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.when(
+                F.datediff(
+                    F.col("l_shipdate").cast("date"),
+                    F.col("o_orderdate").cast("date"),
+                ) > 60,
+                F.lit("LATE"),
+            ).otherwise(F.lit("ONTIME")).alias("delay_bucket"),
+            "o_orderpriority",
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16 — supplier relationship counts (NOT IN exclusion + COUNT DISTINCT)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q16_supplier_counts",
+    section="§2.4 NOT-IN exclusion anti join + COUNT DISTINCT per group "
+    "(TPC-H Q16 shape; no partsupp — the supply relation is the distinct "
+    "(part, supplier) pairs observed in lineitem; the complaint filter "
+    "becomes a negative account balance)",
+    oracle="""
+WITH supply AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM supply
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#45'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 28, 35, 40, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""",
+)
+def tpch_q16_supplier_counts(spark, sf_dir):
+    """Three classic sub-shapes in one query: the supply relation is a
+    DISTINCT on the fact's (part, supplier) pair (one exchange, bounded
+    by |part|x|supplier|); the NOT IN compiles to a broadcast left_anti
+    join against the (tiny, null-free) excluded-supplier set; the part
+    dim broadcasts with its filters applied before the build.  The final
+    COUNT DISTINCT re-aggregates a set already distinct per (part,
+    supplier), so Spark's two-phase distinct-agg adds no extra exchange
+    beyond the group-key shuffle."""
+    supply = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    excl = (
+        table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    p = table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#45")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 28, 35, 40, 49)
+    )
+    return (
+        supply.join(
+            F.broadcast(excl), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("long").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("long").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20 — suppliers with excess share of a part's flow (nested aggregates)
+# ---------------------------------------------------------------------------
+
+@query(
+    "tpch_q20_excess_share",
+    section="§2.4 nested correlated aggregates → two-level rollup + semi "
+    "join (TPC-H Q20 shape; no partsupp availqty — a supplier qualifies "
+    "when their 1997 shipped quantity of some red part exceeds half that "
+    "part's total 1997 flow)",
+    oracle="""
+WITH demand AS (
+  SELECT l_partkey, l_suppkey,
+         SUM(CAST(l_quantity AS DECIMAL(18,2))) AS supp_qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+), total AS (
+  SELECT l_partkey AS t_partkey, SUM(supp_qty) AS part_qty
+  FROM demand GROUP BY l_partkey
+), qualifying AS (
+  SELECT DISTINCT d.l_suppkey
+  FROM demand d
+  JOIN total ON d.l_partkey = t_partkey
+  JOIN part ON d.l_partkey = p_partkey
+  WHERE p_name LIKE 'red%' AND d.supp_qty * 2 > part_qty
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (SELECT l_suppkey FROM qualifying)
+ORDER BY s_name
+""",
+)
+def tpch_q20_excess_share(spark, sf_dir):
+    """The deepest nesting in the suite: an aggregate at (part, supplier)
+    grain compared against an aggregate of that aggregate at part grain —
+    the correlated ``> 0.5 * SUM(...)`` becomes an equi join between the
+    two rollup levels (both shuffles on keys bounded by the pair domain,
+    the second reusing the first's output), a broadcast filter to red
+    parts, and a left_semi back to the supplier dim.  Quantities sum as
+    DECIMAL(18,2) and the half-share test is the integer-exact
+    ``supp_qty * 2 > part_qty`` — no float division anywhere."""
+    demand = (
+        table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_m("l_quantity")).alias("supp_qty"))
+    )
+    total = demand.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty")
+    )
+    red = (
+        table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    qualifying = (
+        demand.join(total, F.col("l_partkey") == F.col("t_partkey"))
+        .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.col("supp_qty") * 2 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy(F.asc("s_name"))
     )

