@@ -59,6 +59,14 @@ def _make_runner(args, spark):
         now=_parse_now(args.now),
         table_format=args.table_format,
         defer_to=getattr(args, "defer_to", None),
+        backfill_start=(
+            dt.datetime.fromisoformat(args.event_time_start)
+            if getattr(args, "event_time_start", None) else None
+        ),
+        backfill_end=(
+            dt.datetime.fromisoformat(args.event_time_end)
+            if getattr(args, "event_time_end", None) else None
+        ),
     )
 
 
@@ -272,6 +280,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             help="dbt --defer: resolve refs to models OUTSIDE the "
                  "selection from this (e.g. production) warehouse "
                  "instead of rebuilding them",
+        )
+        sp.add_argument(
+            "--event-time-start", dest="event_time_start", metavar="ISO",
+            help="dbt backfill window start for microbatch models "
+                 "(rebuild exactly [start, end) instead of the derived "
+                 "newest-data-minus-lookback window)",
+        )
+        sp.add_argument(
+            "--event-time-end", dest="event_time_end", metavar="ISO",
+            help="dbt backfill window end (exclusive); requires "
+                 "--event-time-start",
         )
         sp.add_argument(
             "--fail-fast", action="store_true",

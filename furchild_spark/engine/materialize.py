@@ -132,6 +132,73 @@ def overwrite(
     return read_table(spark, path)
 
 
+def append_rows(
+    spark: SparkSession, path: str, df: DataFrame, partition_by: tuple[str, ...] = ()
+) -> DataFrame:
+    """dbt ``incremental_strategy='append'``: blind insert, no key
+    matching. O(batch) — nothing existing is read or rewritten, the new
+    files simply land next to the old ones (per partition dir when
+    partitioned). The right strategy for immutable event streams where a
+    key can never arrive twice; duplicates are the CALLER's contract, as
+    in dbt."""
+    recover(spark, path)
+    writer = df.write.mode("append")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    return read_table(spark, path)
+
+
+def insert_overwrite(
+    spark: SparkSession, path: str, df: DataFrame, partition_by: tuple[str, ...]
+) -> DataFrame:
+    """dbt ``incremental_strategy='insert_overwrite'``: replace exactly
+    the partitions present in ``df`` (Spark dynamic partition overwrite);
+    every other partition directory is untouched — never read, never
+    rewritten. The classic Spark-warehouse incremental strategy at 100 TB
+    for partition-grain recomputation (no per-key matching — a partition
+    is rebuilt wholesale, so late data means re-emitting its WHOLE
+    partition, which is exactly dbt's contract for this strategy)."""
+    if not partition_by:
+        raise ValueError("insert_overwrite requires partition_by")
+    recover(spark, path)
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+    return read_table(spark, path)
+
+
+def replace_slice(
+    spark: SparkSession, path: str, df: DataFrame, event_time: str, lo, hi
+) -> DataFrame:
+    """Replace the ``lo <= event_time < hi`` slice of the table with
+    ``df`` — the microbatch materialization primitive. Rows outside the
+    window (including NULL event times) survive; the caller guarantees
+    ``df``'s rows fall inside the window (dbt's microbatch contract).
+
+    Parquet backend: filter + union + crash-safe staged swap — O(table)
+    per batch, always correct. The O(touched-files) path is the txlog
+    backend's ``replace_where`` (footer-stat file skipping on the
+    event-time range); at 100 TB use that or declare a time-derived
+    ``partition_by`` and the insert_overwrite strategy instead."""
+    recover(spark, path)
+    existing = read_table(spark, path)
+    in_window = (F.col(event_time) >= F.lit(lo)) & (F.col(event_time) < F.lit(hi))
+    kept = existing.filter(~F.coalesce(in_window, F.lit(False)))
+    merged = kept.unionByName(df, allowMissingColumns=True)
+
+    fs, jvm = _fs(spark, path)
+    staged = _hpath(jvm, path + "__staged")
+    if fs.exists(staged):
+        fs.delete(staged, True)
+    merged.write.mode("overwrite").parquet(path + "__staged")
+    _swap_in(spark, path)
+    return read_table(spark, path)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

@@ -17,9 +17,16 @@ Materialization modes mirror the reference:
 - ``view``         → lazy DataFrame, inlined by Catalyst
                      (``models/staging/stg_transactions.sql:1``)
 - ``ephemeral``    → same as view (CTE inlining)
-- ``incremental``  → first run full write; later runs upsert-merge on
-                     ``unique_key`` (``fct_orders.sql:1-5``); see
-                     materialize.merge_upsert for the scale notes.
+- ``incremental``  → first run full write; later runs apply the model's
+                     ``incremental_strategy`` (the dbt strategy set):
+                     ``merge`` upserts on ``unique_key``
+                     (``fct_orders.sql:1-5``; materialize.merge_upsert),
+                     ``append`` blind-inserts, ``insert_overwrite``
+                     replaces exactly the batch's partitions (dynamic
+                     partition overwrite / txlog replace_scope), and
+                     ``microbatch`` (dbt 1.9) re-runs the model fn once
+                     per event-time batch, each batch atomically
+                     replacing its own time slice.
 """
 
 from __future__ import annotations
@@ -41,6 +48,42 @@ DEFAULT_VARS = {
 }
 
 
+# -- microbatch calendar arithmetic (naive UTC datetimes, like the rest of
+# the engine clock) ---------------------------------------------------------
+
+def _trunc_to(t: dt.datetime, unit: str) -> dt.datetime:
+    if unit == "hour":
+        return t.replace(minute=0, second=0, microsecond=0)
+    if unit == "day":
+        return t.replace(hour=0, minute=0, second=0, microsecond=0)
+    if unit == "month":
+        return t.replace(day=1, hour=0, minute=0, second=0, microsecond=0)
+    return t.replace(month=1, day=1, hour=0, minute=0, second=0, microsecond=0)
+
+
+def _add_one(t: dt.datetime, unit: str) -> dt.datetime:
+    if unit == "hour":
+        return t + dt.timedelta(hours=1)
+    if unit == "day":
+        return t + dt.timedelta(days=1)
+    if unit == "month":
+        y, m = divmod(t.month, 12)
+        return t.replace(year=t.year + y, month=m + 1)
+    return t.replace(year=t.year + 1)
+
+
+def _sub_one(t: dt.datetime, unit: str) -> dt.datetime:
+    if unit == "hour":
+        return t - dt.timedelta(hours=1)
+    if unit == "day":
+        return t - dt.timedelta(days=1)
+    if unit == "month":
+        if t.month == 1:
+            return t.replace(year=t.year - 1, month=12)
+        return t.replace(month=t.month - 1)
+    return t.replace(year=t.year - 1)
+
+
 @dataclass
 class Model:
     name: str
@@ -53,6 +96,17 @@ class Model:
     snapshot_strategy: str = "timestamp"
     updated_at: str | None = None
     check_cols: tuple[str, ...] | None = None
+    # incremental-materialization strategy (dbt incremental_strategy):
+    #   merge             upsert on unique_key (default; the reference's shape)
+    #   append            blind insert, no key matching
+    #   insert_overwrite  replace exactly the partitions present in the batch
+    #   microbatch        event-time batches, each replacing its own slice
+    incremental_strategy: str = "merge"
+    # microbatch config (dbt 1.9 names): the event-time column, the batch
+    # granularity, and how many PRIOR batches to rebuild for late data
+    event_time: str | None = None
+    batch_size: str = "day"  # hour | day | month | year
+    lookback: int = 1
 
 
 class ModelRegistry:
@@ -69,6 +123,10 @@ class ModelRegistry:
         snapshot_strategy: str = "timestamp",
         updated_at: str | None = None,
         check_cols: tuple[str, ...] | None = None,
+        incremental_strategy: str = "merge",
+        event_time: str | None = None,
+        batch_size: str = "day",
+        lookback: int = 1,
     ):
         def deco(fn):
             def _cols(v):
@@ -77,6 +135,32 @@ class ModelRegistry:
                 return (v,) if isinstance(v, str) else tuple(v)
 
             model_name = name or fn.__name__
+            # fail at REGISTRATION, not mid-run on a 100 TB build: every
+            # strategy's preconditions are static model config
+            if incremental_strategy not in (
+                "merge", "append", "insert_overwrite", "microbatch"
+            ):
+                raise ValueError(
+                    f"model {model_name}: unknown incremental_strategy "
+                    f"{incremental_strategy!r}"
+                )
+            if incremental_strategy == "insert_overwrite" and not _cols(partition_by):
+                raise ValueError(
+                    f"model {model_name}: insert_overwrite requires partition_by"
+                )
+            if incremental_strategy == "microbatch":
+                if not event_time:
+                    raise ValueError(
+                        f"model {model_name}: microbatch requires event_time"
+                    )
+                if batch_size not in ("hour", "day", "month", "year"):
+                    raise ValueError(
+                        f"model {model_name}: unknown batch_size {batch_size!r}"
+                    )
+                if lookback < 0:
+                    raise ValueError(
+                        f"model {model_name}: lookback must be >= 0"
+                    )
             self._models[model_name] = Model(
                 name=model_name,
                 fn=fn,
@@ -87,6 +171,10 @@ class ModelRegistry:
                 snapshot_strategy=snapshot_strategy,
                 updated_at=updated_at,
                 check_cols=_cols(check_cols) if check_cols else None,
+                incremental_strategy=incremental_strategy,
+                event_time=event_time,
+                batch_size=batch_size,
+                lookback=lookback,
             )
             return fn
 
@@ -109,6 +197,10 @@ class ExecutionContext:
     spark: SparkSession
     runner: "Runner"
     model: Model
+    # microbatch window (dbt's model.batch.event_time_start/end): set only
+    # while a microbatch model rebuilds one batch; None on every other run
+    batch_start: dt.datetime | None = None
+    batch_end: dt.datetime | None = None
 
     def ref(self, name: str) -> DataFrame:
         return self.runner.ref(name)
@@ -136,6 +228,23 @@ class ExecutionContext:
         timestamp so lookback predicates and audit columns are deterministic."""
         return self.runner.now
 
+    def filter_batch(self, df: DataFrame, col: str | None = None) -> DataFrame:
+        """Prune an input to the current microbatch window — dbt's
+        automatic event-time filter on batch-aware refs. No-op outside a
+        microbatch rebuild (initial full load, other strategies), so a
+        model can apply it unconditionally; at scale the range predicate
+        pushes to the scan and prunes time partitions before any task
+        runs. ``col`` defaults to the MODEL's event_time column (dbt's
+        convention when source and target share the name)."""
+        if self.batch_start is None:
+            return df
+        from pyspark.sql import functions as F
+
+        c = F.col(col or self.model.event_time)
+        return df.filter(
+            (c >= F.lit(self.batch_start)) & (c < F.lit(self.batch_end))
+        )
+
 
 class Runner:
     """Resolves and materializes models on demand, memoized per run."""
@@ -153,6 +262,8 @@ class Runner:
         table_format: str = "parquet",
         tx_target_files: int | None = None,
         defer_to: str | None = None,
+        backfill_start: dt.datetime | None = None,
+        backfill_end: dt.datetime | None = None,
     ) -> None:
         """``table_format`` selects the warehouse storage backend:
 
@@ -167,6 +278,15 @@ class Runner:
           when the model declares a single ``partition_by`` column, so
           merge cost is O(touched files), mirroring Delta/Iceberg
           ``MERGE INTO`` semantics).
+
+        ``backfill_start`` / ``backfill_end`` are dbt's
+        ``--event-time-start/--event-time-end``: an EXPLICIT rebuild
+        window for microbatch models. Instead of the derived
+        newest-data-minus-lookback window, batches cover exactly
+        [start, end) (start truncated down to a batch boundary) — the
+        surgical historical repair microbatch exists for: re-process
+        three days from last March without touching anything else, at
+        per-batch cost. Ignored by every other strategy.
 
         ``defer_to`` is dbt's ``--defer``: a PRIOR warehouse (usually
         production) whose materialized tables satisfy refs to models NOT
@@ -192,6 +312,12 @@ class Runner:
         # at scale None is right — AQE sizes files from data volume.
         self.tx_target_files = tx_target_files
         self.defer_to = defer_to
+        if (backfill_start is None) != (backfill_end is None):
+            raise ValueError("backfill_start and backfill_end go together")
+        if backfill_start is not None and backfill_start >= backfill_end:
+            raise ValueError("backfill_start must be before backfill_end")
+        self.backfill_start = backfill_start
+        self.backfill_end = backfill_end
         # set by run(): refs OUTSIDE this set may defer; None = no run
         # in progress, every ref builds (library back-compat)
         self._build_set: set[str] | None = None
@@ -205,6 +331,9 @@ class Runner:
         # models build. status: success | error | skipped (an upstream
         # failed, so this model never ran its own build).
         self.run_results: dict[str, dict] = {}
+        # microbatch models: per-batch [window, status, seconds] entries
+        # (dbt's batch-level run results), appended as batches commit
+        self.microbatch_results: dict[str, list[dict]] = {}
         # name -> the exception its OWN build raised. A model whose ref()
         # chain hits a recorded failure re-raises the SAME object, so
         # consumers can tell "my upstream failed" (skip) from "I failed"
@@ -370,6 +499,14 @@ class Runner:
             cycle = " -> ".join(self._building + [model.name])
             raise RuntimeError(f"model dependency cycle: {cycle}")
         self.lineage.setdefault(model.name, {"refs": [], "sources": []})
+        if (
+            model.materialized == "incremental"
+            and model.incremental_strategy == "microbatch"
+            and ctx.is_incremental()
+        ):
+            # the model fn runs once PER BATCH, so the whole fn-call +
+            # materialize cycle diverges from the single-shot path below
+            return self._build_microbatch(model)
         self._building.append(model.name)
         try:
             df = model.fn(ctx)
@@ -420,6 +557,30 @@ class Runner:
                 now=self.now,
             )
         if model.materialized == "incremental" and ctx.is_incremental():
+            if model.incremental_strategy == "append":
+                if self.table_format == "txlog":
+                    tx = self._tx(model.name)
+                    tx.append(df)
+                    self._exists[model.name] = True
+                    return tx.snapshot()
+                return mat.append_rows(
+                    self.spark, path, df, partition_by=model.partition_by
+                )
+            if model.incremental_strategy == "insert_overwrite":
+                if self.table_format == "txlog":
+                    if len(model.partition_by) != 1:
+                        raise ValueError(
+                            f"model {model.name}: txlog insert_overwrite "
+                            "needs exactly one partition_by column (the "
+                            "file-scope key)"
+                        )
+                    tx = self._tx(model.name)
+                    tx.replace_scope(df, model.partition_by[0])
+                    self._exists[model.name] = True
+                    return tx.snapshot()
+                return mat.insert_overwrite(
+                    self.spark, path, df, model.partition_by
+                )
             assert model.unique_key, f"incremental model {model.name} needs unique_key"
             if self.table_format == "txlog":
                 tx = self._tx(model.name)
@@ -447,6 +608,84 @@ class Runner:
         out = mat.overwrite(self.spark, path, df, partition_by=model.partition_by)
         self._exists[model.name] = True
         return out
+
+    def _build_microbatch(self, model: Model) -> DataFrame:
+        """Incremental run of a ``microbatch`` model (dbt 1.9): the
+        rebuild window is derived from the DATA — the newest event time
+        already materialized, truncated to a batch boundary, minus
+        ``lookback`` batches (late-arrival re-processing) — and extends
+        to the runner clock. The model fn runs once per batch with the
+        window exposed (``ctx.batch_start/batch_end``,
+        ``ctx.filter_batch``), and each batch's output atomically
+        replaces exactly its own event-time slice: txlog via file-scoped
+        ``replace_where`` (footer-stat skipping on the event-time range —
+        O(touched files)), parquet via the staged-swap slice replace.
+        History older than the window is never recomputed NOR rescanned.
+
+        Batches apply independently, in order; a failing batch stops the
+        run with earlier batches already committed (dbt's semantics —
+        a retry resumes from the derived window, which still covers the
+        failed batch). Per-batch status lands in
+        ``microbatch_results[model]``."""
+        import time as _time
+
+        from pyspark.sql import functions as F
+
+        et, unit = model.event_time, model.batch_size
+        path = self._path(model.name)
+        if self.backfill_start is not None:
+            # explicit backfill window (dbt --event-time-start/end):
+            # exactly [start, end), start snapped DOWN to a batch
+            # boundary so slices align with the table's batch grid
+            start = _trunc_to(self.backfill_start, unit)
+            end = self.backfill_end
+        else:
+            existing = self.existing(model.name)
+            hi = existing.agg(F.max(et).alias("hi")).first()["hi"]
+            end = self.now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+            anchor = _trunc_to(hi, unit) if hi is not None else _trunc_to(end, unit)
+            start = anchor
+            for _ in range(model.lookback):
+                start = _sub_one(start, unit)
+        batches: list[tuple[dt.datetime, dt.datetime]] = []
+        b = start
+        while b < end:
+            batches.append((b, min(_add_one(b, unit), end)))
+            b = _add_one(b, unit)
+        results = self.microbatch_results.setdefault(model.name, [])
+        tx = self._tx(model.name) if self.table_format == "txlog" else None
+        for b0, b1 in batches:
+            t0 = _time.perf_counter()
+            bctx = ExecutionContext(
+                spark=self.spark, runner=self, model=model,
+                batch_start=b0, batch_end=b1,
+            )
+            self._building.append(model.name)
+            try:
+                out = model.fn(bctx)
+                if tx is not None:
+                    tx.replace_where(out, [(et, ">=", b0), (et, "<", b1)])
+                else:
+                    mat.replace_slice(self.spark, path, out, et, b0, b1)
+            except BaseException as e:
+                results.append({
+                    "batch": [b0.isoformat(), b1.isoformat()],
+                    "status": "error",
+                    "error": f"{type(e).__name__}: {e}",
+                    "seconds": round(_time.perf_counter() - t0, 3),
+                })
+                raise
+            finally:
+                self._building.pop()
+            results.append({
+                "batch": [b0.isoformat(), b1.isoformat()],
+                "status": "success",
+                "seconds": round(_time.perf_counter() - t0, 3),
+            })
+        self._exists[model.name] = True
+        if tx is not None:
+            return tx.snapshot()
+        return mat.read_table(self.spark, path)
 
     def run(
         self,

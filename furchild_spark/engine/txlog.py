@@ -756,6 +756,107 @@ class TxTable:
         carried_rows = sum(e["rows"] for e in carried)
         return carried + new_files, carried_rows + new_rows
 
+    def _replace(
+        self, df: DataFrame, match_entry, keep_pred, max_retries: int
+    ) -> int:
+        """Shared core of :meth:`replace_scope` / :meth:`replace_where`:
+        ONE atomic commit in which files that may hold replaced rows are
+        rewritten with ``keep_pred`` applied, files proven untouched carry
+        forward by reference, and ``df``'s (already-written) files are
+        added. The delete and the insert land in the same manifest — a
+        concurrent reader never sees the slice half-gone."""
+        files_new, rows_new = self._write_data(df)
+        for attempt in range(max_retries + 1):
+            base = self.current_version()
+            if base == 0:
+                manifest = self._manifest_for(df, "replace", files_new, rows_new)
+            else:
+                m = self._read_manifest(base)
+                self._check_append_schema(df, m, False)
+                schema = StructType.fromJson(m["schema"])
+                touched, carried = [], []
+                for e in m["files"]:
+                    (touched if match_entry(e) else carried).append(e)
+                files = list(carried)
+                rows = sum(e["rows"] for e in carried)
+                if touched:
+                    kept = (
+                        self.spark.read.schema(schema)
+                        .parquet(*[self._abs(e["path"]) for e in touched])
+                        .filter(keep_pred)
+                    )
+                    kept_files, kept_rows = self._write_data(kept)
+                    files += kept_files
+                    rows += kept_rows
+                files += files_new
+                rows += rows_new
+                manifest = self._manifest_for(
+                    df, "replace", files, rows, schema=schema
+                )
+            try:
+                return self._commit(manifest, base)
+            except ConcurrentWriteError:
+                if attempt == max_retries:
+                    raise
+
+    def replace_scope(self, df: DataFrame, scope_col: str, max_retries: int = 3) -> int:
+        """Dynamic-partition overwrite (dbt ``insert_overwrite``) as ONE
+        atomic commit: every row whose ``scope_col`` value appears in
+        ``df`` is replaced by ``df``'s rows; all other rows survive.
+
+        FILE-SCOPED like merge: files whose footer range/bloom for
+        ``scope_col`` PROVES no replaced value is present carry forward
+        by reference — with data clustered on ``scope_col`` (the table's
+        ``cluster_by``), cost is O(touched scope), not O(table). The
+        distinct scope values are collected to the driver — bounded, as
+        in every partition-scoped overwrite (a batch touches few scopes
+        by construction)."""
+        values = [r[0] for r in df.select(scope_col).distinct().collect()]
+        if not values:
+            # empty increment: replacing nothing with nothing — no new
+            # (identical) version, mirrors delete()'s no-op
+            base = self.current_version()
+            if base:
+                return base
+        non_null = [v for v in values if v is not None]
+        has_null = any(v is None for v in values)
+
+        def match(e):
+            # a NULL scope value can live in any file (footer ranges only
+            # describe non-null values) — conservative full touch
+            return has_null or any(
+                self._file_may_match(e, [(scope_col, "==", v)]) for v in non_null
+            )
+
+        drop = F.col(scope_col).isin(non_null) if non_null else F.lit(False)
+        if has_null:
+            drop = drop | F.col(scope_col).isNull()
+        keep = ~F.coalesce(drop, F.lit(False))
+        return self._replace(df, match, keep, max_retries)
+
+    def replace_where(self, df: DataFrame, where, max_retries: int = 3) -> int:
+        """Slice replacement: rows satisfying ALL ``where`` predicates
+        (``(col, op, value)`` triples, the :meth:`snapshot` grammar) are
+        deleted and ``df`` inserted, one atomic commit — the microbatch
+        materialization primitive (replace ``[batch_start, batch_end)``
+        with the recomputed batch). CONTRACT (same as dbt microbatch):
+        ``df``'s rows fall inside the predicate slice; rows outside it
+        (including NULL event times) always survive. File-scoped via
+        footer stats on the predicate columns."""
+        if not where:
+            raise ValueError(
+                "replace_where() requires at least one (col, op, value) "
+                "predicate; for full replacement use overwrite()"
+            )
+        pred = None
+        for col, op, val in where:
+            c = _predicate_expr(col, op, val)
+            pred = c if pred is None else (pred & c)
+        keep = ~F.coalesce(pred, F.lit(False))
+        return self._replace(
+            df, lambda e: self._file_may_match(e, where), keep, max_retries
+        )
+
     def delete(self, where, max_retries: int = 3) -> int:
         """``DELETE FROM ... WHERE`` — rows satisfying ALL ``where``
         predicates (``(col, op, value)`` triples, the :meth:`snapshot`

@@ -307,3 +307,121 @@ def bucketed_join_e2e(spark, sf_dir):
             F.sum("line_rev").cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "insert_overwrite_e2e",
+    section="S6 incremental_strategy=insert_overwrite (dbt partition "
+    "replacement — the partition-grain recompute path at 100 TB)",
+    oracle="""
+WITH init AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+    strftime(o_orderdate, '%Y-%m') AS o_month
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    AND o_orderdate < TIMESTAMP '1997-01-01'
+),
+b AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+    o_totalprice * 1.1 AS o_totalprice, o_orderdate,
+    strftime(o_orderdate, '%Y-%m') AS o_month
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+    AND o_orderdate < TIMESTAMP '1997-04-01'
+    AND o_orderkey % 10 <> 0
+)
+SELECT * FROM b
+UNION ALL
+SELECT * FROM init
+WHERE o_month NOT IN (SELECT DISTINCT o_month FROM b)
+""",
+)
+def insert_overwrite_e2e(spark, sf_dir):
+    """insert_overwrite end-to-end on disk: the batch spans 4 month
+    partitions and EXCLUDES keys ending in 0 — after the replace, those
+    keys are GONE from the touched months (a merge would have kept them:
+    this is the observable difference between the strategies) while
+    months outside the batch are untouched, never read, never rewritten.
+    Applied twice to prove idempotency (dynamic overwrite of the same
+    partitions with the same content)."""
+    from furchild_spark.engine import materialize as mat
+
+    base = tempfile.mkdtemp(prefix="furchild_iow_e2e_")
+    path = f"{base}/orders_iow"
+
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("o_month")
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS, month)
+    initial = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    batch = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-12-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+            & (F.col("o_orderkey") % 10 != 0)
+        )
+        .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
+    )
+    mat.overwrite(spark, path, initial, partition_by=("o_month",))
+    mat.insert_overwrite(spark, path, batch, partition_by=("o_month",))
+    mat.insert_overwrite(spark, path, batch, partition_by=("o_month",))
+    out = mat.read_table(spark, path)
+    return out.select(*_ORDER_COLS, F.col("o_month").cast("string").alias("o_month"))
+
+
+@query(
+    "microbatch_e2e",
+    section="S6 incremental_strategy=microbatch (dbt 1.9 event-time "
+    "batching: per-batch model runs, each replacing its own time slice)",
+    oracle="""
+WITH hi AS (SELECT date_trunc('day', MAX(ts)) AS d FROM events)
+SELECT event_id, user_id, ts,
+  CASE WHEN ts >= (SELECT d - INTERVAL 1 DAY FROM hi)
+       THEN value + 100.0 ELSE value END AS value
+FROM events
+""",
+)
+def microbatch_e2e(spark, sf_dir):
+    """Microbatch end-to-end through a real Runner: initial full load,
+    then the SOURCE mutates (+100 on every value) and an incremental run
+    rebuilds ONLY the derived window — trunc(max event time) minus one
+    lookback day, through the frozen clock. Rows older than the window
+    keep their ORIGINAL values (their batches never re-ran — the oracle's
+    CASE reconstructs exactly that seam), rows inside get the mutation.
+    Each batch's output replaced its slice atomically via the staged
+    swap; the result is the table read back from disk."""
+    import datetime as dt
+
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+
+    base = tempfile.mkdtemp(prefix="furchild_mb_e2e_")
+    events = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    state = {"bump": False}
+
+    reg = ModelRegistry()
+
+    @reg.model(
+        name="ev_mb", materialized="incremental",
+        incremental_strategy="microbatch", event_time="ts",
+        batch_size="day", lookback=1,
+    )
+    def ev_mb(ctx):
+        e = ctx.source("events")
+        if state["bump"]:
+            e = e.withColumn("value", F.col("value") + F.lit(100.0))
+        return ctx.filter_batch(e)
+
+    r1 = Runner(spark, reg, sources={"events": events}, warehouse_dir=base,
+                incremental=False)
+    r1.ref("ev_mb")
+    # frozen clock = the day after the newest event: the window is
+    # exactly [max_day - 1, max_day + 1) → two day-batches
+    hi = events.agg(F.max("ts").alias("hi")).first()["hi"]
+    now = hi.replace(hour=0, minute=0, second=0, microsecond=0) + dt.timedelta(days=1)
+    state["bump"] = True
+    r2 = Runner(spark, reg, sources={"events": events}, warehouse_dir=base,
+                incremental=True, now=now)
+    return r2.ref("ev_mb").select("event_id", "user_id", "ts", "value")
