@@ -84,6 +84,11 @@ def _sub_one(t: dt.datetime, unit: str) -> dt.datetime:
     return t.replace(year=t.year - 1)
 
 
+class ContractViolationError(ValueError):
+    """The built model's schema or declared constraints diverge from its
+    contract; nothing was materialized."""
+
+
 @dataclass
 class Model:
     name: str
@@ -107,6 +112,13 @@ class Model:
     event_time: str | None = None
     batch_size: str = "day"  # hour | day | month | year
     lookback: int = 1
+    # dbt model contract (contract: enforced: true): {"columns": {name:
+    # spark-type-string, ...}, "not_null": [col, ...]}. Names+types are
+    # validated STATICALLY against the built plan's schema (free — no
+    # action) before anything materializes; not_null constraints run one
+    # pre-write violation count (opt-in cost, the honest Spark analog of
+    # a platform-enforced NOT NULL rejecting the write).
+    contract: dict | None = None
 
 
 class ModelRegistry:
@@ -127,6 +139,7 @@ class ModelRegistry:
         event_time: str | None = None,
         batch_size: str = "day",
         lookback: int = 1,
+        contract: dict | None = None,
     ):
         def deco(fn):
             def _cols(v):
@@ -161,6 +174,21 @@ class ModelRegistry:
                     raise ValueError(
                         f"model {model_name}: lookback must be >= 0"
                     )
+            if contract is not None:
+                if not isinstance(contract.get("columns"), dict) or not contract["columns"]:
+                    raise ValueError(
+                        f"model {model_name}: contract needs a non-empty "
+                        "'columns' name->type mapping"
+                    )
+                undeclared_nn = [
+                    c for c in contract.get("not_null", ())
+                    if c not in contract["columns"]
+                ]
+                if undeclared_nn:
+                    raise ValueError(
+                        f"model {model_name}: not_null columns "
+                        f"{undeclared_nn} are not in the contract's columns"
+                    )
             self._models[model_name] = Model(
                 name=model_name,
                 fn=fn,
@@ -175,6 +203,7 @@ class ModelRegistry:
                 event_time=event_time,
                 batch_size=batch_size,
                 lookback=lookback,
+                contract=contract,
             )
             return fn
 
@@ -492,6 +521,49 @@ class Runner:
             return self._tx(name).snapshot()
         return mat.read_table(self.spark, self._path(name))
 
+    def _enforce_contract(self, model: Model, df: DataFrame) -> None:
+        """dbt model contract (contract: enforced: true): the built
+        schema must match the declared columns EXACTLY — same names,
+        same types, nothing undeclared (dbt's rule: a contracted model
+        is a stable interface, additive drift is a build failure, not a
+        surprise for consumers). Name/type validation is static (plan
+        schema only — no job); declared ``not_null`` constraints run one
+        violation count before anything materializes."""
+        c = model.contract
+        if c is None:
+            return
+        declared = {
+            k: str(v).replace(" ", "").lower() for k, v in c["columns"].items()
+        }
+        actual = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        missing = sorted(set(declared) - set(actual))
+        extra = sorted(set(actual) - set(declared))
+        retyped = sorted(
+            f"{n} is {actual[n]}, declared {declared[n]}"
+            for n in declared.keys() & actual.keys()
+            if actual[n] != declared[n]
+        )
+        if missing or extra or retyped:
+            raise ContractViolationError(
+                f"model {model.name}: contract violated — "
+                f"missing columns {missing}, undeclared columns {extra}, "
+                f"type mismatches {retyped}"
+            )
+        nn = list(c.get("not_null", ()))
+        if nn:
+            from pyspark.sql import functions as F
+
+            cond = None
+            for col in nn:
+                cnd = F.col(col).isNull()
+                cond = cnd if cond is None else (cond | cnd)
+            viol = df.filter(cond).count()
+            if viol:
+                raise ContractViolationError(
+                    f"model {model.name}: {viol} rows violate "
+                    f"not_null({nn}); nothing was materialized"
+                )
+
     # -- build + materialize ------------------------------------------------
     def _build(self, model: Model) -> DataFrame:
         ctx = ExecutionContext(spark=self.spark, runner=self, model=model)
@@ -512,6 +584,7 @@ class Runner:
             df = model.fn(ctx)
         finally:
             self._building.pop()
+        self._enforce_contract(model, df)
         path = self._path(model.name)
         if path is None or model.materialized in ("view", "ephemeral"):
             return df
@@ -663,6 +736,7 @@ class Runner:
             self._building.append(model.name)
             try:
                 out = model.fn(bctx)
+                self._enforce_contract(model, out)
                 if tx is not None:
                     tx.replace_where(out, [(et, ">=", b0), (et, "<", b1)])
                 else:
