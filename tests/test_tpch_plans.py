@@ -15,9 +15,10 @@ TPCH = sorted(n for n in QUERIES if n.startswith("tpch_"))
 
 
 def test_tpch_catalog_complete():
-    # 15 adapted shapes; a rename that drops one from the catalog should
-    # fail here, not silently shrink coverage
-    assert len(TPCH) == 15
+    # 18 adapted shapes (all 22 TPC-H query shapes are covered; some
+    # entries fold multiple shapes); a rename that drops one from the
+    # catalog should fail here, not silently shrink coverage
+    assert len(TPCH) == 18, sorted(TPCH)
 
 
 @pytest.mark.parametrize("name", TPCH)
