@@ -590,7 +590,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                   + ("" if r.passed else f" ({r.failures} rows)"))
             if not r.passed and r.severity == "error":
                 failed += 1
-        print(f"{len(results)} checks, {failed} error-severity failures")
+        # dbt 1.8: `dbt test` runs UNIT tests (mocked-input logic tests)
+        # alongside the data checks; unit tests belong to their model, so
+        # --models selection applies the same way
+        from furchild_spark.engine.unit import run_unit_tests
+        from furchild_spark.models import registry as _registry
+        from furchild_spark.models.unit_tests import UNIT_TESTS
+
+        utests = (
+            UNIT_TESTS
+            if selected is None
+            else [t for t in UNIT_TESTS if t.model in set(selected)]
+        )
+        uresults = run_unit_tests(
+            spark, _registry, utests,
+            variables=json.loads(args.vars) if args.vars else None,
+        )
+        for ur in uresults:
+            status = "PASS" if ur.passed else "ERROR"
+            detail = ""
+            if not ur.passed:
+                detail = (f" ({ur.error})" if ur.error else
+                          f" ({len(ur.unexpected)} unexpected / "
+                          f"{len(ur.missing)} missing rows)")
+                failed += 1
+            print(f"{ur.name:56s} {status}{detail}")
+        print(f"{len(results)} checks + {len(uresults)} unit tests, "
+              f"{failed} error-severity failures")
         return 1 if failed else 0
 
     if args.cmd == "build":

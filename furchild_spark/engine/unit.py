@@ -32,9 +32,10 @@ from .registry import ModelRegistry, Runner
 class UnitTest:
     name: str
     model: str
-    # ref/source name -> mock rows (list of dicts) or a ready DataFrame.
-    # Dict rows are schema-inferred; pass a DataFrame when a column is
-    # all-NULL or needs an exact type (timestamp/decimal).
+    # ref/source name -> mock rows (list of dicts), a (rows, schema_ddl)
+    # tuple, or a ready DataFrame. Bare dict rows are schema-inferred;
+    # use the tuple/DataFrame form when a column is all-NULL or needs an
+    # exact type (timestamp/decimal).
     given: dict
     # expected output rows (list of dicts over a subset of output columns)
     expect: list[dict]
@@ -57,10 +58,17 @@ class UnitTestResult:
 def _as_df(spark: SparkSession, rows, name: str) -> DataFrame:
     if isinstance(rows, DataFrame):
         return rows
+    # (rows, "col type, ...") — explicit DDL schema. Required whenever a
+    # column is NULL in every fixture row (inference raises
+    # CANNOT_DETERMINE_TYPE) or needs an exact type (timestamp/decimal).
+    if isinstance(rows, tuple) and len(rows) == 2 and isinstance(rows[1], str):
+        data, schema = rows
+        return spark.createDataFrame(data, schema=schema)
     if not rows:
         raise ValueError(
             f"mock input {name!r}: empty dict-row fixtures can't infer a "
-            "schema — pass a DataFrame built with an explicit schema"
+            "schema — pass (rows, schema_ddl) or a DataFrame built with "
+            "an explicit schema"
         )
     return spark.createDataFrame(rows)
 

@@ -18,6 +18,13 @@ from decimal import Decimal
 
 from furchild_spark.engine.unit import UnitTest
 
+_TXI_SCHEMA = (
+    "ID int, TRANSACTION_ID string, PRODUCT_ID int, PRODUCT_NAME string, "
+    "STOCK_ID int, STOCK_NAME string, UNIT string, QUANTITY int, "
+    "PRICE double, HAS_VAT int, DISCOUNT_PERCENTAGE int, "
+    "BULK_DISCOUNT_PERCENTAGE int, FRIENDBUY_DISCOUNT_PERCENTAGE int"
+)
+
 UNIT_TESTS: list[UnitTest] = [
     UnitTest(
         name="stg_transactions_normalizes_ids_and_bridges_users",
@@ -56,7 +63,10 @@ UNIT_TESTS: list[UnitTest] = [
         "decimal(38,6); discount percentages sum, scale-shift by 0.01, "
         "and clamp to [0,1]; NULL discounts coalesce to 0.",
         given={
-            "transaction_items": [
+            # explicit DDL schema: FRIENDBUY_DISCOUNT_PERCENTAGE (and in
+            # some rows BULK_) is NULL in every row, so inference would
+            # raise CANNOT_DETERMINE_TYPE (engine/unit.py docstring trap)
+            "transaction_items": ([
                 # VAT + 10% discount: 10.5/1.05 = 10, realized 9
                 {"ID": 1, "TRANSACTION_ID": " t1 ", "PRODUCT_ID": 5,
                  "PRODUCT_NAME": "kibble", "STOCK_ID": 2, "STOCK_NAME": "s",
@@ -75,7 +85,7 @@ UNIT_TESTS: list[UnitTest] = [
                  "UNIT": "ea", "QUANTITY": 3, "PRICE": 4.0, "HAS_VAT": 0,
                  "DISCOUNT_PERCENTAGE": 30, "BULK_DISCOUNT_PERCENTAGE": 25,
                  "FRIENDBUY_DISCOUNT_PERCENTAGE": None},
-            ],
+            ], _TXI_SCHEMA),
         },
         expect=[
             {"transaction_item_id": "1", "transaction_id": "t1",
@@ -99,13 +109,13 @@ UNIT_TESTS: list[UnitTest] = [
         "override changes the ex-VAT division accordingly.",
         vars={"vat_rate": 0.25},
         given={
-            "transaction_items": [
+            "transaction_items": ([
                 {"ID": 1, "TRANSACTION_ID": "t1", "PRODUCT_ID": 5,
                  "PRODUCT_NAME": "kibble", "STOCK_ID": 2, "STOCK_NAME": "s",
                  "UNIT": "kg", "QUANTITY": 1, "PRICE": 10.0, "HAS_VAT": 1,
                  "DISCOUNT_PERCENTAGE": None, "BULK_DISCOUNT_PERCENTAGE": None,
                  "FRIENDBUY_DISCOUNT_PERCENTAGE": None},
-            ],
+            ], _TXI_SCHEMA),
         },
         expect=[
             {"transaction_item_id": "1",
