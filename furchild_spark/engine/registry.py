@@ -488,13 +488,20 @@ class Runner:
 
     def _tx(self, name: str):
         """The model's TxTable handle (txlog backend only). New data files
-        cluster+carry footer stats on the model's partition_by columns, so
-        scoped merges can skip untouched files."""
+        cluster+carry footer stats on the model's partition_by columns —
+        plus the event_time column for microbatch models, so each batch's
+        ``replace_where`` slice prunes to the touched files instead of
+        rewriting the whole table (r6 ADVICE)."""
         from . import txlog
 
         model = self.registry[name] if name in self.registry else None
         cluster = tuple(model.partition_by) if model else ()
-        tx = txlog.TxTable(self.spark, self._path(name), cluster_by=cluster)
+        stats = cluster
+        if model is not None and getattr(model, "event_time", None):
+            stats = tuple(dict.fromkeys(cluster + (model.event_time,)))
+        tx = txlog.TxTable(
+            self.spark, self._path(name), cluster_by=cluster, stats_cols=stats
+        )
         tx.target_files = self.tx_target_files
         return tx
 

@@ -50,6 +50,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # TIMESTAMP_MICROS, not the legacy INT96 default: INT96 columns
+        # carry NO parquet min/max statistics, which silently disables
+        # footer-stat file skipping on event-time slices (txlog
+        # replace_where / microbatch) AND row-group pruning in every
+        # engine reading our output. Micros is also what DuckDB/Arrow
+        # read natively.
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         # FAIR scheduling so thread-parallel Runner builds (run --threads N)
         # share executor slots fairly: each runner thread submits jobs into
         # its own pool (spark.scheduler.pool local property), and pools are

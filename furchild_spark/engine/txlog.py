@@ -45,6 +45,7 @@ pattern), and small-file compaction as a pure physical commit
 
 from __future__ import annotations
 
+import datetime as dt
 import hashlib
 import json
 import os
@@ -54,6 +55,35 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
+
+_EPOCH = dt.datetime(1970, 1, 1)
+
+
+def _ts_micros(ts: dt.datetime) -> int:
+    """Timestamp → epoch microseconds, the JSON-stable comparable form
+    footer stats and predicate values share. Naive datetimes are taken
+    as-is (the session runs with naive timestamps end-to-end: parquet
+    footer stats and Runner clocks agree on the same wall time); aware
+    ones normalize to UTC first."""
+    if ts.tzinfo is not None:
+        ts = ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    return (ts - _EPOCH) // dt.timedelta(microseconds=1)
+
+
+def _stat_comparable(val, lo):
+    """Re-encode a PREDICATE value into the form the stored footer range
+    uses, so timestamp/date slices can prune files. Returns ``val``
+    unchanged when no re-encoding applies (the caller's type-compat
+    guard then keeps the file — conservative)."""
+    if isinstance(val, dt.datetime) and isinstance(lo, (int, float)):
+        return _ts_micros(val)
+    if (
+        isinstance(val, dt.date)
+        and not isinstance(val, dt.datetime)
+        and isinstance(lo, str)
+    ):
+        return val.isoformat()
+    return val
 
 
 def _predicate_expr(col: str, op: str, val):
@@ -421,6 +451,16 @@ class TxTable:
                 lo, hi = st.min, st.max
                 if isinstance(lo, bytes):
                     lo, hi = lo.decode("utf-8", "replace"), hi.decode("utf-8", "replace")
+                # timestamp/date stats come back as datetime objects —
+                # encode them in JSON-stable COMPARABLE forms (epoch
+                # micros / ISO day string) instead of discarding them,
+                # so event-time slice predicates (microbatch
+                # replace_where) actually skip files (r6 ADVICE: every
+                # file "may match" made microbatch O(table × batches))
+                if isinstance(lo, dt.datetime):
+                    lo, hi = _ts_micros(lo), _ts_micros(hi)
+                elif isinstance(lo, dt.date):
+                    lo, hi = lo.isoformat(), hi.isoformat()
                 if not isinstance(lo, (int, float, str)):
                     agg[name] = None
                     continue
@@ -512,6 +552,7 @@ class TxTable:
             if rng is None:
                 continue  # no stats -> cannot prune on this column
             lo, hi = rng
+            val = _stat_comparable(val, lo)
             if type(lo) is not type(val) and not (
                 isinstance(lo, (int, float)) and isinstance(val, (int, float))
             ):
@@ -596,6 +637,14 @@ class TxTable:
         table schema (append_new_columns) and HISTORY is untouched: old
         files lack the column and read as null under the explicit-schema
         snapshot. Dropping columns is never implicit."""
+        # plan-level pre-flight BEFORE data files land: a mismatched batch
+        # raises here with zero bytes written, instead of leaving orphan
+        # files under data/<commit_id> (r6 ADVICE). The in-loop re-check
+        # below stays — a lost race may have evolved the head schema.
+        base0 = self.current_version()
+        self._check_append_schema(
+            df, self._read_manifest(base0) if base0 else None, allow_evolution
+        )
         files, rows = self._write_data(df)
         for attempt in range(max_retries + 1):
             # concurrent appenders are the NORMAL case for parallel ingest:
@@ -765,6 +814,12 @@ class TxTable:
         forward by reference, and ``df``'s (already-written) files are
         added. The delete and the insert land in the same manifest — a
         concurrent reader never sees the slice half-gone."""
+        # validate the batch schema BEFORE writing its data files, so a
+        # mismatch can't strand orphans under data/<commit_id> (r6
+        # ADVICE; mirrors append()'s pre-flight)
+        base0 = self.current_version()
+        if base0:
+            self._check_append_schema(df, self._read_manifest(base0), False)
         files_new, rows_new = self._write_data(df)
         for attempt in range(max_retries + 1):
             base = self.current_version()

@@ -311,6 +311,10 @@ def bm25_topk(
     fixed operand order, rounded to 6 dp and summed as DECIMAL(18,6)
     (order-independent), final cast back to double. Ranking carries a
     doc-id tiebreak so rank assignment is unique."""
+    # BM25 is defined over the query's term SET: a term repeated in one
+    # query must score once, not once per occurrence (r6 ADVICE — the
+    # corpus semi-filter already deduped, but the scoring join did not)
+    queries = queries.dropDuplicates(["query_id", "term"])
     toks = docs.select(F.col(id_col), tokens(text_col).alias("__t"))
     dl = toks.select(F.col(id_col), F.size("__t").cast("long").alias("dl"))
     stats = dl.agg(

@@ -1935,7 +1935,7 @@ stats AS (
       / (CAST(tf AS DOUBLE)
          + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
     6) AS DECIMAL(18,6))) AS DOUBLE) AS score
-  FROM q
+  FROM (SELECT DISTINCT query_id, term FROM q) q
   JOIN tfr ON q.term = tfr.token
   JOIN idf ON idf.token = tfr.token
   JOIN dl ON dl.doc_id = tfr.doc_id

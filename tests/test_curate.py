@@ -406,3 +406,24 @@ def test_redact_pii_counts_match_replacements(spark):
     assert out[1].redacted_text.count("<URL>") == 1
     assert "<EMAIL>" not in out[1].redacted_text
     assert out[2].n_emails == 2
+
+
+def test_bm25_duplicate_query_terms_score_once(spark):
+    """BM25 scores a query's term SET (r6 ADVICE): repeating a term in
+    the query workload must not double that term's contribution."""
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple"), (2, "banana cherry"), (3, "cherry date")],
+        "doc_id int, text string",
+    )
+    q1 = spark.createDataFrame(
+        [("q", "apple"), ("q", "banana")], "query_id string, term string"
+    )
+    q2 = spark.createDataFrame(
+        [("q", "apple"), ("q", "apple"), ("q", "banana")],
+        "query_id string, term string",
+    )
+    r1 = sorted(tuple(r) for r in
+                curate.bm25_topk(docs, "doc_id", "text", q1, k=5).collect())
+    r2 = sorted(tuple(r) for r in
+                curate.bm25_topk(docs, "doc_id", "text", q2, k=5).collect())
+    assert r1 == r2

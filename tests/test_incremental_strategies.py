@@ -24,6 +24,9 @@ from pyspark.sql import functions as F
 from furchild_spark.engine.registry import ModelRegistry, Runner
 from furchild_spark.engine.txlog import TxTable
 
+_EPOCH = dt.datetime(1970, 1, 1)
+_US = dt.timedelta(microseconds=1)
+
 
 def _mk_registry_append():
     reg = ModelRegistry()
@@ -228,6 +231,57 @@ def test_microbatch_rebuilds_only_window_batches(spark, tmp_path_factory, fmt):
     assert batches[0]["batch"][0].startswith(D2)
     assert batches[1]["batch"][0].startswith(D3)
     assert json.dumps(batches)  # serializable, run_results-style
+
+
+def test_microbatch_txlog_skips_old_history_files(spark, tmp_path_factory):
+    """The 100 TB property the docstring claims (r6 ADVICE made it real):
+    a microbatch model's TxTable carries footer stats on its event_time
+    column, so each batch's replace_where PRUNES files wholly outside the
+    event-time slice — old-history files carry forward by reference
+    across the incremental run, never rewritten."""
+    reg = ModelRegistry()
+
+    @reg.model(
+        name="ev_daily", materialized="incremental",
+        incremental_strategy="microbatch", event_time="ts",
+        batch_size="day", lookback=1, partition_by=("day",),
+    )
+    def ev_daily(ctx):
+        return ctx.filter_batch(ctx.source("events"))
+
+    wh = str(tmp_path_factory.mktemp("wh_mb_files"))
+    initial = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 10),
+                              (2, D2, _ts(f"{D2}T01:00"), 20),
+                              (3, D3, _ts(f"{D3}T01:00"), 30)])
+    src = {"events": initial}
+    r1 = Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+                incremental=False, now=_ts(f"{D3}T12:00"),
+                table_format="txlog", tx_target_files=3)
+    assert r1.ref("ev_daily").count() == 3
+    t = TxTable(spark, f"{wh}/ev_daily", stats_cols=("day", "ts"))
+    m1 = t._read_manifest(t.current_version())
+    # event_time stats must be in every file entry (epoch-micros ints —
+    # the comparable encoding; INT96 would have dropped them entirely)
+    tstats = [e["stats"].get("ts") for e in m1["files"]]
+    assert all(s is not None and isinstance(s[0], int) for s in tstats), tstats
+    old_files = {
+        e["path"] for e in m1["files"]
+        if e["stats"]["ts"][1] < (_ts(f"{D2}T00:00") - _EPOCH) // _US
+    }
+    assert old_files, "clustered initial load should isolate D1 file(s)"
+    src["events"] = _events(spark, [
+        (2, D2, _ts(f"{D2}T01:00"), 22),
+        (4, D3, _ts(f"{D3}T09:00"), 40),
+    ])
+    r2 = Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+                incremental=True, now=_ts("2024-01-04T00:00"),
+                table_format="txlog", tx_target_files=3)
+    r2.ref("ev_daily")
+    m2 = t._read_manifest(t.current_version())
+    assert old_files <= {e["path"] for e in m2["files"]}, (
+        "old-history files outside every batch slice must carry forward "
+        "by reference"
+    )
 
 
 def test_microbatch_registration_validation():

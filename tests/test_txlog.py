@@ -324,6 +324,31 @@ def test_schema_evolution_append_and_merge(spark):
     assert got[0] == ("b", None) and got[10] == ("a", 1.5)
 
 
+def test_schema_mismatch_strands_no_orphan_files(spark):
+    """A rejected batch must raise BEFORE its data files land (r6
+    ADVICE: _replace wrote files first, then failed the schema check,
+    stranding orphans under data/<commit_id> until a vacuum)."""
+    base = tempfile.mkdtemp(prefix="txlog_orphan_")
+    path = os.path.join(base, "t")
+    t = TxTable(spark, path)
+    t.overwrite(spark.createDataFrame(_rows(3)))
+
+    def data_files():
+        out = []
+        for root, _, names in os.walk(os.path.join(path, "data")):
+            out += [os.path.join(root, n) for n in names
+                    if n.endswith(".parquet")]
+        return sorted(out)
+
+    before = data_files()
+    bad = spark.createDataFrame([Row(k=1, v="x", rogue=2)])
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.append(bad)
+    with pytest.raises(ValueError, match="allow_evolution"):
+        t.replace_where(bad, [("k", ">=", 0)])
+    assert data_files() == before, "rejected writes left orphan data files"
+
+
 def test_concurrent_appenders_all_land(spark):
     """Real thread-level races: 4 writers x 3 appends through the SAME
     table path. The hard-link claim serializes versions; losers retry by
