@@ -55,6 +55,7 @@ def _make_runner(args, spark):
         sources=sources,
         warehouse_dir=args.warehouse,
         incremental=args.incremental,
+        full_refresh=getattr(args, "full_refresh", False),
         variables=json.loads(args.vars) if args.vars else None,
         now=_parse_now(args.now),
         table_format=args.table_format,
@@ -261,6 +262,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                  "concurrent threads (each in its own FAIR scheduler pool)",
         )
         sp.add_argument("--incremental", action="store_true")
+        sp.add_argument(
+            "--full-refresh", action="store_true", dest="full_refresh",
+            help="dbt --full-refresh: force incremental models through "
+                 "their from-scratch branch and overwrite-materialize "
+                 "(txlog: a new version, history intact); a model's "
+                 "full_refresh=False config opts it out",
+        )
         sp.add_argument("--table-format", default="parquet",
                         choices=["parquet", "txlog"])
         sp.add_argument("--vars", help="JSON object of dbt-style variables")

@@ -112,6 +112,11 @@ class Model:
     event_time: str | None = None
     batch_size: str = "day"  # hour | day | month | year
     lookback: int = 1
+    # dbt full_refresh config: None obeys the runner's --full-refresh
+    # flag; False OPTS OUT (a huge event table you never want rebuilt by
+    # a blanket flag — dbt's protection semantics); True forces a
+    # from-scratch rebuild on every run.
+    full_refresh: bool | None = None
     # dbt model contract (contract: enforced: true): {"columns": {name:
     # spark-type-string, ...}, "not_null": [col, ...]}. Names+types are
     # validated STATICALLY against the built plan's schema (free — no
@@ -139,6 +144,7 @@ class ModelRegistry:
         event_time: str | None = None,
         batch_size: str = "day",
         lookback: int = 1,
+        full_refresh: bool | None = None,
         contract: dict | None = None,
     ):
         def deco(fn):
@@ -203,6 +209,7 @@ class ModelRegistry:
                 event_time=event_time,
                 batch_size=batch_size,
                 lookback=lookback,
+                full_refresh=full_refresh,
                 contract=contract,
             )
             return fn
@@ -246,6 +253,7 @@ class ExecutionContext:
         return (
             self.model.materialized == "incremental"
             and self.runner.incremental
+            and not self.runner.should_full_refresh(self.model)
             and self.runner.has_existing(self.model.name)
         )
 
@@ -285,6 +293,7 @@ class Runner:
         sources: dict[str, DataFrame] | Callable[[str], DataFrame],
         warehouse_dir: str | None = None,
         incremental: bool = False,
+        full_refresh: bool = False,
         variables: dict | None = None,
         now: dt.datetime | None = None,
         cache_refs: bool = False,
@@ -333,6 +342,7 @@ class Runner:
         self._sources = sources
         self.warehouse_dir = warehouse_dir
         self.incremental = incremental
+        self.full_refresh = full_refresh
         self.cache_refs = cache_refs
         self.table_format = table_format
         # txlog only: explicit data-file count for clustered writes. Small
@@ -504,6 +514,15 @@ class Runner:
         )
         tx.target_files = self.tx_target_files
         return tx
+
+    def should_full_refresh(self, model: Model) -> bool:
+        """dbt's should_full_refresh(): the model-level ``full_refresh``
+        config wins over the run-level flag — ``False`` protects the
+        model from a blanket ``--full-refresh``, ``True`` forces a
+        rebuild every run, ``None`` obeys the flag."""
+        if model.full_refresh is not None:
+            return model.full_refresh
+        return self.full_refresh
 
     def has_existing(self, name: str) -> bool:
         path = self._path(name)

@@ -331,3 +331,31 @@ def test_defer_to_prod_warehouse(bronze, spark, tmp_path, capsys):
     prod_n = spark.read.parquet(os.path.join(prod, "fct_orders")).count()
     dev_n = spark.read.parquet(os.path.join(dev, "fct_orders")).count()
     assert prod_n == dev_n > 0
+
+
+def test_run_full_refresh_flag(bronze, spark, tmp_path, capsys):
+    """`run --full-refresh -s fct_orders` forces the from-scratch branch
+    of an incremental model and overwrite-materializes it (reference
+    fct_orders.sql:1-5 config shape)."""
+    wh = str(tmp_path / "wh")
+    rc = main(["run", "--bronze", bronze, "--warehouse", wh,
+               "--models", "fct_orders", "--now", FROZEN], spark=spark)
+    assert rc == 0
+    baseline = capsys.readouterr().out
+    assert "built fct_orders" in baseline
+    # incremental re-run, then a full refresh — both succeed and the
+    # refreshed table matches the initial full build's row count
+    rc = main(["run", "--bronze", bronze, "--warehouse", wh, "--incremental",
+               "--models", "fct_orders", "--now", FROZEN], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["run", "--bronze", bronze, "--warehouse", wh, "--incremental",
+               "--full-refresh", "--models", "fct_orders", "--now", FROZEN],
+              spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built fct_orders" in out
+    import re
+    n0 = re.search(r"built fct_orders: (\d+) rows", baseline).group(1)
+    n2 = re.search(r"built fct_orders: (\d+) rows", out).group(1)
+    assert n0 == n2

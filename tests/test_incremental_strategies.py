@@ -372,3 +372,139 @@ def test_backfill_window_validation(spark):
     with pytest.raises(ValueError, match="before"):
         Runner(spark, reg, sources={}, backfill_start=_ts(f"{D2}T00:00"),
                backfill_end=_ts(f"{D1}T00:00"))
+
+
+# -- full refresh (dbt --full-refresh) ---------------------------------------
+
+def _mk_registry_merge():
+    reg = ModelRegistry()
+
+    @reg.model(
+        name="ev_merge", materialized="incremental", unique_key="id",
+    )
+    def ev_merge(ctx):
+        df = ctx.source("events")
+        if ctx.is_incremental():
+            # classic lookback predicate: only new-ish rows on
+            # incremental runs, so an old-history source fix is invisible
+            # until a full refresh
+            df = df.filter(F.col("day") >= D2)
+        return df
+
+    return reg
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "txlog"])
+def test_full_refresh_rebuilds_from_scratch(spark, tmp_path_factory, fmt):
+    """--full-refresh forces the is_incremental()=false branch and an
+    overwrite materialization: an old-history fix the incremental
+    lookback can never see lands, stale rows absent from the source
+    vanish, and a following plain incremental run converges (reference
+    fct_orders.sql:1-5 is the config shape this flag rebuilds)."""
+    wh = str(tmp_path_factory.mktemp(f"wh_fr_{fmt}"))
+    initial = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 10),
+                              (2, D2, _ts(f"{D2}T01:00"), 20)])
+    # source later: old-history row CORRECTED (v=11), id=2 gone upstream
+    fixed = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 11),
+                            (3, D3, _ts(f"{D3}T01:00"), 30)])
+    src = {"events": initial}
+    reg = _mk_registry_merge()
+    r1 = Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+                incremental=False, table_format=fmt)
+    assert r1.ref("ev_merge").count() == 2
+    src["events"] = fixed
+    # plain incremental: lookback filter hides the D1 fix, merge keeps id=2
+    r2 = Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+                incremental=True, table_format=fmt)
+    out2 = _rows(r2.ref("ev_merge"))
+    assert (1, D1, _ts(f"{D1}T01:00"), 10) in out2   # stale old history
+    assert (2, D2, _ts(f"{D2}T01:00"), 20) in out2   # upstream-deleted row
+    # full refresh: table becomes exactly the (fixed) source
+    r3 = Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+                incremental=True, full_refresh=True, table_format=fmt)
+    out3 = _rows(r3.ref("ev_merge"))
+    assert out3 == sorted([(1, D1, _ts(f"{D1}T01:00"), 11),
+                           (3, D3, _ts(f"{D3}T01:00"), 30)])
+    # and a later plain incremental run converges (no resurrection)
+    r4 = Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+                incremental=True, table_format=fmt)
+    assert _rows(r4.ref("ev_merge")) == out3
+
+
+def test_full_refresh_txlog_keeps_history(spark, tmp_path_factory):
+    """txlog backend: a full refresh is a NEW VERSION (overwrite commit),
+    not a table reset — the pre-refresh contents stay time-travelable."""
+    wh = str(tmp_path_factory.mktemp("wh_fr_hist"))
+    initial = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 10)])
+    fixed = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 11)])
+    src = {"events": initial}
+    reg = _mk_registry_merge()
+    Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+           incremental=False, table_format="txlog").ref("ev_merge")
+    t = TxTable(spark, f"{wh}/ev_merge")
+    v1 = t.current_version()
+    src["events"] = fixed
+    Runner(spark, reg, sources=lambda n: src[n], warehouse_dir=wh,
+           incremental=True, full_refresh=True,
+           table_format="txlog").ref("ev_merge")
+    assert t.current_version() == v1 + 1
+    assert [r["v"] for r in t.snapshot(version=v1).collect()] == [10]
+    assert [r["v"] for r in t.snapshot().collect()] == [11]
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "txlog"])
+@pytest.mark.parametrize("strategy", ["append", "insert_overwrite", "microbatch"])
+def test_full_refresh_all_strategies(spark, tmp_path_factory, strategy, fmt):
+    """Every incremental strategy honors --full-refresh: the second run
+    overwrites to exactly the current source state (no doubled appends,
+    no surviving stale partitions, no batch windowing)."""
+    reg = {"append": _mk_registry_append,
+           "insert_overwrite": _mk_registry_iow,
+           "microbatch": _mk_registry_micro}[strategy]()
+    name = {"append": "ev_append", "insert_overwrite": "ev_part",
+            "microbatch": "ev_daily"}[strategy]
+    wh = str(tmp_path_factory.mktemp(f"wh_frs_{strategy}_{fmt}"))
+    initial = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 10),
+                              (2, D2, _ts(f"{D2}T01:00"), 20)])
+    fixed = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 11)])
+    src = {"events": initial}
+    kw = dict(sources=lambda n: src[n], warehouse_dir=wh, table_format=fmt,
+              now=_ts(f"{D3}T12:00"))
+    Runner(spark, reg, incremental=False, **kw).ref(name)
+    src["events"] = fixed
+    out = _rows(Runner(spark, reg, incremental=True, full_refresh=True,
+                       **kw).ref(name))
+    assert out == sorted([(1, D1, _ts(f"{D1}T01:00"), 11)])
+
+
+def test_model_full_refresh_config_overrides_flag(spark, tmp_path_factory):
+    """dbt precedence: full_refresh=False protects a model from the
+    run-level flag; full_refresh=True rebuilds even without it."""
+    reg = ModelRegistry()
+
+    @reg.model(name="protected", materialized="incremental",
+               unique_key="id", full_refresh=False)
+    def protected(ctx):
+        return ctx.source("events")
+
+    @reg.model(name="always_fresh", materialized="incremental",
+               unique_key="id", full_refresh=True)
+    def always_fresh(ctx):
+        return ctx.source("events")
+
+    wh = str(tmp_path_factory.mktemp("wh_fr_cfg"))
+    initial = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 10),
+                              (2, D2, _ts(f"{D2}T01:00"), 20)])
+    shrunk = _events(spark, [(1, D1, _ts(f"{D1}T01:00"), 11)])
+    src = {"events": initial}
+    kw = dict(sources=lambda n: src[n], warehouse_dir=wh)
+    r1 = Runner(spark, reg, incremental=False, **kw)
+    r1.ref("protected"); r1.ref("always_fresh")
+    src["events"] = shrunk
+    # flag set: protected still MERGES (id=2 survives) — config wins
+    r2 = Runner(spark, reg, incremental=True, full_refresh=True, **kw)
+    assert len(_rows(r2.ref("protected"))) == 2
+    # flag NOT set: always_fresh still rebuilds from scratch
+    r3 = Runner(spark, reg, incremental=True, **kw)
+    assert _rows(r3.ref("always_fresh")) == sorted(
+        [(1, D1, _ts(f"{D1}T01:00"), 11)])
