@@ -117,6 +117,16 @@ class Model:
     # a blanket flag — dbt's protection semantics); True forces a
     # from-scratch rebuild on every run.
     full_refresh: bool | None = None
+    # dbt pre_hook / post_hook: callables taking the model's
+    # ExecutionContext, fired in declaration order around the
+    # materialization (pre: before the model fn runs; post: after the
+    # table landed). Spark-first twist on dbt's SQL hooks: a hook is
+    # arbitrary Python — grant statements become catalog calls, OPTIMIZE
+    # becomes engine.hooks.compact_txlog(). Hooks fire only on
+    # warehouse-backed runs; view-only probe runners (dag/docs/state
+    # fingerprinting) never execute them.
+    pre_hook: tuple = ()
+    post_hook: tuple = ()
     # dbt model contract (contract: enforced: true): {"columns": {name:
     # spark-type-string, ...}, "not_null": [col, ...]}. Names+types are
     # validated STATICALLY against the built plan's schema (free — no
@@ -145,6 +155,8 @@ class ModelRegistry:
         batch_size: str = "day",
         lookback: int = 1,
         full_refresh: bool | None = None,
+        pre_hook=None,
+        post_hook=None,
         contract: dict | None = None,
     ):
         def deco(fn):
@@ -152,6 +164,16 @@ class ModelRegistry:
                 # a bare string must not explode into per-character tuples
                 # (partition_by='order_date' -> ('o','r',...)) — wrap it
                 return (v,) if isinstance(v, str) else tuple(v)
+
+            def _hooks(v, label):
+                hooks = (v,) if callable(v) else tuple(v or ())
+                bad = [h for h in hooks if not callable(h)]
+                if bad:
+                    raise ValueError(
+                        f"model {model_name}: {label} entries must be "
+                        f"callables taking an ExecutionContext, got {bad}"
+                    )
+                return hooks
 
             model_name = name or fn.__name__
             # fail at REGISTRATION, not mid-run on a 100 TB build: every
@@ -210,6 +232,8 @@ class ModelRegistry:
                 batch_size=batch_size,
                 lookback=lookback,
                 full_refresh=full_refresh,
+                pre_hook=_hooks(pre_hook, "pre_hook"),
+                post_hook=_hooks(post_hook, "post_hook"),
                 contract=contract,
             )
             return fn
@@ -302,6 +326,8 @@ class Runner:
         defer_to: str | None = None,
         backfill_start: dt.datetime | None = None,
         backfill_end: dt.datetime | None = None,
+        on_run_start=(),
+        on_run_end=(),
     ) -> None:
         """``table_format`` selects the warehouse storage backend:
 
@@ -351,6 +377,14 @@ class Runner:
         # at scale None is right — AQE sizes files from data volume.
         self.tx_target_files = tx_target_files
         self.defer_to = defer_to
+        # dbt on-run-start / on-run-end: project-level hooks around the
+        # whole invocation (run and build). Callables taking an
+        # ExecutionContext with model=None; on_run_end fires after every
+        # target resolved (build: after checks too), even when models
+        # failed under on_error='continue' — run_results is complete by
+        # then, which is what end-hooks exist to inspect.
+        self.on_run_start = tuple(on_run_start)
+        self.on_run_end = tuple(on_run_end)
         if (backfill_start is None) != (backfill_end is None):
             raise ValueError("backfill_start and backfill_end go together")
         if backfill_start is not None and backfill_start >= backfill_end:
@@ -592,6 +626,29 @@ class Runner:
 
     # -- build + materialize ------------------------------------------------
     def _build(self, model: Model) -> DataFrame:
+        """Hook-wrapped materialization: pre_hooks fire in order before
+        the model fn runs, post_hooks after its table landed (dbt
+        pre-hook/post-hook placement). Hooks only fire on warehouse-backed
+        runs — a view-only probe (dag/docs/state fingerprints) must stay
+        side-effect-free. A raising pre-hook aborts the build (nothing
+        materializes); a raising post-hook fails the model AFTER the
+        table landed, exactly like a failing dbt post-hook statement."""
+        fire = self.warehouse_dir is not None and (
+            model.pre_hook or model.post_hook
+        )
+        if fire:
+            hook_ctx = ExecutionContext(
+                spark=self.spark, runner=self, model=model
+            )
+            for h in model.pre_hook:
+                h(hook_ctx)
+        df = self._build_inner(model)
+        if fire:
+            for h in model.post_hook:
+                h(hook_ctx)
+        return df
+
+    def _build_inner(self, model: Model) -> DataFrame:
         ctx = ExecutionContext(spark=self.spark, runner=self, model=model)
         if model.name in self._building:
             cycle = " -> ".join(self._building + [model.name])
@@ -792,6 +849,7 @@ class Runner:
         names: list[str] | None = None,
         threads: int = 1,
         on_error: str = "raise",
+        _fire_end_hook: bool = True,
     ) -> dict[str, DataFrame]:
         """Materialize ``names`` (default: every registered model).
 
@@ -823,6 +881,7 @@ class Runner:
         """
         if on_error not in ("raise", "continue"):
             raise ValueError(f"unknown on_error {on_error!r}")
+        self._fire_run_hooks(self.on_run_start)
         targets = list(names) if names is not None else self.registry.names()
         # defer boundary: targets always build locally; refs outside the
         # set may resolve from the defer warehouse (see _deferred). Left
@@ -850,6 +909,8 @@ class Runner:
 
         if threads <= 1 or len(targets) <= 1:
             resolved = [_resolve(name) for name in targets]
+            if _fire_end_hook:
+                self._fire_run_hooks(self.on_run_end)
             return {n: df for n, df in resolved if df is not None}
 
         from concurrent.futures import ThreadPoolExecutor
@@ -871,7 +932,16 @@ class Runner:
             max_workers=threads, thread_name_prefix="runner"
         ) as pool:
             resolved = list(pool.map(_build_one, targets))
+        if _fire_end_hook:
+            self._fire_run_hooks(self.on_run_end)
         return {n: df for n, df in resolved if df is not None}
+
+    def _fire_run_hooks(self, hooks) -> None:
+        if not hooks:
+            return
+        ctx = ExecutionContext(spark=self.spark, runner=self, model=None)
+        for h in hooks:
+            h(ctx)
 
     def register_views(
         self, names: list[str] | None = None, prefix: str = ""
@@ -927,7 +997,10 @@ class Runner:
                 "stale sources (error_after exceeded): "
                 + ", ".join(f"{f.source} lag={f.lag_hours:.1f}h" for f in stale)
             )
-        models = {} if stale else self.run(names, threads=threads)
+        models = (
+            {} if stale
+            else self.run(names, threads=threads, _fire_end_hook=False)
+        )
         check_results = (
             []
             if stale
@@ -938,6 +1011,8 @@ class Runner:
             )
         )
         result = BuildResult(models=models, checks=check_results, freshness=fresh)
+        if not stale:
+            self._fire_run_hooks(self.on_run_end)
         if raise_on_error and result.errors:
             raise BuildError(
                 "failing error-severity checks: "
