@@ -301,6 +301,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                  "--event-time-start",
         )
         sp.add_argument(
+            "--seeds", help="dir of <seed>.csv files registered as seed "
+                            "models (dbt seed-paths)")
+        sp.add_argument(
+            "--store-failures", action="store_true", dest="store_failures",
+            help="dbt --store-failures: write each check's failure rows "
+                 "to <warehouse>/_test_failures/<check> for triage",
+        )
+        sp.add_argument(
             "--fail-fast", action="store_true",
             help="abort on the first model failure (dbt --fail-fast); "
                  "default mirrors dbt: independent branches keep "
@@ -308,7 +316,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
 
     sub.add_parser("ls", help="list registered models")
-    for c in ("run", "build", "test", "freshness"):
+    for c in ("run", "build", "test", "freshness", "seed"):
         common(sub.add_parser(c))
     dg = sub.add_parser(
         "dag", help="print the observed model lineage (dbt docs equivalent)"
@@ -362,6 +370,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
 
     args = p.parse_args(argv)
+
+    if getattr(args, "seeds", None):
+        from furchild_spark.engine.seeds import register_seeds
+        from furchild_spark.models import registry as _reg
+
+        register_seeds(_reg, args.seeds)
 
     if args.cmd == "ls":
         from furchild_spark.models import registry
@@ -431,8 +445,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"{name}: vacuum removed {len(removed)} commit dirs")
         return 0
 
-    if not args.bronze:
+    if not args.bronze and args.cmd != "seed":
         p.error(f"--bronze is required for {args.cmd}")
+    if getattr(args, "store_failures", False) and not args.warehouse:
+        p.error("--store-failures wants --warehouse (failure tables land "
+                "under <warehouse>/_test_failures)")
 
     if spark is None:
         from furchild_spark.engine.session import get_spark
@@ -539,6 +556,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     runner = _make_runner(args, spark)
 
+    if args.cmd == "seed":
+        # dbt seed: materialize ONLY the seed models (CSV-backed tables);
+        # they participate in ref()/selectors like any model afterwards
+        if not args.seeds:
+            p.error("seed wants --seeds DIR")
+        if not args.warehouse:
+            p.error("seed wants --warehouse (seeds exist to be "
+                    "materialized)")
+        from furchild_spark.models import registry as _reg
+
+        names = [n for n in _reg.names() if "seed" in _reg[n].tags]
+        chosen = _names(args, spark)
+        if chosen is not None:
+            names = [n for n in names if n in set(chosen)]
+        if not names:
+            print("nothing to do (no seed models selected)")
+            return 0
+        built = runner.run(names, threads=args.threads)
+        for name, df in built.items():
+            print(f"seeded {name}: {df.count()} rows")
+        return 0
+
     if args.cmd == "run":
         names = _names(args, spark)
         if names is not None and not names:
@@ -590,12 +629,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if selected is None
             else [c for c in C.CHECKS if c.model in set(selected)]
         )
-        results = C.run_checks(runner.ref, suite, threads=args.threads)
+        sf_dir = (
+            f"{args.warehouse}/_test_failures"
+            if getattr(args, "store_failures", False) else None
+        )
+        results = C.run_checks(
+            runner.ref, suite, threads=args.threads,
+            store_failures_dir=sf_dir,
+        )
         failed = 0
         for r in results:
             status = "PASS" if r.passed else r.severity.upper()
+            stored = (
+                f" -> {r.failures_path}"
+                if r.failures_path and r.failures else ""
+            )
             print(f"{r.name:56s} {status}"
-                  + ("" if r.passed else f" ({r.failures} rows)"))
+                  + ("" if r.passed else f" ({r.failures} rows)") + stored)
             if not r.passed and r.severity == "error":
                 failed += 1
         # dbt 1.8: `dbt test` runs UNIT tests (mocked-input logic tests)
@@ -636,6 +686,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             result = runner.build(
                 names, checks=C.CHECKS, freshness=C.FRESHNESS,
                 threads=args.threads,
+                store_failures_dir=(
+                    f"{args.warehouse}/_test_failures"
+                    if getattr(args, "store_failures", False) else None
+                ),
             )
         except BuildError as e:
             print(f"BUILD FAILED: {e}")

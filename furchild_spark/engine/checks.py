@@ -224,6 +224,8 @@ class CheckResult:
     model: str
     severity: str
     failures: int
+    # where the failure rows landed (store_failures runs only)
+    failures_path: str | None = None
 
     @property
     def passed(self) -> bool:
@@ -235,6 +237,7 @@ def run_checks(
     checks: list[Check] | None = None,
     models: set[str] | None = None,
     threads: int = 1,
+    store_failures_dir: str | None = None,
 ) -> list[CheckResult]:
     """Execute the suite against a ``ref`` resolver (e.g. ``runner.ref``).
     ``models`` restricts to checks attached to those models (dbt's node
@@ -245,7 +248,15 @@ def run_checks(
     cluster a serial suite leaves executors idle between the narrow
     single-check stages. Requires a thread-safe ``ref`` — the Runner's
     is (per-model locks). Result order matches the suite order
-    regardless of completion order."""
+    regardless of completion order.
+
+    ``store_failures_dir`` is dbt's ``--store-failures``: each check's
+    failure rows are WRITTEN to ``<dir>/<check_name>`` as parquet
+    (dbt's ``dbt_test__audit`` tables), and the count comes from the
+    written table's footers — still one pass over the model per check,
+    and the triage rows are on disk instead of vanishing with the
+    count. A passing check stores an empty table (schema preserved),
+    exactly like dbt."""
     suite = [
         c
         for c in (CHECKS if checks is None else checks)
@@ -255,12 +266,19 @@ def run_checks(
     def one(c: Check) -> CheckResult:
         df = ref(c.model)
         if c.name == "stg_packages_fk_shipment_id_to_shipments":
-            failures = relationships(
+            fails = relationships(
                 df, "shipment_id", ref(c.extra_model), "shipment_id"
-            ).count()
+            )
         else:
-            failures = c.fn(df).count()
-        return CheckResult(c.name, c.model, c.severity, failures)
+            fails = c.fn(df)
+        if store_failures_dir is not None:
+            import os
+
+            path = os.path.join(store_failures_dir, c.name)
+            fails.write.mode("overwrite").parquet(path)
+            failures = fails.sparkSession.read.parquet(path).count()
+            return CheckResult(c.name, c.model, c.severity, failures, path)
+        return CheckResult(c.name, c.model, c.severity, fails.count())
 
     if threads <= 1 or len(suite) <= 1:
         return [one(c) for c in suite]

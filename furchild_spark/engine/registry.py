@@ -966,6 +966,7 @@ class Runner:
         freshness=None,
         raise_on_error: bool = True,
         threads: int = 1,
+        store_failures_dir: str | None = None,
     ) -> "BuildResult":
         """``dbt build`` lifecycle: source freshness gate → materialize the
         DAG → run the data-test suite, with dbt severity semantics
@@ -1008,6 +1009,7 @@ class Runner:
                 self.ref, checks or [],
                 models=set(models) if names is not None else None,
                 threads=threads,
+                store_failures_dir=store_failures_dir,
             )
         )
         result = BuildResult(models=models, checks=check_results, freshness=fresh)
