@@ -310,6 +310,105 @@ def bucketed_join_e2e(spark, sf_dir):
 
 
 @query(
+    "bucketed_reuse_e2e",
+    section="engine extra: bucketed layout AMORTIZATION — the same "
+    "bucketBy(join key) tables feed TWO different downstream joins, both "
+    "shuffle-free (pay the layout once, every recurring join on that key "
+    "rides it)",
+    oracle="""
+WITH linerev AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_orderpriority,
+    SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))))
+      AS line_rev
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_orderkey, o.o_orderstatus, o.o_orderpriority
+)
+SELECT 'status_revenue' AS metric, o_orderstatus AS dim,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(line_rev) AS DOUBLE) AS revenue
+FROM linerev GROUP BY o_orderstatus
+UNION ALL
+SELECT 'priority_highvalue' AS metric, o_orderpriority AS dim,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(line_rev) AS DOUBLE) AS revenue
+FROM linerev WHERE line_rev > 100000 GROUP BY o_orderpriority
+""",
+)
+def bucketed_reuse_e2e(spark, sf_dir):
+    """The amortization proof bucketed_join_e2e only argues: write the
+    order/line-revenue sides bucketed ONCE (8 buckets on the order key,
+    sortBy the key), then run TWO different downstream joins over the
+    SAME committed layout — revenue by order status, and high-value
+    (line_rev > 100k) order counts by priority. Both joins plan as
+    sort-merge joins with ZERO exchanges under them
+    (tests/test_plans.py::test_bucketed_reuse_both_joins_shuffle_free);
+    the only shuffles in the whole query are the two final small
+    rollups. At 100 TB this is the recurring big-big join play: the
+    bucketing shuffle is paid at write time, and every subsequent join
+    on that key — today's two, tomorrow's dashboard refresh — reads the
+    layout for free. line_rev stays decimal end-to-end (exact sums,
+    exact 100k threshold) so the union hashes identically to the
+    oracle."""
+    import os
+    import shutil
+
+    base = os.path.join(tempfile.gettempdir(), "furchild_bucketed_reuse")
+    db = "bkt_reuse"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(base, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{base}'")
+
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    (
+        o.write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(f"{db}.orders_b")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    )
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("line_rev"))
+    )
+    (
+        li.write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(f"{db}.linerev_b")
+    )
+    ob = spark.table(f"{db}.orders_b")
+    lb = spark.table(f"{db}.linerev_b")
+    joined = ob.hint("merge").join(lb, ob["o_orderkey"] == lb["l_orderkey"])
+    by_status = joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("line_rev").cast("double").alias("revenue"),
+    ).select(
+        F.lit("status_revenue").alias("metric"),
+        F.col("o_orderstatus").alias("dim"),
+        "n_orders", "revenue",
+    )
+    by_priority = (
+        joined.filter(F.col("line_rev") > F.lit(100000).cast("decimal(18,2)"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("line_rev").cast("double").alias("revenue"),
+        )
+        .select(
+            F.lit("priority_highvalue").alias("metric"),
+            F.col("o_orderpriority").alias("dim"),
+            "n_orders", "revenue",
+        )
+    )
+    return by_status.unionAll(by_priority)
+
+
+@query(
     "insert_overwrite_e2e",
     section="S6 incremental_strategy=insert_overwrite (dbt partition "
     "replacement — the partition-grain recompute path at 100 TB)",

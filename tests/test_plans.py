@@ -557,6 +557,20 @@ def test_bucketed_join_is_shuffle_free(spark):
     assert _n_exchanges(p) == 1, f"expected only the rollup exchange:\n{p}"
 
 
+def test_bucketed_reuse_both_joins_shuffle_free(spark):
+    """bucketed_reuse_e2e's amortization claim: ONE bucketed layout,
+    TWO different downstream joins, and NEITHER join shuffles — the
+    plan's only exchanges are the two final rollups (2), both joins are
+    SMJs over bucketed scans."""
+    import re
+
+    p = plan_of(spark, "bucketed_reuse_e2e")
+    smjs = re.findall(r"^\(\d+\) SortMergeJoin", p, flags=re.M)
+    assert len(smjs) == 2, p
+    assert "Bucketed: true" in p, "scans did not use the bucketed layout"
+    assert _n_exchanges(p) == 2, f"expected only the two rollup exchanges:\n{p}"
+
+
 def test_catalog_wide_no_python_row_udfs(spark):
     """Catalog-WIDE: no entry's plan may contain a Python row UDF
     (BatchEvalPython) or a pandas scalar UDF (ArrowEvalPython). The only
