@@ -39,6 +39,7 @@ from . import curation  # noqa: F401,E402
 from . import models_oracle  # noqa: F401,E402
 from . import streaming_e2e  # noqa: F401,E402
 from . import engine_e2e  # noqa: F401,E402  # write-path proofs (S3/S6/S8)
+from . import lifecycle_e2e  # noqa: F401,E402  # full-refresh/seed/hooks/store-failures
 from . import relational  # noqa: F401,E402
 from . import llmops  # noqa: F401,E402
 from . import analytics  # noqa: F401,E402  # engine extras
