@@ -360,6 +360,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     mt.add_argument("--retain-last", type=int, default=2)
     mt.add_argument("--min-age-seconds", type=float, default=3600.0,
                     help="in-flight-writer guard: younger files survive")
+    cl = sub.add_parser(
+        "clone",
+        help="dbt clone: zero-copy shallow clones of txlog tables from "
+             "another (e.g. production) warehouse into this one — dev "
+             "environments in O(metadata), no data bytes copied",
+    )
+    cl.add_argument("--from-warehouse", dest="from_warehouse", required=True,
+                    help="source warehouse dir (the prod state)")
+    cl.add_argument("--warehouse", required=True,
+                    help="target warehouse dir")
+    cl.add_argument("--models",
+                    help="comma-separated subset (default: every txlog "
+                         "table in the source warehouse)")
     s = sub.add_parser("show", help="print rows of one model")
     common(s)
     s.add_argument("model")
@@ -393,6 +406,41 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for name, path in sorted(paths.items()):
             print(f"wrote {name} -> {path}")
         return 0
+
+    if args.cmd == "clone":
+        import os
+
+        from furchild_spark.engine.txlog import TxTable
+
+        names = (
+            args.models.split(",")
+            if args.models
+            else sorted(
+                d for d in os.listdir(args.from_warehouse)
+                if os.path.isdir(os.path.join(args.from_warehouse, d, "_txlog"))
+            )
+        )
+        if spark is None:
+            from furchild_spark.engine.session import get_spark
+
+            spark = get_spark(app_name="furchild_clone")
+        os.makedirs(args.warehouse, exist_ok=True)
+        rc = 0
+        for name in names:
+            src = os.path.join(args.from_warehouse, name)
+            if not os.path.isdir(os.path.join(src, "_txlog")):
+                print(f"{name}: not a txlog table, skipped")
+                rc = 1
+                continue
+            try:
+                c = TxTable(spark, src).clone(os.path.join(args.warehouse, name))
+            except ValueError as e:
+                print(f"{name}: {e}")
+                rc = 1
+                continue
+            print(f"cloned {name}: {c.count()} rows (zero-copy, "
+                  f"v{TxTable(spark, src).current_version()} of source)")
+        return rc
 
     if args.cmd == "maintain":
         import os

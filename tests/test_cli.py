@@ -359,3 +359,33 @@ def test_run_full_refresh_flag(bronze, spark, tmp_path, capsys):
     n0 = re.search(r"built fct_orders: (\d+) rows", baseline).group(1)
     n2 = re.search(r"built fct_orders: (\d+) rows", out).group(1)
     assert n0 == n2
+
+
+def test_clone_zero_copy_dev_warehouse(bronze, spark, tmp_path, capsys):
+    """`clone --from-warehouse prod --warehouse dev`: txlog tables
+    shallow-clone in O(metadata) — manifests point at prod's files, no
+    data bytes copied — and the dev clone serves reads immediately."""
+    import os
+
+    prod = str(tmp_path / "prod")
+    rc = main(["run", "--bronze", bronze, "--warehouse", prod,
+               "--models", "stg_orders", "--table-format", "txlog",
+               "--now", FROZEN], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+    dev = str(tmp_path / "dev")
+    rc = main(["clone", "--from-warehouse", prod, "--warehouse", dev,
+               "--models", "stg_orders"], spark=spark)
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "cloned stg_orders" in out and "zero-copy" in out
+    # no data bytes landed in the clone
+    assert not os.path.isdir(os.path.join(dev, "stg_orders", "data"))
+    from furchild_spark.engine.txlog import TxTable
+
+    assert (TxTable(spark, os.path.join(dev, "stg_orders")).snapshot().count()
+            == TxTable(spark, os.path.join(prod, "stg_orders")).snapshot().count())
+    # cloning onto an existing table refuses (exit 1), prod untouched
+    rc = main(["clone", "--from-warehouse", prod, "--warehouse", dev,
+               "--models", "stg_orders"], spark=spark)
+    assert rc == 1
