@@ -131,3 +131,89 @@ def length_bucketed_batches(
             id_col, length_col, "length_bucket", "batch_id", "pos_in_batch"
         )
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    length_col: str,
+    budget: int,
+    sub_shard_chars: int = 2,
+) -> DataFrame:
+    """GPT-style sequence packing: lay every document's tokens on ONE
+    deterministic global token stream (order = ``(md5(id), id)``, the
+    :func:`epoch_shuffle` key — no RNG, engine-independent), then chop
+    the stream into fixed ``budget``-token packs. Documents straddle
+    pack boundaries (split, not padded) — exactly the
+    concatenate-then-chunk batching of GPT/Llama pretraining, so there
+    is ZERO padding waste by construction; every pack except the last
+    is exactly full.
+
+    Returns one row per (document × pack it touches):
+    ``pack_id``, ``pack_pos`` (where the segment starts inside the
+    pack), ``doc_offset`` (which part of the doc this segment is),
+    ``seg_len``. Zero-length documents carry no tokens and are dropped.
+
+    Scale shape: the global running token offset is the same
+    distributable prefix sum as :func:`length_bucketed_batches` — md5
+    hex prefix sub-shards are MONOTONE in the global order, so
+    per-shard window cumsums (parallel) plus an exclusive prefix sum
+    over the tiny per-shard total table (broadcast back) reproduce the
+    exact global offsets: one bounded-width window exchange, one
+    broadcast join, and an in-row explode of at most
+    ``1 + len/budget`` pack segments. No global single-partition
+    window, no driver state."""
+    h = F.md5(F.col(id_col).cast("string"))
+    base = df.filter(F.col(length_col) > 0).select(
+        F.col(id_col),
+        F.col(length_col).cast("long").alias("__n"),
+        h.alias("__h"),
+        F.conv(F.substring(h, 1, sub_shard_chars), 16, 10)
+        .cast("long")
+        .alias("__sub"),
+    )
+    w = (
+        Window.partitionBy("__sub")
+        .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = base.withColumn("__local0", F.coalesce(F.sum("__n").over(w), F.lit(0)))
+    totals = base.groupBy("__sub").agg(F.sum("__n").alias("__t"))
+    w_off = (
+        Window.orderBy(F.col("__sub").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__t").over(w_off), F.lit(0))
+    ).select("__sub", "__offset")
+    g0 = F.col("__offset") + F.col("__local0")
+    g1 = g0 + F.col("__n")
+    B = F.lit(budget).cast("long")
+    placed = local.join(F.broadcast(offsets), on="__sub").select(
+        F.col(id_col),
+        g0.alias("__g0"),
+        g1.alias("__g1"),
+    )
+    p = F.col("pack_id")
+    seg_start = F.greatest(F.col("__g0"), p * B)
+    seg_end = F.least(F.col("__g1"), (p + F.lit(1)) * B)
+    return (
+        placed.withColumn(
+            "pack_id",
+            # integral `div`, not `/`: float division is exact only to
+            # 2^53 and this offset is a TOKEN count over the whole corpus
+            F.explode(
+                F.sequence(
+                    F.expr(f"__g0 div {int(budget)}").cast("long"),
+                    F.expr(f"(__g1 - 1) div {int(budget)}").cast("long"),
+                )
+            ),
+        )
+        .select(
+            F.col(id_col),
+            p.cast("long").alias("pack_id"),
+            (seg_start - p * B).cast("long").alias("pack_pos"),
+            (seg_start - F.col("__g0")).cast("long").alias("doc_offset"),
+            (seg_end - seg_start).cast("long").alias("seg_len"),
+        )
+    )

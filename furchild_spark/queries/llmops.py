@@ -929,6 +929,55 @@ def length_batching(spark, sf_dir):
     )
 
 
+@query(
+    "sequence_packing",
+    section=(
+        "LLM-batching GPT-style sequence packing (concatenate-and-chop: "
+        "one deterministic global token stream sliced into fixed-budget "
+        "packs, docs split across boundaries — zero padding waste)"
+    ),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE length(text) > 0
+),
+cum AS (
+  SELECT doc_id, n,
+    CAST(COALESCE(SUM(n) OVER (ORDER BY h ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
+  FROM tok
+),
+seg AS (
+  SELECT doc_id, g0, g0 + n AS g1,
+    unnest(range(g0 // 512, (g0 + n - 1) // 512 + 1)) AS p
+  FROM cum
+)
+SELECT doc_id,
+  CAST(p AS BIGINT) AS pack_id,
+  CAST(greatest(g0, p * 512) - p * 512 AS BIGINT) AS pack_pos,
+  CAST(greatest(g0, p * 512) - g0 AS BIGINT) AS doc_offset,
+  CAST(least(g1, (p + 1) * 512) - greatest(g0, p * 512) AS BIGINT) AS seg_len
+FROM seg
+""",
+)
+def sequence_packing(spark, sf_dir):
+    """Pack the corpus into 512-token training sequences (here: chars as
+    the token proxy, same determinism story). Every pack except the
+    tail is exactly full — the zero-padding-waste batching GPT/Llama
+    pretraining uses — and a >512-char doc correctly spans several
+    packs. See operators/batching.pack_sequences for the distributed
+    prefix-sum shape (md5-sub-shard cumsum + broadcast offsets; no
+    global single-partition window)."""
+    from furchild_spark.operators.batching import pack_sequences
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "doc_len", F.length("text").cast("long")
+    )
+    return pack_sequences(d, "doc_id", "doc_len", budget=512)
+
+
 # ---------------------------------------------------------------------------
 # product quantization: trained codebooks + compressed-domain ANN
 #
