@@ -353,6 +353,8 @@ def test_catalog_wide_no_singlepartition_windows(spark):
     - ann_ivf_topk: 8-row centroid aggregate
     - epoch_shuffle: 256-row shard-offset prefix sum (documented as the
       only SinglePartition in that plan; the corpus rank is per-shard)
+    - sequence_packing: the same 256-row shard-offset prefix sum
+      (pack_sequences mirrors epoch_shuffle's decomposition)
     - model__dim_date: calendar-bounded date dimension
     - sql_identical_text: rank over per-nation aggregates (≤ |nation|)
     - tfidf_top_terms: vocab-level scalar aggregate feeding the IDF join
@@ -362,7 +364,7 @@ def test_catalog_wide_no_singlepartition_windows(spark):
     in the same plan never cause a false flag."""
     bounded_ok = {
         "ann_ivf_topk", "epoch_shuffle", "model__dim_date",
-        "sql_identical_text", "tfidf_top_terms",
+        "sql_identical_text", "tfidf_top_terms", "sequence_packing",
     }
     for name in QUERIES:
         if name.endswith("_e2e") or name in bounded_ok:
