@@ -94,6 +94,15 @@ def test_length_batching_rank_is_sub_sharded(spark):
     assert "__sub" in p and "hashpartitioning(length_bucket" in p
 
 
+def test_sequence_packing_cumsum_is_sharded(spark):
+    """The global token-offset cumsum must decompose into per-shard
+    windows (pack_sequences mirrors epoch_shuffle); a plain
+    Window.orderBy over the corpus would serialize the whole stream
+    through one task."""
+    p = plan_of(spark, "sequence_packing")
+    assert "hashpartitioning(__sub" in p
+
+
 def test_contamination_shingle_sets_materialized(spark):
     """The shingle-set projection must be persisted before the explode:
     without the barrier Catalyst collapses the staged tokenizer into
