@@ -316,7 +316,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
 
     sub.add_parser("ls", help="list registered models")
-    for c in ("run", "build", "test", "freshness", "seed"):
+    for c in ("run", "build", "test", "freshness", "seed", "retry"):
         common(sub.add_parser(c))
     dg = sub.add_parser(
         "dag", help="print the observed model lineage (dbt docs equivalent)"
@@ -601,6 +601,30 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         else:
             print(text)
         return 0
+
+    if args.cmd == "retry":
+        # dbt retry: re-run exactly what the previous invocation left
+        # red — errored models plus everything skipped behind them —
+        # resolved from its run_results.json (defaults to the one the
+        # prior run wrote into the warehouse). Pure sugar over the
+        # result: selectors, so the selection/defer/threads machinery
+        # is identical to run.
+        import os as _os
+
+        if args.models:
+            p.error("retry derives its selection from --state-results; "
+                    "use run --models result:... for custom selections")
+        if not args.state_results:
+            default_rr = (
+                _os.path.join(args.warehouse, "run_results.json")
+                if args.warehouse else None
+            )
+            if not (default_rr and _os.path.exists(default_rr)):
+                p.error("retry wants --state-results PATH (or a "
+                        "<warehouse>/run_results.json from a prior run)")
+            args.state_results = default_rr
+        args.models = "result:error,result:skipped"
+        args.cmd = "run"
 
     runner = _make_runner(args, spark)
 

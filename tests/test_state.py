@@ -198,3 +198,42 @@ def test_cli_result_selector_requires_results_path(bronze, spark):
             spark=spark,
         )
     assert e.value.code == 2
+
+
+def test_cli_retry_command(bronze, spark, tmp_path, capsys):
+    """`retry` is dbt retry: it reads the prior run's run_results.json
+    (explicit or <warehouse>/run_results.json) and re-runs exactly the
+    error + skipped set — no custom --models needed."""
+    rr = str(tmp_path / "run_results.json")
+    with open(rr, "w") as fh:
+        json.dump({"results": {
+            "stg_items": {"status": "error"},
+            "fct_order_items": {"status": "skipped", "because": "stg_items"},
+            "stg_addresses": {"status": "success"},
+        }}, fh)
+    rc = main(
+        ["retry", "--bronze", bronze, "--warehouse",
+         str(tmp_path / "wh"), "--state-results", rr, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_items" in out
+    assert "built fct_order_items" in out
+    assert "built stg_addresses" not in out  # successes don't re-run
+    # after a clean retry, retrying again from the WAREHOUSE's own
+    # run_results (all success) is a no-op
+    rc = main(
+        ["retry", "--bronze", bronze, "--warehouse", str(tmp_path / "wh"),
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    assert "nothing to do" in capsys.readouterr().out
+
+
+def test_cli_retry_requires_results(bronze, spark, tmp_path):
+    with pytest.raises(SystemExit) as e:
+        main(["retry", "--bronze", bronze, "--warehouse",
+              str(tmp_path / "nope"), "--now", FROZEN], spark=spark)
+    assert e.value.code == 2
