@@ -485,3 +485,66 @@ def connected_components(
         f"connected_components did not converge in max_iter={max_iter} rounds "
         "(graph diameter exceeds the bound); raise max_iter for long-chain graphs"
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation (recall@k + MRR against a relevance-judgment set)
+# ---------------------------------------------------------------------------
+
+def retrieval_eval(
+    runs: DataFrame,
+    qrels: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """IR quality metrics per query — trec_eval's two workhorses,
+    recall@k and MRR@k — for any ranked run (BM25, ANN, hybrid) against
+    a relevance-judgment set.
+
+    ``runs``: ``(query_id, rank, doc_id)`` — a ranked retrieval result
+    (e.g. :func:`bm25_topk` output). ``qrels``: ``(query_id, doc_id)``
+    — the relevant set. Following trec_eval, only queries present in
+    the qrels are scored (a run row with no judgments is ignored), and
+    a judged query whose run found nothing scores 0.
+
+    Shape: qrels and per-query totals are evaluation-sized (≪ corpus)
+    and broadcast; the only work over the run is one semi-join-shaped
+    inner join on ``(query_id, doc_id)`` and a per-query agg — so the
+    evaluation costs one pass over the run even when the run itself is
+    huge (full-corpus sweep runs at 100 TB).
+
+    Parity: hits/n_rel and 1/first_rank are single divisions of exact
+    integers — IEEE-deterministic, no rounding needed.
+
+    Output: ``(query_id, n_rel, hits, recall_at_k, mrr)``.
+    """
+    rel_counts = qrels.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    hits = (
+        runs.filter(F.col("rank") <= k)
+        .join(F.broadcast(qrels), on=["query_id", "doc_id"])
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.min("rank").cast("long").alias("first_rank"),
+        )
+    )
+    # left-preserving join keeps every judged query; the RIGHT side is the
+    # broadcastable one under a left-outer join (Spark ignores a build-side
+    # hint on the preserved side)
+    return (
+        rel_counts
+        .join(F.broadcast(hits), on="query_id", how="left")
+        .select(
+            "query_id",
+            "n_rel",
+            F.coalesce(F.col("hits"), F.lit(0).cast("long")).alias("hits"),
+            (
+                F.coalesce(F.col("hits"), F.lit(0)).cast("double")
+                / F.col("n_rel").cast("double")
+            ).alias("recall_at_k"),
+            F.coalesce(
+                F.lit(1.0) / F.col("first_rank").cast("double"), F.lit(0.0)
+            ).alias("mrr"),
+        )
+    )

@@ -366,6 +366,73 @@ def ivf_topk(
     )
 
 
+def semdedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_centroids: int = 8,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering embeddings and pruning near-identical
+    pairs WITHIN each cluster only — never across the whole corpus.
+
+    Shape, exactly as the paper prescribes for web scale: (1) assign
+    every vector to its nearest centroid — here :func:`ivf_assign`, a
+    map-only in-row argmax against a broadcast centroid array, zero
+    corpus exchanges; (2) self-join within ``cent_id`` (ONE shuffle on
+    the cluster id — candidate pairs are bounded by Σ cluster_size², so
+    ``num_centroids`` is the 100 TB knob: grow it with the corpus to
+    keep clusters bounded, exactly like the LSH band count); (3) a row
+    is a duplicate iff some LOWER-id row in the same cluster has
+    rounded cosine ≥ ``threshold`` — the keep-lowest-id rule every
+    other dedup family member uses, so kept rows are deterministic.
+
+    Output: one row per corpus vector ``(vec_id, cent_id, is_dup)`` —
+    a keep/drop verdict, not just the pair list, so the result plugs
+    straight into a curation pipeline filter.
+    """
+    cents = centroid_array(corpus, id_col, vec_col, num_centroids)
+    assign = ivf_assign(corpus, cents, id_col, vec_col)
+    a = assign.select(
+        "cent_id",
+        F.col("neighbor_id").alias("id_a"),
+        F.col("c_q").alias("q_a"),
+        F.col("c_norm").alias("n_a"),
+    )
+    b = assign.select(
+        "cent_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_q").alias("q_b"),
+        F.col("c_norm").alias("n_b"),
+    )
+    dup_ids = (
+        a.join(b, on="cent_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                dot_q_double(F.col("q_a"), F.col("q_b"))
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    return (
+        assign.join(
+            dup_ids, assign.neighbor_id == dup_ids.__dup_id, how="left"
+        )
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "cent_id",
+            F.col("__dup_id").isNotNull().alias("is_dup"),
+        )
+    )
+
+
 def deterministic_planes(num_planes: int, dim: int, seed: int = 42) -> list[list[int]]:
     """±1 hyperplanes from a seeded PRNG — deterministic so the identical
     constants can be embedded in an oracle SQL string."""

@@ -269,3 +269,76 @@ def bigram_repetition(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def bigram_lm_score(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al. 2019,
+    arXiv:1911.00359 §4.3): score each document by the per-token
+    cross-entropy of its token stream under a bigram MLE model — CCNet
+    buckets a corpus into head/middle/tail by exactly this statistic.
+    The model here is trained on the corpus itself (one aggregation),
+    so the operator is self-contained: ``P(w2|w1) = C(w1 w2) / C(w1·)``
+    where ``C(w1·)`` counts w1 as a bigram CONTEXT (non-final token),
+    making every probability well-defined and ≤ 1.
+
+    Shape at 100 TB: one bigram explode (map-side combined groupBy →
+    the model table, bounded by the distinct-bigram count ≪ corpus
+    tokens), one derived context rollup over that already-aggregated
+    table, one join of doc-bigrams to the model on the bigram string
+    (AQE broadcasts it when the vocabulary is small), one doc-keyed
+    agg. No window over the full corpus, no driver state.
+
+    Cross-engine parity: counts are exact integers; ``ln(cu/cb)`` is
+    computed as the log of one bigint/bigint quotient (≥ 1, so the
+    result is a POSITIVE zero when P=1 — ``-ln(cb/cu)`` would emit
+    ``-0.0`` and hash-diverge), rounded to 6 dp; per-doc sums are
+    DECIMAL(18,6) (order-independent); the final mean divides once and
+    rounds to 6 dp. Docs with < 2 tokens survive with
+    ``n_bigrams = 0`` and a NULL entropy (left join back to the doc
+    set), so the output stays one-row-per-document.
+
+    Output: ``(doc_id, n_bigrams, cross_entropy)`` — low entropy =
+    head-like fluent text, high = tail/noise, exactly CCNet's axis.
+    """
+    staged = fanout(df).select(F.col(id_col), tokens(text_col).alias("__toks"))
+    grams = staged.select(
+        F.col(id_col), F.explode(shingles("__toks", 2)).alias("bg")
+    )
+    model = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    ctx = (
+        model.groupBy(F.split("bg", " ").getItem(0).alias("w1"))
+        .agg(F.sum("cb").alias("cu"))
+    )
+    scored = model.join(
+        ctx, F.split(model.bg, " ").getItem(0) == ctx.w1
+    ).select(
+        "bg",
+        F.round(
+            F.log(F.col("cu").cast("double") / F.col("cb").cast("double")), 6
+        ).alias("logp"),
+    )
+    per_doc = (
+        grams.join(scored, on="bg")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("logp").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("cross_entropy"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(per_doc, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(F.col("n_bigrams"), F.lit(0).cast("long")).alias(
+                "n_bigrams"
+            ),
+            "cross_entropy",
+        )
+    )

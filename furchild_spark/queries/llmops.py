@@ -2012,3 +2012,230 @@ def bm25_topk(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
     return curate.bm25_topk(d, "doc_id", "text", queries, k=10)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: cluster-then-prune semantic dedup (paper: arXiv:2303.09540)
+# ---------------------------------------------------------------------------
+
+@query(
+    "semdedup",
+    section="LLM-dedup semantic (SemDeDup: k-cluster assignment, "
+    "within-cluster cosine pruning, keep-lowest-id; public paper "
+    "arXiv:2303.09540, no reference counterpart)",
+    oracle=f"""
+WITH e AS ({_IVF_E}),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id < 8
+),
+assign AS (
+  SELECT cent_id, vec_id, embedding, nrm FROM (
+    SELECT c.cent_id, x.vec_id, x.embedding, x.nrm,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM e x CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round(CAST({_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+              / (a.nrm * b.nrm), 6) >= 0.3
+)
+SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cent_id,
+  (d.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+""",
+)
+def semdedup(spark, sf_dir):
+    """SemDeDup end-to-end (operators/similarity.semdedup): map-only
+    nearest-centroid assignment against a broadcast centroid array (the
+    ivf_assign shape — zero corpus exchanges), then ONE self-join keyed
+    on cent_id whose candidate volume is bounded by Σ cluster_size² —
+    num_centroids is the knob that keeps clusters bounded as the corpus
+    grows, exactly like the LSH band count. A vector is a duplicate iff
+    a lower-id vector in its cluster has rounded cosine ≥ 0.3; output is
+    a per-vector keep/drop verdict ready for a pipeline filter. The
+    oracle rebuilds assignment + within-cluster pruning relationally, so
+    the green hash certifies the whole cluster→prune path."""
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.semdedup(
+        emb, "vec_id", "embedding", threshold=0.3, num_centroids=8
+    )
+    return out.select("vec_id", F.col("cent_id").cast("long").alias("cent_id"),
+                      "is_dup")
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style bigram LM quality scoring (paper: arXiv:1911.00359)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ngram_lm_score",
+    section="LLM-quality bigram-LM cross-entropy scoring (CCNet's "
+    "head/middle/tail axis, self-trained MLE model; public paper "
+    "arXiv:1911.00359, no reference counterpart)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(1, CASE WHEN len(t) >= 2 THEN len(t) ELSE 1 END),
+      i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM tok
+),
+model AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+ctx AS (
+  SELECT string_split(bg, ' ')[1] AS w1, SUM(cb) AS cu
+  FROM model GROUP BY string_split(bg, ' ')[1]
+),
+lp AS (
+  SELECT model.bg,
+    round(ln(CAST(cu AS DOUBLE) / CAST(cb AS DOUBLE)), 6) AS logp
+  FROM model JOIN ctx ON string_split(model.bg, ' ')[1] = ctx.w1
+),
+per_doc AS (
+  SELECT g.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS cross_entropy
+  FROM bg g JOIN lp ON g.bg = lp.bg
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+  COALESCE(p.n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+  p.cross_entropy
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+""",
+)
+def ngram_lm_score(spark, sf_dir):
+    """Bigram-LM cross-entropy per document (operators/text.
+    bigram_lm_score): the corpus trains its own MLE bigram model in one
+    map-side-combined groupBy (model table bounded by distinct bigrams,
+    ≪ corpus tokens), contexts roll up from the ALREADY-aggregated
+    model, and docs join back to the model on the bigram string — no
+    corpus-wide window, no driver state. ln(cu/cb) keeps P=1 at a
+    positive zero (a -ln(cb/cu) formulation hash-diverges on -0.0);
+    per-doc sums are exact decimal; short docs survive with
+    n_bigrams=0. CCNet (arXiv:1911.00359) buckets corpora into
+    head/middle/tail on exactly this statistic."""
+    d = table(spark, sf_dir, "documents")
+    return text.bigram_lm_score(d, "doc_id", "text")
+
+
+# ---------------------------------------------------------------------------
+# Retrieval evaluation: recall@k + MRR of the BM25 run against AND-semantics
+# relevance judgments (trec_eval's two workhorse metrics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "retrieval_eval",
+    section="LLM-retrieval evaluation (recall@k + MRR per query over the "
+    "BM25 run; trec_eval semantics — judged queries only, empty run "
+    "scores 0)",
+    oracle=f"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tfr AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM tok)
+  WHERE token IN (SELECT term FROM q)
+  GROUP BY doc_id, token
+), idf AS (
+  SELECT token,
+    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+  FROM (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tfr GROUP BY token)
+  CROSS JOIN stats
+), scored AS (
+  SELECT q.query_id, tfr.doc_id,
+    CAST(SUM(CAST(round(
+      idf.idf * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+    6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM (SELECT DISTINCT query_id, term FROM q) q
+  JOIN tfr ON q.term = tfr.token
+  JOIN idf ON idf.token = tfr.token
+  JOIN dl ON dl.doc_id = tfr.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tfr.doc_id
+), runs AS (
+  SELECT query_id, rank, doc_id FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+qd AS (SELECT DISTINCT query_id, term FROM q),
+nt AS (SELECT query_id, COUNT(*) AS n_terms FROM qd GROUP BY query_id),
+dtok AS (
+  SELECT DISTINCT doc_id, token
+  FROM (SELECT doc_id, unnest(t) AS token FROM tok)
+  WHERE token IN (SELECT term FROM q)
+),
+qrels AS (
+  SELECT m.query_id, m.doc_id FROM (
+    SELECT qd.query_id, dt.doc_id, COUNT(*) AS n_hit
+    FROM dtok dt JOIN qd ON dt.token = qd.term
+    GROUP BY qd.query_id, dt.doc_id
+  ) m JOIN nt ON nt.query_id = m.query_id AND m.n_hit = nt.n_terms
+),
+rel AS (
+  SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM qrels GROUP BY query_id
+),
+h AS (
+  SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS hits,
+    CAST(MIN(r.rank) AS BIGINT) AS first_rank
+  FROM runs r JOIN qrels ON qrels.query_id = r.query_id AND qrels.doc_id = r.doc_id
+  GROUP BY r.query_id
+)
+SELECT rel.query_id, rel.n_rel,
+  COALESCE(h.hits, CAST(0 AS BIGINT)) AS hits,
+  CAST(COALESCE(h.hits, 0) AS DOUBLE) / CAST(rel.n_rel AS DOUBLE) AS recall_at_k,
+  COALESCE(CAST(1 AS DOUBLE) / CAST(h.first_rank AS DOUBLE),
+           CAST(0 AS DOUBLE)) AS mrr
+FROM rel LEFT JOIN h ON h.query_id = rel.query_id
+""",
+)
+def retrieval_eval(spark, sf_dir):
+    """Evaluate the BM25 run against AND-semantics qrels (relevant =
+    doc contains EVERY distinct term of the query). The qrels derive
+    from the same semi-filtered token projection BM25 itself uses — at
+    100 TB the corpus-side cost is the one query-term-filtered explode,
+    and every evaluation-side table (qrels, per-query totals) is
+    broadcast. recall@10 and MRR are single divisions of exact integers
+    (operators/curate.retrieval_eval)."""
+    from furchild_spark.operators import curate
+
+    d = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    runs = curate.bm25_topk(d, "doc_id", "text", queries, k=10).select(
+        "query_id", "rank", "doc_id"
+    )
+    qd = queries.dropDuplicates(["query_id", "term"])
+    n_terms = qd.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_terms"))
+    terms = qd.select(F.col("term").alias("token")).distinct()
+    dtok = (
+        d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("token"))
+        .join(F.broadcast(terms), on="token", how="left_semi")
+        .dropDuplicates(["doc_id", "token"])
+    )
+    qrels = (
+        dtok.join(F.broadcast(qd), dtok.token == qd.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+        .join(F.broadcast(n_terms), on="query_id")
+        .filter(F.col("n_hit") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    return curate.retrieval_eval(runs, qrels, k=10).orderBy("query_id")

@@ -613,3 +613,36 @@ def test_bm25_semi_filters_corpus_before_tf_shuffle(spark):
     # within the same subtree) a hash-aggregate exchange: check that at
     # least one Generate (explode) feeds a LeftSemi BroadcastHashJoin
     assert "Generate" in p, "token explode missing from the plan"
+
+
+def test_semdedup_pair_join_is_keyed_on_cluster(spark):
+    """SemDeDup's scale contract: assignment is map-only (no corpus
+    shuffle — same shape test_ivf_assignment_is_map_only proves), and the
+    within-cluster pair generation is ONE equi self-join keyed on
+    cent_id (a CartesianProduct corpus×corpus pairing must never
+    appear). Catalyst picks the physical form by size — broadcast-hash
+    at test scale, sort-merge on hashpartitioning(cent_id) at scale —
+    but either way the join KEY must be the cluster id."""
+    p = plan_of(spark, "semdedup")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(cent_id" in p or "Left keys [1]: [cent_id" in p
+
+
+def test_ngram_lm_model_rollup_reuses_aggregated_table(spark):
+    """bigram_lm_score trains in one map-side-combined groupBy on the
+    bigram string; the context rollup derives from the ALREADY-aggregated
+    model (exchange keyed on bg / the split prefix), never a second
+    corpus-wide tokenize window. The plan must carry a
+    hashpartitioning(bg) exchange and zero SinglePartition windows."""
+    p = plan_of(spark, "ngram_lm_score")
+    assert "hashpartitioning(bg" in p
+    assert "Window" not in p or "SinglePartition" not in p
+
+
+def test_retrieval_eval_broadcasts_judgments(spark):
+    """retrieval_eval's evaluation-side tables (qrels, per-query totals)
+    are evaluation-sized and must broadcast — the run-side pass is the
+    only distributed work. BroadcastHashJoin must appear; no cartesian."""
+    p = plan_of(spark, "retrieval_eval")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
