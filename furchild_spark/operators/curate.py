@@ -548,3 +548,82 @@ def retrieval_eval(
             ).alias("mrr"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection via importance resampling (arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+def dsir_select(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_target,
+    k: int = 50,
+) -> DataFrame:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169): pick the raw-corpus
+    documents whose hashed n-gram profile looks most like a target
+    domain. Features are unigrams ∪ bigrams hashed into 256 buckets
+    (md5 prefix — deterministic and engine-portable); each bucket gets
+    an importance log-ratio ``ln(p̂(b)/q̂(b))`` between the target and
+    raw bucket distributions (add-1 smoothed over OBSERVED buckets);
+    a raw document's weight is the sum of its feature rows' log-ratios.
+    The paper resamples with Gumbel noise; this implementation takes
+    the deterministic top-k by ``(logw DESC, id ASC)`` — same selection
+    pressure, hash-reproducible.
+
+    Shape at 100 TB: one feature explode → ONE 256-group aggregate
+    (map-side combined; the bucket table is vocabulary-free and tiny by
+    construction), totals roll up from those 256 rows, the log-ratio
+    table broadcasts back onto the raw side's feature rows, one doc
+    agg, and the selection is orderBy+limit — TakeOrderedAndProject,
+    never a SinglePartition window.
+
+    Parity: bucket counts and totals are exact integers; the log-ratio
+    is ``ln`` of ONE division of two exact integer products (cp·tq,
+    cq·tp — both < 2^53), rounded to 6 dp; per-doc sums are
+    DECIMAL(18,6).
+
+    ``is_target`` is a boolean Column splitting target from raw.
+    Output: the k selected raw docs ``(id, n_feats, logw)``.
+    """
+    staged = docs.select(
+        F.col(id_col), is_target.alias("__tgt"), tokens(text_col).alias("__t")
+    )
+    from .text import shingles
+
+    feats = staged.select(
+        F.col(id_col),
+        "__tgt",
+        F.explode(F.concat("__t", shingles("__t", 2))).alias("__feat"),
+    ).select(
+        F.col(id_col), "__tgt",
+        F.substring(F.md5("__feat"), 1, 2).alias("bucket"),
+    )
+    bc = feats.groupBy("bucket").agg(
+        (F.sum(F.when(F.col("__tgt"), 1).otherwise(0)) + F.lit(1)).alias("cp"),
+        (F.sum(F.when(~F.col("__tgt"), 1).otherwise(0)) + F.lit(1)).alias("cq"),
+    )
+    tot = bc.agg(F.sum("cp").alias("tp"), F.sum("cq").alias("tq"))
+    lr = bc.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log(
+                (F.col("cp") * F.col("tq")).cast("double")
+                / ((F.col("cq") * F.col("tp")).cast("double"))
+            ),
+            6,
+        ).alias("logratio"),
+    )
+    weights = (
+        feats.filter(~F.col("__tgt"))
+        .join(F.broadcast(lr), on="bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum(F.col("logratio").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("logw"),
+        )
+    )
+    return weights.orderBy(F.desc("logw"), F.asc(id_col)).limit(k)

@@ -710,3 +710,59 @@ def temperature_resample(spark, sf_dir):
         .agg(F.count(F.when(kept, 1)).alias("n_kept"))
         .select("source", "n_docs", "n_kept", "rate")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance-resampling selection (paper: arXiv:2302.03169)
+# ---------------------------------------------------------------------------
+
+@query(
+    "dsir_select",
+    section="LLM-curation DSIR domain selection (hashed n-gram importance "
+    "log-ratios, deterministic top-k; public paper arXiv:2302.03169, no "
+    "reference counterpart)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, source, {_TOKS} AS t FROM documents),
+feat AS (
+  SELECT doc_id, source, unnest(
+    list_concat(t,
+      list_transform(range(1, CASE WHEN len(t) >= 2 THEN len(t) ELSE 1 END),
+                     i -> t[i] || ' ' || t[i+1]))) AS feat
+  FROM tok
+),
+fb AS (SELECT doc_id, source, substr(md5(feat), 1, 2) AS bucket FROM feat),
+bc AS (
+  SELECT bucket,
+    SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) + 1 AS cp,
+    SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) + 1 AS cq
+  FROM fb GROUP BY bucket
+),
+tot AS (SELECT SUM(cp) AS tp, SUM(cq) AS tq FROM bc),
+lr AS (
+  SELECT bucket,
+    round(ln(CAST(cp * tq AS DOUBLE) / CAST(cq * tp AS DOUBLE)), 6) AS logratio
+  FROM bc CROSS JOIN tot
+),
+w AS (
+  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+    CAST(SUM(CAST(logratio AS DECIMAL(18,6))) AS DOUBLE) AS logw
+  FROM fb JOIN lr USING (bucket)
+  WHERE fb.source <> 'src0'
+  GROUP BY fb.doc_id
+)
+SELECT doc_id, n_feats, logw FROM w ORDER BY logw DESC, doc_id ASC LIMIT 50
+""",
+)
+def dsir_select(spark, sf_dir):
+    """DSIR selection (operators/curate.dsir_select): target = the
+    'src0' domain, raw = every other source; the 50 raw docs whose
+    hashed unigram∪bigram profile is most target-like win. ONE feature
+    explode feeds a 256-group aggregate (map-side combined, vocabulary-
+    free by construction); the log-ratio table broadcasts back onto the
+    raw feature rows; selection is orderBy+limit → TakeOrderedAndProject
+    (never a SinglePartition window). The oracle rebuilds buckets,
+    smoothing, totals, and the top-k relationally."""
+    d = table(spark, sf_dir, "documents")
+    return curate.dsir_select(
+        d, "doc_id", "text", is_target=F.col("source") == "src0", k=50
+    )

@@ -646,3 +646,14 @@ def test_retrieval_eval_broadcasts_judgments(spark):
     p = plan_of(spark, "retrieval_eval")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_dsir_selection_is_takeordered_not_window(spark):
+    """DSIR's top-k must compile to TakeOrderedAndProject (distributed
+    partial top-k), never a SinglePartition row_number window; the 1-row
+    totals crossJoin is a broadcast scalar (BNLJ allowed), and the
+    log-ratio table must broadcast back onto the feature rows."""
+    p = plan_of(spark, "dsir_select")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
