@@ -627,3 +627,53 @@ def dsir_select(
         )
     )
     return weights.orderBy(F.desc("logw"), F.asc(id_col)).limit(k)
+
+
+def rrf_fuse(runs: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009):
+    combine any number of ranked runs into one hybrid ranking with
+    ``score(d) = Σ_runs 1/(c + rank_run(d))`` — the standard way to fuse
+    lexical (BM25) and vector (ANN) retrieval without score calibration,
+    since only RANKS enter the formula.
+
+    Each run is ``(query_id, rank, doc_id)``. Runs are top-k-sized
+    (evaluation-scale, ≪ corpus), so the fusion is one unionByName →
+    groupBy over at most ``len(runs)·k`` rows per query; the per-query
+    re-rank window partitions on query_id — never SinglePartition.
+
+    Parity: 1/(c+rank) is one division of exact integers, rounded to
+    6 dp and summed as DECIMAL(18,6) (order-independent; double
+    addition across runs is not associative). Ties break by doc id.
+    """
+    from functools import reduce
+
+    unioned = reduce(
+        DataFrame.unionByName,
+        [r.select("query_id", "rank", "doc_id") for r in runs],
+    )
+    fused = (
+        unioned.select(
+            "query_id",
+            "doc_id",
+            F.round(
+                F.lit(1.0) / (F.lit(c) + F.col("rank")).cast("double"), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("__part"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("__part").cast("double").alias("rrf_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "doc_id",
+            "rrf_score",
+        )
+    )

@@ -2252,3 +2252,123 @@ def retrieval_eval(spark, sf_dir):
         .select("query_id", "doc_id")
     )
     return curate.retrieval_eval(runs, qrels, k=10).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal Rank Fusion (hybrid retrieval; Cormack/Clarke/Büttcher 2009)
+# ---------------------------------------------------------------------------
+
+@query(
+    "rrf_hybrid_topk",
+    section="LLM-retrieval hybrid rank fusion (RRF of the BM25 run and a "
+    "pure-tf run; rank-only fusion needs no score calibration — SIGIR 2009 "
+    "public algorithm, no reference counterpart)",
+    oracle=f"""
+WITH q(query_id, term) AS (VALUES {_BM25_VALUES}),
+tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM tok),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+  FROM dl
+), tfr AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(t) AS token FROM tok)
+  WHERE token IN (SELECT term FROM q)
+  GROUP BY doc_id, token
+), idf AS (
+  SELECT token,
+    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+  FROM (SELECT token, CAST(COUNT(*) AS DOUBLE) AS df FROM tfr GROUP BY token)
+  CROSS JOIN stats
+), scored AS (
+  SELECT q.query_id, tfr.doc_id,
+    CAST(SUM(CAST(round(
+      idf.idf * (CAST(tf AS DOUBLE) * 2.2)
+      / (CAST(tf AS DOUBLE)
+         + 1.2 * (1.0 - 0.75 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+    6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+  FROM (SELECT DISTINCT query_id, term FROM q) q
+  JOIN tfr ON q.term = tfr.token
+  JOIN idf ON idf.token = tfr.token
+  JOIN dl ON dl.doc_id = tfr.doc_id
+  CROSS JOIN stats
+  GROUP BY q.query_id, tfr.doc_id
+),
+runs_a AS (
+  SELECT query_id, rank, doc_id FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 10
+),
+tfq AS (
+  SELECT q.query_id, tfr.doc_id, SUM(tfr.tf) AS tfsum
+  FROM (SELECT DISTINCT query_id, term FROM q) q
+  JOIN tfr ON q.term = tfr.token
+  GROUP BY q.query_id, tfr.doc_id
+),
+runs_b AS (
+  SELECT query_id, rank, doc_id FROM (
+    SELECT query_id, doc_id,
+      row_number() OVER (
+        PARTITION BY query_id ORDER BY tfsum DESC, doc_id ASC) AS rank
+    FROM tfq
+  ) WHERE rank <= 10
+),
+u AS (
+  SELECT query_id, doc_id, rank FROM runs_a
+  UNION ALL
+  SELECT query_id, doc_id, rank FROM runs_b
+),
+f AS (
+  SELECT query_id, doc_id,
+    CAST(SUM(CAST(round(CAST(1 AS DOUBLE) / CAST(60 + rank AS DOUBLE), 6)
+                  AS DECIMAL(18,6))) AS DOUBLE) AS rrf_score
+  FROM u GROUP BY query_id, doc_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, rrf_score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id ASC) AS rank
+  FROM f
+) WHERE rank <= 10
+""",
+)
+def rrf_hybrid_topk(spark, sf_dir):
+    """Hybrid retrieval: fuse the BM25 run with a pure term-frequency
+    run via RRF (operators/curate.rrf_fuse). Both runs derive from
+    query-term-semi-filtered corpus explodes (the only distributed
+    work); the fusion itself operates on top-k-sized runs — a
+    unionByName + one tiny groupBy + a query-partitioned re-rank
+    window. Rank-only fusion is what production hybrid search does
+    when lexical and vector scores live on incomparable scales."""
+    from pyspark.sql import Window
+
+    from furchild_spark.operators import curate
+
+    d = table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(_BM25_QUERIES, "query_id string, term string")
+    run_a = curate.bm25_topk(d, "doc_id", "text", queries, k=10).select(
+        "query_id", "rank", "doc_id"
+    )
+    qd = queries.dropDuplicates(["query_id", "term"])
+    qterms = qd.select(F.col("term").alias("token")).distinct()
+    tf = (
+        d.select(F.col("doc_id"), F.explode(text.tokens("text")).alias("token"))
+        .join(F.broadcast(qterms), on="token", how="left_semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tfq = (
+        tf.join(F.broadcast(qd), tf.token == qd.term)
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("tf").alias("tfsum"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("tfsum"), F.asc("doc_id"))
+    run_b = (
+        tfq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "rank", "doc_id")
+    )
+    return curate.rrf_fuse([run_a, run_b], k=10, c=60)

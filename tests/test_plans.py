@@ -657,3 +657,14 @@ def test_dsir_selection_is_takeordered_not_window(spark):
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_rrf_fusion_windows_are_query_partitioned(spark):
+    """RRF's re-rank (and both source-run ranks) must partition by
+    query_id — a SinglePartition window over the fused runs would
+    serialize hybrid search; the catalog-wide lint also covers this,
+    but the fusion is new enough to pin explicitly. No cartesian."""
+    p = plan_of(spark, "rrf_hybrid_topk")
+    assert "CartesianProduct" not in p
+    assert "hashpartitioning(query_id" in p
+    assert "SinglePartition, Window" not in p
