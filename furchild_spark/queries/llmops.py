@@ -2372,3 +2372,80 @@ def rrf_hybrid_topk(spark, sf_dir):
         .select("query_id", "rank", "doc_id")
     )
     return curate.rrf_fuse([run_a, run_b], k=10, c=60)
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail bucketing (quality-gated corpus partitioning)
+# ---------------------------------------------------------------------------
+
+@query(
+    "ccnet_buckets",
+    section="LLM-quality CCNet corpus bucketing (head/middle/tail by "
+    "LM cross-entropy quartiles — the composition of bigram_lm_score "
+    "with exact percentile thresholds; arXiv:1911.00359 §4.3)",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id,
+    unnest(list_transform(
+      range(1, CASE WHEN len(t) >= 2 THEN len(t) ELSE 1 END),
+      i -> t[i] || ' ' || t[i+1])) AS bg
+  FROM tok
+),
+model AS (SELECT bg, COUNT(*) AS cb FROM bg GROUP BY bg),
+ctx AS (
+  SELECT string_split(bg, ' ')[1] AS w1, SUM(cb) AS cu
+  FROM model GROUP BY string_split(bg, ' ')[1]
+),
+lp AS (
+  SELECT model.bg,
+    round(ln(CAST(cu AS DOUBLE) / CAST(cb AS DOUBLE)), 6) AS logp
+  FROM model JOIN ctx ON string_split(model.bg, ' ')[1] = ctx.w1
+),
+per_doc AS (
+  SELECT g.doc_id,
+    round(CAST(SUM(CAST(logp AS DECIMAL(18,6))) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE), 6) AS cross_entropy
+  FROM bg g JOIN lp ON g.bg = lp.bg
+  GROUP BY g.doc_id
+),
+th AS (
+  SELECT
+    CAST(percentile_cont(0.25) WITHIN GROUP (ORDER BY cross_entropy) AS DOUBLE) AS t1,
+    CAST(percentile_cont(0.75) WITHIN GROUP (ORDER BY cross_entropy) AS DOUBLE) AS t2
+  FROM per_doc
+)
+SELECT d.doc_id, p.cross_entropy,
+  CASE WHEN p.cross_entropy IS NULL THEN 'tail'
+       WHEN p.cross_entropy <= th.t1 THEN 'head'
+       WHEN p.cross_entropy <= th.t2 THEN 'middle'
+       ELSE 'tail' END AS bucket
+FROM documents d
+LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+CROSS JOIN th
+""",
+)
+def ccnet_buckets(spark, sf_dir):
+    """CCNet's corpus partitioning: score every doc with the bigram-LM
+    cross-entropy (text.bigram_lm_score), then split head/middle/tail
+    at the exact 25th/75th percentiles — low entropy = fluent = head,
+    exactly the axis CCNet trains on. The thresholds are ONE exact
+    percentile aggregate (1-row broadcast back onto the corpus — never
+    a global sort or SinglePartition window); short docs without a
+    score land in tail. Composition proof: the same operator output
+    feeds a second statistic without re-tokenizing."""
+    d = table(spark, sf_dir, "documents")
+    scores = text.bigram_lm_score(d, "doc_id", "text")
+    th = scores.filter(F.col("cross_entropy").isNotNull()).agg(
+        F.percentile("cross_entropy", F.lit(0.25)).alias("t1"),
+        F.percentile("cross_entropy", F.lit(0.75)).alias("t2"),
+    )
+    return scores.crossJoin(F.broadcast(th)).select(
+        "doc_id",
+        "cross_entropy",
+        F.when(F.col("cross_entropy").isNull(), "tail")
+        .when(F.col("cross_entropy") <= F.col("t1"), "head")
+        .when(F.col("cross_entropy") <= F.col("t2"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
