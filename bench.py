@@ -223,16 +223,26 @@ def main() -> None:
     retried = [runs for runs in history.values() if len(runs) >= 3]
     nonconverged = sum(1 for runs in retried if _spread_bad(runs))
     nonconverged_frac = round(nonconverged / max(len(retried), 1), 3)
+    # Budget starvation is a distinct failure from noise: an entry that
+    # only ever got ONE run still carries its codegen compilation (~1 s
+    # even on trivial plans, 30+ s when a GC spike lands on it), so a
+    # sweep whose catalog outgrew the wall budget produces inflated
+    # minima with a clean nonconverged_frac — exactly the record that
+    # must NOT overwrite the committed baseline. Flag it honestly.
+    single_runs = sum(1 for runs in history.values() if len(runs) < 2)
+    single_run_frac = round(single_runs / max(len(history), 1), 3)
     contended = bool(
         foreign_jvms > 0
         or load_start > 0.25 * cpus
         or nonconverged_frac > 0.2
+        or single_run_frac > 0.2
     )
     env = {
         "cpus": cpus,
         "loadavg_start": round(load_start, 2),
         "foreign_jvms": foreign_jvms,
         "nonconverged_frac": nonconverged_frac,
+        "single_run_frac": single_run_frac,
         "contended": contended,
     }
 

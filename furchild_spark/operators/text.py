@@ -342,3 +342,102 @@ def bigram_lm_score(
             "cross_entropy",
         )
     )
+
+
+def bpe_train(docs: DataFrame, text_col: str = "text", rounds: int = 5) -> DataFrame:
+    """BPE vocabulary induction (Sennrich, Haddow & Birch 2015,
+    arXiv:1508.07909) as distributed relational iteration: learn the
+    first ``rounds`` merge rules over the corpus.
+
+    The corpus is touched ONCE — the initial word-type count (explode →
+    groupBy). Every subsequent round operates on the word-TYPE table
+    (vocabulary-sized, ≪ corpus — exactly how real BPE trainers work),
+    so 100 TB of text costs one token shuffle plus vocab-bounded
+    iteration. Per round: (1) adjacent symbol pairs come from an IN-ROW
+    zip_with over each word's symbol array, weighted by word frequency
+    (map-side combined groupBy); (2) the best pair is a deterministic
+    TakeOrdered(1) — ``(count DESC, s1 ASC, s2 ASC)`` — broadcast back;
+    (3) the merge applies as an IN-ROW ``F.aggregate`` fold implementing
+    single-pass greedy left-to-right non-overlapping replacement (the
+    fold merges when the accumulator's last element equals p1 and the
+    incoming symbol equals p2; a just-merged token is ``p1+p2`` ≠ ``p1``,
+    so cascade merges within a round are impossible — byte-for-byte the
+    scan semantics every BPE implementation uses). The word table is
+    ``localCheckpoint``-ed per round so the plan does not grow with the
+    round count (the connected-components pattern).
+
+    Output: the learned merge table ``(round, p1, p2, pair_count)`` —
+    one row per round. If any round's count, tie-break, or greedy
+    application diverged, every later row diverges too, so the tiny
+    output certifies the whole training trajectory.
+    """
+    words = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    cur = words.select(
+        "word",
+        "freq",
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.col("word").substr(i, F.lit(1)),
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merge_rows = []
+    for r in range(1, rounds + 1):
+        pair_arr = F.zip_with(
+            F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1),
+            F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1),
+            lambda a, b: F.struct(a.alias("s1"), b.alias("s2")),
+        )
+        best = (
+            cur.select("freq", F.explode(pair_arr).alias("pr"))
+            .groupBy(F.col("pr.s1").alias("s1"), F.col("pr.s2").alias("s2"))
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("s1"), F.asc("s2"))
+            .limit(1)
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).cast("long").alias("round"),
+                F.col("s1").alias("p1"),
+                F.col("s2").alias("p2"),
+                F.col("cnt").cast("long").alias("pair_count"),
+            )
+        )
+        bc = F.broadcast(
+            best.select(
+                F.col("s1").alias("__p1"),
+                F.col("s2").alias("__p2"),
+            )
+        )
+        merged_tok = F.concat(F.col("__p1"), F.col("__p2"))
+        cur = (
+            cur.crossJoin(bc)
+            .select(
+                "word",
+                "freq",
+                F.aggregate(
+                    "syms",
+                    F.array().cast("array<string>"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.col("__p1"))
+                        & (s == F.col("__p2")),
+                        F.concat(
+                            F.slice(acc, F.lit(1), F.size(acc) - 1),
+                            F.array(merged_tok),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))).alias("acc"),
+                ).alias("syms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out

@@ -2449,3 +2449,104 @@ def ccnet_buckets(spark, sf_dir):
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (paper: arXiv:1508.07909) — relational iteration
+# ---------------------------------------------------------------------------
+
+def _bpe_round_ctes(r: int) -> str:
+    """One unrolled BPE round as DuckDB CTEs (mirrors the pagerank
+    oracle's unrolled-iteration technique). words{r} -> b{r} (best pair)
+    and words{r+1} (post-merge symbol arrays, positional greedy)."""
+    return f"""
+p{r} AS (
+  SELECT pr.s1 AS s1, pr.s2 AS s2, SUM(freq) AS cnt FROM (
+    SELECT freq, unnest(list_transform(range(1, len(syms)),
+      i -> struct_pack(s1 := syms[i], s2 := syms[i+1]))) AS pr
+    FROM words{r}
+  ) GROUP BY pr.s1, pr.s2
+),
+b{r} AS (SELECT s1, s2, cnt FROM p{r} ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1),
+pos{r} AS (
+  SELECT word, freq, pr.i AS i, pr.s AS s
+  FROM (SELECT word, freq,
+        unnest(list_transform(range(1, len(syms)+1),
+               i -> struct_pack(i := i, s := syms[i]))) AS pr
+        FROM words{r})
+),
+mk{r} AS (
+  SELECT word, freq, i, s,
+    CASE WHEN s = (SELECT s1 FROM b{r})
+          AND lead(s) OVER (PARTITION BY word ORDER BY i) = (SELECT s2 FROM b{r})
+         THEN 1 ELSE 0 END AS m
+  FROM pos{r}
+),
+isl{r} AS (
+  SELECT *, i - row_number() OVER (PARTITION BY word, m ORDER BY i) AS grp
+  FROM mk{r}
+),
+sel{r} AS (
+  SELECT *, CASE WHEN m = 1
+    AND (i - MIN(i) OVER (PARTITION BY word, m, grp)) % 2 = 0
+    THEN 1 ELSE 0 END AS keep
+  FROM isl{r}
+),
+ap{r} AS (
+  SELECT word, freq, i, s, keep,
+    lead(s) OVER (PARTITION BY word ORDER BY i) AS ns,
+    lag(keep) OVER (PARTITION BY word ORDER BY i) AS pk
+  FROM sel{r}
+),
+words{r+1} AS (
+  SELECT word, freq,
+    list(CASE WHEN keep = 1 THEN s || ns ELSE s END ORDER BY i)
+      FILTER (WHERE pk IS NULL OR pk = 0) AS syms
+  FROM ap{r} GROUP BY word, freq
+)"""
+
+
+_BPE_ROUNDS = 5
+
+_BPE_ORACLE = (
+    f"""
+WITH tok AS (SELECT {_TOKS} AS t FROM documents),
+w0 AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(t) AS word FROM tok) GROUP BY word
+),
+words1 AS (
+  SELECT word, freq,
+    list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+  FROM w0
+),"""
+    + ",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, s1 AS p1, s2 AS p2,"
+        f" CAST(cnt AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+)
+
+
+@query(
+    "bpe_merges",
+    section="LLM-tokenizer BPE merge training (arXiv:1508.07909) as "
+    "relational iteration: corpus touched once, vocab-bounded rounds, "
+    "deterministic tie-breaks; no reference counterpart",
+    oracle=_BPE_ORACLE,
+)
+def bpe_merges(spark, sf_dir):
+    """First 5 BPE merge rules learned over the documents corpus
+    (operators/text.bpe_train). The corpus costs ONE token shuffle (the
+    word-type count); each round then runs on the vocabulary table:
+    in-row zip_with pair explode → map-side-combined count →
+    TakeOrdered(1) best pair broadcast → in-row greedy fold applying
+    the merge — localCheckpoint per round keeps the plan flat (the
+    connected-components pattern). The oracle replays every round
+    positionally (islands-and-parity greedy selection), so a diverged
+    count, tie-break, or merge application anywhere in the trajectory
+    breaks the hash."""
+    d = table(spark, sf_dir, "documents")
+    return text.bpe_train(d, "text", rounds=_BPE_ROUNDS)
