@@ -185,3 +185,90 @@ def stream_stream_join_e2e(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return mat.read_table(spark, out_path)
+
+
+@query(
+    "stateful_alerts_e2e",
+    section="§2.8 streaming: CUSTOM stateful operator via "
+    "applyInPandasWithState — per-user running totals + threshold alerts, "
+    "keyed state carried across real micro-batches, full SQL oracle",
+    oracle="""
+WITH e AS (
+  SELECT user_id, event_id, ts,
+    CAST(CAST(value AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mic
+  FROM events WHERE event_id < 2000
+)
+SELECT user_id, event_id,
+  CAST(row_number() OVER w AS BIGINT) AS seq,
+  CAST(SUM(mic) OVER w AS DOUBLE) / CAST(1000000 AS DOUBLE) AS cum_value,
+  ((SUM(mic) OVER w) - mic < 500000000 AND SUM(mic) OVER w >= 500000000)
+    AS crossed
+FROM e
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+)
+""",
+)
+def stateful_alerts_e2e(spark, sf_dir):
+    """The custom-stateful-operator proof (streaming/stateful.py): a
+    REAL availableNow stream (one file per micro-batch) through
+    applyInPandasWithState — per-user (seq, cum_micros) state crosses
+    the batch boundary — into a parquet sink, returned for the driver's
+    hash compare. Determinism: the two landed files partition the
+    events by EVENT TIME (every batch-1 row precedes every batch-2 row
+    within any user — file mtimes force the source order), rows are
+    sorted inside each batch, and the state is exact integer micros —
+    so the emitted stream equals the oracle's per-user running-window
+    batch computation, making a genuinely stateful streaming run fully
+    hash-checkable. Threshold 500.0 → ``crossed`` marks the first
+    crossing event per user."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from furchild_spark.streaming.stateful import run_stateful_alerts
+
+    base = _tempfile.mkdtemp(prefix="furchild_stateful_e2e_")
+    landing, out_path, ckpt = f"{base}/landing", f"{base}/out", f"{base}/ckpt"
+
+    cols = ["user_id", "event_id", "ts", "value"]
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(*cols)
+    )
+    split = "2024-01-04"
+    halves = [
+        ("b1", src.filter(F.col("ts") < F.lit(split).cast("timestamp"))),
+        ("b2", src.filter(F.col("ts") >= F.lit(split).cast("timestamp"))),
+    ]
+    _os.makedirs(landing, exist_ok=True)
+    for i, (name, df) in enumerate(halves):
+        tmp = f"{base}/stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{landing}/{name}.parquet"
+        _shutil.copy(part, dst)
+        # strictly increasing mtimes pin the file-source batch order
+        _os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_stateful_alerts(
+            spark,
+            src_dir=landing,
+            schema=src.schema,
+            out_path=out_path,
+            checkpoint_dir=ckpt,
+            threshold=500.0,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return spark.read.parquet(out_path).select(
+        "user_id", "event_id", "seq", "cum_value", "crossed"
+    )
