@@ -410,6 +410,12 @@ def test_catalog_wide_no_cartesian_products(spark):
         "kmv_vocab_overlap",  # broadcast ≤64-row base sketch replication
         "pagerank_trade",  # broadcast 1-row node-count scalar (per round)
         "bm25_topk",  # broadcast 1-row N/avgdl corpus scalars
+        "retrieval_eval",  # embeds the BM25 run → same 1-row scalars
+        "rrf_hybrid_topk",  # embeds the BM25 run → same 1-row scalars
+        "semdedup",  # 1-row centroid-array constant-key broadcast (ivf_assign)
+        "dsir_select",  # broadcast 1-row (tp, tq) smoothed-totals scalar
+        "ccnet_buckets",  # broadcast 1-row percentile-thresholds scalar
+        "bpe_merges",  # 1-row best-pair broadcast per round (checkpointed)
     }
     for name in QUERIES:
         if name.endswith("_e2e"):
