@@ -133,10 +133,18 @@ def main() -> None:
             return True
         if len(runs) < 2:
             return False  # a single run still carries codegen compilation
-        # two agreeing runs suffice even when both are phase-1: they were
-        # back-to-back, so run 2 was cache-warm — agreement means the
-        # entry is already at steady state and re-running it would only
-        # burn budget the still-descending entries need
+        # Two agreeing back-to-back runs can BOTH be pre-steady-state:
+        # JIT/GC warmup descends across several runs and is not the
+        # one-time codegen compile the 2-run rule was written for
+        # (measured: skewed_distinct_count [2.76, 2.71] agreeing at 8%,
+        # steady state 0.32 s after two more runs). Entries above a
+        # half-second floor therefore need a THIRD probe run — if it
+        # lands below the pair, the normal best-two rule keeps the
+        # session going until two runs agree near the true floor. The
+        # sub-0.5 s tail keeps 2-run acceptance (absolute error there is
+        # bounded by the floor itself).
+        if len(runs) == 2 and min(runs) >= 0.5:
+            return False
         a, b = sorted(runs)[:2]
         return b - a <= converged_tol * a
 
