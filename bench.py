@@ -74,7 +74,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
-    budget = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "390"))
+    # Default budget scales with the catalog: the fixed 390 s chosen at
+    # 97 entries starved phase 1 to single compile-inflated runs once the
+    # catalog hit ~190 (sum of first runs alone ≈ the old budget). 2.5 s
+    # per entry keeps two back-to-back runs feasible for the whole sweep;
+    # the env var still overrides for long converged baseline runs.
+    default_budget = max(390.0, 2.5 * len(QUERIES))
+    budget = float(
+        os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", str(default_budget))
+    )
     # Re-timing stops per query once its two best runs agree within
     # CONVERGED_TOL — pass 1 pays codegen compilation (often 3-7× the
     # steady state), so an entry needs 2-3 runs to reach its plan's real
