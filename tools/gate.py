@@ -61,8 +61,8 @@ def main(argv: list[str]) -> int:
             print(f"\nGATE RED: {label} failed — do NOT snapshot this tree.",
                   flush=True)
             return 1
-    print("\nGATE GREEN: full pytest + full oracle are clean at HEAD.",
-          flush=True)
+    what = "full oracle" if quick else "full pytest + full oracle"
+    print(f"\nGATE GREEN: {what} is clean at HEAD.", flush=True)
     return 0
 
 
