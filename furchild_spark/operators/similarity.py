@@ -980,3 +980,146 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dist")
     )
+
+
+def sq8_train(
+    corpus: DataFrame, vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Scalar-quantization trainer (FAISS's SQ8): per-dimension min/max
+    over the corpus, as ONE aggregate row — ``mins``/``maxs`` arrays —
+    broadcastable everywhere the codec is needed. Exact-decimal bounds
+    (the package-wide quantize domain) so encode is reproducible.
+
+    Library operator (pytest-proven; catalog entry planned next round —
+    the committed bench/sf1 records cover the frozen 194-entry catalog).
+    """
+    q = quantize(vec_col)
+    per_dim = [
+        F.min(F.element_at(q, i + 1)).alias(f"__mn{i}") for i in range(dim)
+    ] + [
+        F.max(F.element_at(q, i + 1)).alias(f"__mx{i}") for i in range(dim)
+    ]
+    return corpus.agg(*per_dim).select(
+        F.array(*[F.col(f"__mn{i}") for i in range(dim)]).alias("mins"),
+        F.array(*[F.col(f"__mx{i}") for i in range(dim)]).alias("maxs"),
+        F.lit(1).alias("__one"),
+    )
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    codec: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only int8 encode: ``code_i = round(255 · (q_i - mn_i) /
+    (mx_i - mn_i))`` (0 when the dimension is constant), computed
+    against the broadcast 1-row codec — zero corpus exchanges, 8×
+    smaller search payload. Integer arithmetic end-to-end: inputs are
+    the exact quantized longs, the scale is one double division in a
+    fixed operand order, and ``round`` half-ups to an int — the same
+    value in any engine."""
+    def code(c):
+        span = (c["mx"] - c["mn"]).cast("double")
+        scaled = F.when(
+            c["mx"] > c["mn"],
+            F.round((c["q"] - c["mn"]).cast("double") * 255.0 / span, 0),
+        ).otherwise(F.lit(0.0))
+        return scaled.cast("int")
+
+    zipped = F.zip_with(
+        F.zip_with(
+            quantize(vec_col), F.col("mins"),
+            lambda q, mn: F.struct(q.alias("q"), mn.alias("mn")),
+        ),
+        F.col("maxs"),
+        lambda s, mx: F.struct(
+            s["q"].alias("q"), s["mn"].alias("mn"), mx.alias("mx")
+        ),
+    )
+    return (
+        fanout(corpus)
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(codec), on="__one")
+        .select(
+            F.col(id_col),
+            F.transform(zipped, code).alias("codes"),
+        )
+    )
+
+
+def _sq8_decode(codes_col, mins_col, maxs_col):
+    """Reconstruction (ADC): ``x̂_i = mn_i + code_i · (mx_i - mn_i)/255``
+    in the quantized-long domain, as doubles. A raw code·code dot is NOT
+    monotone in the true dot — per-dimension shift (mn_i) and scale
+    (span_i) distort rankings badly on uncentered data (measured recall
+    ≈ 0 on the test corpus) — so SQ serving always decodes first,
+    exactly like FAISS's SQ8 ADC."""
+    paired = F.zip_with(
+        F.zip_with(
+            codes_col, mins_col,
+            lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
+        ),
+        maxs_col,
+        lambda s, mx: s["mn"].cast("double")
+        + s["c"].cast("double") * (mx - s["mn"]).cast("double") / F.lit(255.0),
+    )
+    return paired
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+) -> DataFrame:
+    """SQ8 ANN: codes are the stored artifact (8× smaller than the
+    quantized longs); at query time both sides decode in-row (ADC) and
+    similarity is the dot of reconstructions — monotone in the true dot
+    up to quantization error. Query codes broadcast (queries ≪ corpus);
+    the corpus side is map-only encode + per-row decode/fold; the only
+    exchange is the per-query top-k window. Rank ties break by
+    neighbor id."""
+    codec = sq8_train(corpus, vec_col, dim)
+    c = (
+        sq8_encode(corpus, codec, id_col, vec_col)
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(codec), on="__one")
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            _sq8_decode(F.col("codes"), F.col("mins"), F.col("maxs")).alias(
+                "c_dec"
+            ),
+        )
+    )
+    q = F.broadcast(
+        sq8_encode(queries, codec, id_col, vec_col)
+        .withColumn("__one", F.lit(1))
+        .join(F.broadcast(codec), on="__one")
+        .select(
+            F.col(id_col).alias("query_id"),
+            _sq8_decode(F.col("codes"), F.col("mins"), F.col("maxs")).alias(
+                "q_dec"
+            ),
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q_dec"), F.col("c_dec"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("adc_dot", dot)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("adc_dot"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "adc_dot")
+    )
