@@ -441,3 +441,58 @@ def bpe_train(docs: DataFrame, text_col: str = "text", rounds: int = 5) -> DataF
     for m in merge_rows[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_apply(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply learned BPE merge rules — the serving half of
+    :func:`bpe_train`. ``merges`` is the ordered rule list (p1, p2), the
+    tiny driver-side artifact a tokenizer ships (collect the ≤vocab-sized
+    merge table once; it is the model, like broadcast centroids). Each
+    document tokenizes, each word splits to characters, and every rule
+    applies IN ORDER as the same in-row greedy fold the trainer uses —
+    so train→apply round-trips bit-for-bit. Map-only: zero shuffles,
+    zero joins; at 100 TB this fuses into the scan projection.
+
+    Output: ``(id, bpe_tokens array<string>, n_tokens)`` — the packed
+    subword stream per document.
+    """
+    word_syms = lambda w: F.transform(  # noqa: E731
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+
+    def apply_rule(syms, p1: str, p2: str):
+        merged = F.lit(p1 + p2)
+        return F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (s == F.lit(p2)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+
+    def word_to_subwords(w):
+        syms = word_syms(w)
+        for p1, p2 in merges:
+            syms = apply_rule(syms, p1, p2)
+        return syms
+
+    return docs.select(
+        F.col(id_col),
+        F.flatten(
+            F.transform(tokens(text_col), word_to_subwords)
+        ).alias("bpe_tokens"),
+    ).select(
+        id_col,
+        "bpe_tokens",
+        F.size("bpe_tokens").cast("long").alias("n_tokens"),
+    )

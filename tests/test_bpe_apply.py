@@ -1,0 +1,34 @@
+"""bpe_apply: the serving half round-trips the trainer's merges."""
+
+from pyspark.sql import functions as F
+
+from furchild_spark.operators import text
+
+
+def test_bpe_apply_round_trips_training(spark):
+    docs = spark.createDataFrame(
+        [(1, "aaaa aaaa ab"), (2, "ab aaaa")], "doc_id long, text string"
+    )
+    merges = [
+        (r["p1"], r["p2"])
+        for r in text.bpe_train(docs, "text", rounds=3).orderBy("round").collect()
+    ]
+    assert merges == [("a", "a"), ("aa", "aa"), ("a", "b")]
+    out = {r["doc_id"]: r for r in
+           text.bpe_apply(docs, merges, "doc_id", "text").collect()}
+    # "aaaa" -> [aa,aa] -> [aaaa]; "ab" -> [ab]
+    assert out[1]["bpe_tokens"] == ["aaaa", "aaaa", "ab"]
+    assert out[2]["bpe_tokens"] == ["ab", "aaaa"]
+    assert out[1]["n_tokens"] == 3
+
+
+def test_bpe_apply_is_map_only(spark):
+    import contextlib, io
+
+    docs = spark.createDataFrame([(1, "hello world")], "doc_id long, text string")
+    df = text.bpe_apply(docs, [("l", "l"), ("h", "e")], "doc_id", "text")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p and "Join" not in p
