@@ -388,6 +388,17 @@ def semdedup(
     rounded cosine ≥ ``threshold`` — the keep-lowest-id rule every
     other dedup family member uses, so kept rows are deterministic.
 
+    Note the INTENTIONAL transitive over-removal relative to the
+    paper's keep-one-per-duplicate-group reading: a row is marked dup
+    against ANY lower-id same-cluster neighbor, including neighbors
+    that are themselves dropped (B dup-of-A and C dup-of-B-but-not-A
+    drops both B and C). This is the same pairwise rule the repo's
+    other dedup operators use — it is one self-join, deterministic,
+    and strictly more aggressive than group-representative pruning.
+    When fidelity to per-group keep-one matters, feed the pair list
+    through the connected-components operator and keep one id per
+    component instead.
+
     Output: one row per corpus vector ``(vec_id, cent_id, is_dup)`` —
     a keep/drop verdict, not just the pair list, so the result plugs
     straight into a curation pipeline filter.
@@ -1018,14 +1029,18 @@ def sq8_encode(
     smaller search payload. Integer arithmetic end-to-end: inputs are
     the exact quantized longs, the scale is one double division in a
     fixed operand order, and ``round`` half-ups to an int — the same
-    value in any engine."""
+    value in any engine. Codes are CLAMPED to [0, 255] (FAISS SQ8
+    semantics): a vector outside the trained per-dimension range — any
+    out-of-corpus query encoded with a corpus-trained codec — saturates
+    at the rails instead of escaping the int8 domain."""
     def code(c):
         span = (c["mx"] - c["mn"]).cast("double")
         scaled = F.when(
             c["mx"] > c["mn"],
             F.round((c["q"] - c["mn"]).cast("double") * 255.0 / span, 0),
         ).otherwise(F.lit(0.0))
-        return scaled.cast("int")
+        clamped = F.greatest(F.lit(0.0), F.least(F.lit(255.0), scaled))
+        return clamped.cast("int")
 
     zipped = F.zip_with(
         F.zip_with(
@@ -1067,6 +1082,26 @@ def _sq8_decode(codes_col, mins_col, maxs_col):
     return paired
 
 
+def _sq8_recon_scaled(codes_col, mins_col, maxs_col):
+    """Exact-integer reconstruction, scaled by 255:
+    ``r_i = 255·mn_i + code_i·(mx_i − mn_i)`` — a long, equal to
+    255 × the double decode above, so a dot of two reconstructions is
+    255² × the ADC dot and ranks IDENTICALLY. Keeping the whole serving
+    path in integers makes the ranking bit-reproducible across engines
+    (the package-wide never-sum-raw-doubles rule), which the double
+    fold in :func:`_sq8_decode` cannot guarantee."""
+    paired = F.zip_with(
+        F.zip_with(
+            codes_col, mins_col,
+            lambda c, mn: F.struct(c.alias("c"), mn.alias("mn")),
+        ),
+        maxs_col,
+        lambda s, mx: F.lit(255).cast("long") * s["mn"]
+        + s["c"].cast("long") * (mx - s["mn"]),
+    )
+    return paired
+
+
 def sq8_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -1076,12 +1111,14 @@ def sq8_topk(
     dim: int = 64,
 ) -> DataFrame:
     """SQ8 ANN: codes are the stored artifact (8× smaller than the
-    quantized longs); at query time both sides decode in-row (ADC) and
-    similarity is the dot of reconstructions — monotone in the true dot
-    up to quantization error. Query codes broadcast (queries ≪ corpus);
-    the corpus side is map-only encode + per-row decode/fold; the only
-    exchange is the per-query top-k window. Rank ties break by
-    neighbor id."""
+    quantized longs); at query time both sides reconstruct in-row (ADC,
+    exact integer — :func:`_sq8_recon_scaled`) and similarity is the
+    dot of reconstructions — monotone in the true dot up to
+    quantization error, and bit-identical in any engine (``adc_dot_scaled``
+    is 255²·10¹² × the real-valued ADC dot). Query codes broadcast
+    (queries ≪ corpus); the corpus side is map-only encode + per-row
+    reconstruct/fold; the only exchange is the per-query top-k window.
+    Rank ties break by neighbor id."""
     codec = sq8_train(corpus, vec_col, dim)
     c = (
         sq8_encode(corpus, codec, id_col, vec_col)
@@ -1089,9 +1126,9 @@ def sq8_topk(
         .join(F.broadcast(codec), on="__one")
         .select(
             F.col(id_col).alias("neighbor_id"),
-            _sq8_decode(F.col("codes"), F.col("mins"), F.col("maxs")).alias(
-                "c_dec"
-            ),
+            _sq8_recon_scaled(
+                F.col("codes"), F.col("mins"), F.col("maxs")
+            ).alias("c_rec"),
         )
     )
     q = F.broadcast(
@@ -1100,26 +1137,32 @@ def sq8_topk(
         .join(F.broadcast(codec), on="__one")
         .select(
             F.col(id_col).alias("query_id"),
-            _sq8_decode(F.col("codes"), F.col("mins"), F.col("maxs")).alias(
-                "q_dec"
-            ),
+            _sq8_recon_scaled(
+                F.col("codes"), F.col("mins"), F.col("maxs")
+            ).alias("q_rec"),
         )
     )
+    # decimal(38,0) accumulation: per-dim products fit a long on unit-ish
+    # embeddings but the fold stays exact for ANY corpus this way
     dot = F.aggregate(
-        F.zip_with(F.col("q_dec"), F.col("c_dec"), lambda a, b: a * b),
-        F.lit(0.0),
+        F.zip_with(
+            F.col("q_rec"),
+            F.col("c_rec"),
+            lambda a, b: a.cast("decimal(19,0)") * b.cast("decimal(19,0)"),
+        ),
+        F.lit(0).cast("decimal(38,0)"),
         lambda acc, x: acc + x,
     )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("adc_dot", dot)
+        .withColumn("adc_dot_scaled", dot.cast("long"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.desc("adc_dot"), F.asc("neighbor_id")
+        F.desc("adc_dot_scaled"), F.asc("neighbor_id")
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", "adc_dot")
+        .select("query_id", "rank", "neighbor_id", "adc_dot_scaled")
     )

@@ -2025,8 +2025,10 @@ def bm25_topk(spark, sf_dir):
     "arXiv:2303.09540, no reference counterpart)",
     oracle=f"""
 WITH e AS ({_IVF_E}),
+nc AS (SELECT greatest(8, count(*) * 800 // 6000000) AS n FROM lineitem),
 cent AS (
-  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id < 8
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
+  WHERE vec_id < (SELECT n FROM nc)
 ),
 assign AS (
   SELECT cent_id, vec_id, embedding, nrm FROM (
@@ -2066,10 +2068,14 @@ def semdedup(spark, sf_dir):
     num_centroids SCALES WITH THE CORPUS (the paper's own prescription):
     pair volume is Σ cluster_size², so the centroid count grows linearly
     with sf to hold cluster size ≈ 60 constant — 8 at the sf0.01 oracle
-    gate (matching the static oracle SQL's ``vec_id < 8``), 80 at the
-    sf0.1 bench, 800 at the 10× scale probe. Derived from the sf_dir
-    NAME, never a plan-time row probe (no Spark action during plan
-    construction)."""
+    gate, 80 at the sf0.1 bench, 800 at the 10× scale probe. Derived
+    from the sf_dir NAME, never a plan-time row probe (no Spark action
+    during plan construction). The oracle derives the SAME count
+    relationally — ``greatest(8, |lineitem|·800/6e6)``, and lineitem is
+    exactly 6M·sf rows in every generated tree — so pointing
+    SPARK_GRAFT_TEST_SF_DIR at any sf keeps Spark and DuckDB agreeing
+    on the centroid set (round-8 advice fix; previously the SQL
+    hardcoded ``vec_id < 8`` and only matched at sf0.01)."""
     import re as _re
 
     m = _re.search(r"sf([0-9.]+)", sf_dir or "")
@@ -2508,7 +2514,10 @@ words{r+1} AS (
 
 _BPE_ROUNDS = 5
 
-_BPE_ORACLE = (
+# the trainer CTE chain (tok → w0 → words1 → rounds 1..5, ending at
+# words6 = every vocab word's post-merge symbol array), reused verbatim
+# by the bpe_apply oracle so train→apply replays end-to-end
+_BPE_CTES = (
     f"""
 WITH tok AS (SELECT {_TOKS} AS t FROM documents),
 w0 AS (
@@ -2521,6 +2530,10 @@ words1 AS (
   FROM w0
 ),"""
     + ",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1))
+)
+
+_BPE_ORACLE = (
+    _BPE_CTES
     + "\n"
     + "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS BIGINT) AS round, s1 AS p1, s2 AS p2,"
@@ -2550,3 +2563,207 @@ def bpe_merges(spark, sf_dir):
     breaks the hash."""
     d = table(spark, sf_dir, "documents")
     return text.bpe_train(d, "text", rounds=_BPE_ROUNDS)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (FAISS's SQ8 codec) — train / encode / ADC top-k
+# ---------------------------------------------------------------------------
+
+# shared oracle chain: quantized vectors -> per-dim min/max -> codec arrays
+# -> clamped uint8 codes (mirrors similarity.sq8_train / sq8_encode)
+_SQ8_CTES = f"""
+WITH q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+dims AS (
+  SELECT CAST(d.i AS BIGINT) AS dim, MIN(qv[d.i+1]) AS mn, MAX(qv[d.i+1]) AS mx
+  FROM q, (SELECT unnest(range(0, 64)) AS i) d
+  GROUP BY d.i
+),
+cdc AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM dims),
+codes AS (
+  SELECT vec_id,
+    list_transform(range(0, 64), i ->
+      CASE WHEN maxs[i+1] > mins[i+1] THEN
+        CAST(greatest(0.0, least(255.0,
+          round(CAST(qv[i+1] - mins[i+1] AS DOUBLE) * 255.0
+                / CAST(maxs[i+1] - mins[i+1] AS DOUBLE), 0))) AS BIGINT)
+      ELSE 0 END) AS codes
+  FROM q CROSS JOIN cdc
+)"""
+
+
+@query(
+    "sq8_codec",
+    section="LLM-similarity SQ8 scalar-quantization training: per-dimension "
+    "min/max codec over the corpus (FAISS SQ8; no reference counterpart)",
+    oracle=_SQ8_CTES + """
+SELECT dim, mn, mx FROM dims
+""",
+)
+def sq8_codec(spark, sf_dir):
+    """The SQ8 training artifact (operators/similarity.sq8_train): 128
+    exact-integer min/max aggregates over the quantized corpus in ONE
+    map-side-combined pass — the whole codec is a single row, the thing
+    you broadcast everywhere encode/serve happens. Unrolled here to 64
+    (dim, mn, mx) rows for the scalar-schema hash gate."""
+    e = table(spark, sf_dir, "embeddings")
+    codec = similarity.sq8_train(e, "embedding", dim=64)
+    return codec.select(
+        F.posexplode(F.arrays_zip("mins", "maxs")).alias("dim", "mm")
+    ).select(
+        F.col("dim").cast("long").alias("dim"),
+        F.col("mm.mins").alias("mn"),
+        F.col("mm.maxs").alias("mx"),
+    )
+
+
+@query(
+    "sq8_codes",
+    section="LLM-similarity SQ8 encode: map-only clamped uint8 codes "
+    "against the broadcast codec (8x smaller search payload)",
+    oracle=_SQ8_CTES + """
+SELECT vec_id,
+  lower(array_to_string(list_transform(codes, c -> lpad(to_hex(c), 2, '0')), ''))
+    AS codes_hex
+FROM codes
+""",
+)
+def sq8_codes(spark, sf_dir):
+    """Corpus encode (operators/similarity.sq8_encode): one broadcast
+    join against the 1-row codec, then a pure in-row transform — zero
+    corpus exchanges, exactly the shape that fuses into the scan at
+    100 TB. Codes are clamped to [0, 255] (FAISS semantics), so even an
+    out-of-range vector stays int8. The 64 codes serialize as one
+    128-char hex string: full-fidelity scalar output for the hash gate."""
+    e = table(spark, sf_dir, "embeddings")
+    codec = similarity.sq8_train(e, "embedding", dim=64)
+    codes = similarity.sq8_encode(e, codec, "vec_id", "embedding")
+    return codes.select(
+        "vec_id",
+        F.lower(
+            F.concat_ws(
+                "", F.transform("codes", lambda c: F.lpad(F.hex(c), 2, "0"))
+            )
+        ).alias("codes_hex"),
+    )
+
+
+_SQ8_QUERY_IDS = (1, 7, 13)
+
+
+@query(
+    "ann_sq8_topk",
+    section="LLM-similarity ANN via SQ8 asymmetric distance: both sides "
+    "reconstruct from codes in-row, exact-integer dot, per-query top-k",
+    oracle=_SQ8_CTES + f""",
+rec AS (
+  SELECT c.vec_id,
+    list_transform(range(0, 64), i ->
+      255 * mins[i+1] + c.codes[i+1] * (maxs[i+1] - mins[i+1])) AS r
+  FROM codes c CROSS JOIN cdc
+),
+sel AS (SELECT vec_id AS query_id, r AS rq FROM rec WHERE vec_id IN {_SQ8_QUERY_IDS}),
+scored AS (
+  SELECT s.query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> CAST(s.rq[i] AS HUGEINT) * c.r[i])) AS BIGINT) AS adc_dot_scaled
+  FROM sel s CROSS JOIN rec c
+  WHERE c.vec_id <> s.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dot_scaled
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dot_scaled DESC, neighbor_id ASC
+  ) AS rank FROM scored
+) WHERE rank <= 5
+""",
+)
+def ann_sq8_topk(spark, sf_dir):
+    """SQ8 serving (operators/similarity.sq8_topk): train + encode as
+    above, then ADC — both sides reconstruct ``r_i = 255·mn_i +
+    code_i·span_i`` (exact longs, 255× the decoded value) and rank by
+    the integer dot of reconstructions, decimal(38,0)-accumulated so the
+    ranking is bit-reproducible in any engine. Query codes broadcast
+    (queries ≪ corpus); the corpus side is map-only; the only exchange
+    is the per-query top-k window. The oracle re-derives codec, codes,
+    reconstructions, and ranks relationally — a diverged clamp, round,
+    or tie-break anywhere breaks the hash."""
+    e = table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id").isin(*_SQ8_QUERY_IDS))
+    out = similarity.sq8_topk(
+        e, queries, "vec_id", "embedding", k=5, dim=64
+    )
+    return out.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "adc_dot_scaled",
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE apply — the serving half of bpe_merges (arXiv:1508.07909)
+# ---------------------------------------------------------------------------
+
+_BPE_RULES_CACHE: dict[str, list] = {}
+
+
+def _bpe_rules(spark, sf_dir):
+    """Train once per sf_dir and collect the 5-rule merge list — the
+    tokenizer model artifact (≤vocab-sized, like the PQ codebook cache
+    above); deterministic, so memoizing is safe."""
+    if sf_dir not in _BPE_RULES_CACHE:
+        rows = text.bpe_train(
+            table(spark, sf_dir, "documents"), "text", rounds=_BPE_ROUNDS
+        ).collect()
+        rows.sort(key=lambda r: r["round"])
+        _BPE_RULES_CACHE[sf_dir] = [(r["p1"], r["p2"]) for r in rows]
+    return _BPE_RULES_CACHE[sf_dir]
+
+
+@query(
+    "bpe_apply",
+    section="LLM-tokenizer BPE apply: learned merge rules replayed over "
+    "every document as an in-row greedy fold (map-only serving path)",
+    oracle=_BPE_CTES + f""",
+dtok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok_pos AS (
+  SELECT doc_id, u.i AS i, u.w AS w
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(t)+1),
+                 i -> struct_pack(i := i, w := t[i]))) AS u
+        FROM dtok)
+),
+sub AS (
+  SELECT tp.doc_id, tp.i, w6.syms
+  FROM tok_pos tp JOIN words{_BPE_ROUNDS + 1} w6 ON w6.word = tp.w
+),
+per_doc AS (
+  SELECT doc_id, flatten(list(syms ORDER BY i)) AS toks
+  FROM sub GROUP BY doc_id
+)
+SELECT d.doc_id,
+  coalesce(array_to_string(p.toks, ' '), '') AS bpe_text,
+  CAST(coalesce(len(p.toks), 0) AS BIGINT) AS n_tokens
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+""",
+)
+def bpe_apply(spark, sf_dir):
+    """Tokenize every document with the rules bpe_merges learned
+    (operators/text.bpe_apply): the merge list is the collected 5-row
+    model artifact; application is a pure in-row greedy fold per word —
+    map-only, zero shuffles, the shape that fuses into the scan
+    projection at 100 TB. The oracle replays the ENTIRE train→apply
+    path: it re-derives the merge rules with the trainer CTE chain
+    (islands-and-parity greedy — proven fold-equivalent by the green
+    bpe_merges entry) and maps each document's token stream through the
+    post-merge vocabulary, so a diverged rule OR a diverged application
+    anywhere breaks the hash. Subword stream serializes as a
+    space-joined string (tokens are whitespace-split, so ' ' cannot
+    occur inside a subword)."""
+    d = table(spark, sf_dir, "documents")
+    out = text.bpe_apply(d, _bpe_rules(spark, sf_dir), "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+        "n_tokens",
+    )

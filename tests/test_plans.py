@@ -416,6 +416,10 @@ def test_catalog_wide_no_cartesian_products(spark):
         "dsir_select",  # broadcast 1-row (tp, tq) smoothed-totals scalar
         "ccnet_buckets",  # broadcast 1-row percentile-thresholds scalar
         "bpe_merges",  # 1-row best-pair broadcast per round (checkpointed)
+        "sq8_codec",   # 1-row min/max codec broadcast (train artifact)
+        "sq8_codes",   # same 1-row codec broadcast on the encode path
+        "ann_sq8_topk",  # 1-row codec + broadcast query codes (ADC serving)
+        "bpe_apply",   # 1-row best-pair broadcast inside the embedded trainer
     }
     for name in QUERIES:
         if name.endswith("_e2e"):
@@ -642,7 +646,12 @@ def test_ngram_lm_model_rollup_reuses_aggregated_table(spark):
     hashpartitioning(bg) exchange and zero SinglePartition windows."""
     p = plan_of(spark, "ngram_lm_score")
     assert "hashpartitioning(bg" in p
-    assert "Window" not in p or "SinglePartition" not in p
+    # pin the actual property — no Window running over a SinglePartition
+    # input, via the tree walk (the old `"Window" not in p or
+    # "SinglePartition" not in p` passed vacuously whenever the plan had
+    # no Window at all, and would fail spuriously on unrelated
+    # co-occurrence; round-8 advice fix)
+    assert not _singlepartition_windows(QUERIES["ngram_lm_score"].fn(spark, SF))
 
 
 def test_retrieval_eval_broadcasts_judgments(spark):
@@ -673,4 +682,6 @@ def test_rrf_fusion_windows_are_query_partitioned(spark):
     p = plan_of(spark, "rrf_hybrid_topk")
     assert "CartesianProduct" not in p
     assert "hashpartitioning(query_id" in p
-    assert "SinglePartition, Window" not in p
+    # tree-walk check, not the vacuous "SinglePartition, Window" substring
+    # (that exact text never appears in formatted plans — verified)
+    assert not _singlepartition_windows(QUERIES["rrf_hybrid_topk"].fn(spark, SF))
