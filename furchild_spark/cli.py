@@ -7,6 +7,8 @@ this is the same surface over the Spark Runner:
     python -m furchild_spark ls
     python -m furchild_spark build --bronze DIR --warehouse DIR
     python -m furchild_spark run   --models stg_orders,fct_orders --incremental
+    python -m furchild_spark run   --models stg_orders+ --exclude fct_customers+
+    python -m furchild_spark snapshot --bronze DIR --warehouse DIR
     python -m furchild_spark test  --bronze DIR --warehouse DIR
     python -m furchild_spark freshness --bronze DIR --now 2024-03-05T00:00:00
     python -m furchild_spark show fct_orders --bronze DIR -n 5
@@ -96,6 +98,56 @@ def _observed_lineage(args, spark, roots=None):
     return runner.lineage, list(registry.names()), runner
 
 
+def _usage_error(msg: str):
+    # match argparse's p.error contract: message to stderr, exit 2
+    print(f"furchild_spark: error: {msg}", file=sys.stderr)
+    raise SystemExit(2)
+
+
+def _parse_graph_tokens(toks, known, flag):
+    """Validate ``name`` / ``+name`` / ``name+`` / ``+name+`` selector
+    tokens against the registry; returns [(name, up, down)]."""
+    parsed = []
+    for t in toks:
+        up, down = t.startswith("+"), t.endswith("+")
+        name = t.removeprefix("+").removesuffix("+")
+        if not name or "+" in name:
+            _usage_error(f"malformed {flag} selector: {t!r}")
+        if name not in known:
+            _usage_error(f"unknown model in {flag} selector: {name!r}")
+        parsed.append((name, up, down))
+    return parsed
+
+
+def _expand_graph(parsed, lineage, order) -> set:
+    """Expand parsed graph selectors to the selected set over the
+    observed lineage (parents = refs edges, children = the reverse)."""
+    parents = {n: set(lineage.get(n, {}).get("refs", [])) for n in order}
+    children: dict[str, set] = {n: set() for n in order}
+    for n, ps in parents.items():
+        for pnt in ps:
+            children.setdefault(pnt, set()).add(n)
+
+    def closure(start: str, edges: dict) -> set:
+        seen, stack = set(), [start]
+        while stack:
+            x = stack.pop()
+            if x in seen:
+                continue
+            seen.add(x)
+            stack.extend(edges.get(x, ()))
+        return seen
+
+    selected: set = set()
+    for name, up, down in parsed:
+        selected.add(name)
+        if up:
+            selected |= closure(name, parents)
+        if down:
+            selected |= closure(name, children)
+    return selected
+
+
 def _names(args, spark=None) -> list[str] | None:
     """--models list, with dbt graph selectors: ``+name`` = name and its
     ancestors, ``name+`` = name and its descendants, ``+name+`` = both —
@@ -105,7 +157,39 @@ def _names(args, spark=None) -> list[str] | None:
     expansion resolves against the OBSERVED lineage (a view-only plan
     pass), so it needs the session — plain lists don't. May return an
     EMPTY list (state selectors with nothing modified): that means
-    "build nothing", distinct from None's "build everything"."""
+    "build nothing", distinct from None's "build everything".
+
+    ``--exclude`` (dbt semantics: EXCLUSION WINS over any selection)
+    subtracts its own graph-selector expansion from the result; with no
+    --models it subtracts from the full registry, so the return value
+    degrades from None to an explicit everything-minus list."""
+    included = _included_names(args, spark)
+    exclude = getattr(args, "exclude", None)
+    if not exclude:
+        return included
+    from furchild_spark.models import registry
+
+    order = list(registry.names())
+    toks = exclude.split(",")
+    bad = [t for t in toks if t.startswith(("state:", "result:"))]
+    if bad:
+        _usage_error(
+            f"state:/result: selectors are not supported in --exclude: "
+            f"{bad[0]!r}"
+        )
+    parsed = _parse_graph_tokens(toks, set(order), "--exclude")
+    if any(up or down for _, up, down in parsed):
+        # descendant/ancestor exclusion cones need the observed DAG
+        lineage, order, _ = _observed_lineage(args, spark)
+        excluded = _expand_graph(parsed, lineage, order)
+    else:
+        excluded = {n for n, _, _ in parsed}
+    base = included if included is not None else order
+    return [n for n in base if n not in excluded]
+
+
+def _included_names(args, spark=None) -> list[str] | None:
+    """The --models half of the selection (see _names)."""
     if not args.models:
         return None
     toks = args.models.split(",")
@@ -120,30 +204,17 @@ def _names(args, spark=None) -> list[str] | None:
     ):
         return graph_toks
 
-    def usage_error(msg: str):
-        # match argparse's p.error contract: message to stderr, exit 2
-        print(f"furchild_spark: error: {msg}", file=sys.stderr)
-        raise SystemExit(2)
-
     from furchild_spark.models import registry
 
     known = set(registry.names())
-    parsed = []  # (name, up, down)
-    for t in graph_toks:
-        up, down = t.startswith("+"), t.endswith("+")
-        name = t.removeprefix("+").removesuffix("+")
-        if not name or "+" in name:
-            usage_error(f"malformed --models selector: {t!r}")
-        if name not in known:
-            usage_error(f"unknown model in --models selector: {name!r}")
-        parsed.append((name, up, down))
+    parsed = _parse_graph_tokens(graph_toks, known, "--models")
     for t in state_toks:
         if t not in ("state:modified", "state:modified+"):
-            usage_error(f"unknown state selector: {t!r} "
-                        "(supported: state:modified, state:modified+)")
+            _usage_error(f"unknown state selector: {t!r} "
+                         "(supported: state:modified, state:modified+)")
         if not getattr(args, "state", None):
-            usage_error("state: selectors need --state PATH "
-                        "(a manifest.json from a prior run)")
+            _usage_error("state: selectors need --state PATH "
+                         "(a manifest.json from a prior run)")
     valid_results = {
         f"result:{s}{plus}"
         for s in ("error", "skipped", "success")
@@ -151,11 +222,11 @@ def _names(args, spark=None) -> list[str] | None:
     }
     for t in result_toks:
         if t not in valid_results:
-            usage_error(f"unknown result selector: {t!r} (supported: "
-                        "result:error/skipped/success, optional +)")
+            _usage_error(f"unknown result selector: {t!r} (supported: "
+                         "result:error/skipped/success, optional +)")
         if not getattr(args, "state_results", None):
-            usage_error("result: selectors need --state-results PATH "
-                        "(a run_results.json from a prior run)")
+            _usage_error("result: selectors need --state-results PATH "
+                         "(a run_results.json from a prior run)")
     # descendant walks and state fingerprints need the whole graph;
     # ancestor-only selectors probe just the named cones, so an
     # unrelated broken model can't abort the run
@@ -257,6 +328,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         sp.add_argument("--warehouse", help="materialization dir (omit = view-only run)")
         sp.add_argument("--models", help="comma-separated subset (default: all)")
         sp.add_argument(
+            "--exclude",
+            help="comma-separated models to EXCLUDE from the selection "
+                 "(dbt --exclude: exclusion wins over --models; graph "
+                 "selectors +name/name+ exclude whole cones)",
+        )
+        sp.add_argument(
             "--threads", type=int, default=1,
             help="dbt --threads: build independent DAG branches on N "
                  "concurrent threads (each in its own FAIR scheduler pool)",
@@ -316,7 +393,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
 
     sub.add_parser("ls", help="list registered models")
-    for c in ("run", "build", "test", "freshness", "seed", "retry"):
+    for c in ("run", "build", "test", "freshness", "seed", "retry",
+              "snapshot"):
         common(sub.add_parser(c))
     dg = sub.add_parser(
         "dag", help="print the observed model lineage (dbt docs equivalent)"
@@ -649,6 +727,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for name, df in built.items():
             print(f"seeded {name}: {df.count()} rows")
         return 0
+
+    if args.cmd == "snapshot":
+        # dbt snapshot: materialize ONLY the snapshot-materialized models
+        # (SCD2 version-merge on every invocation — first run initializes,
+        # later runs open/close versions). Snapshots read sources, so this
+        # never drags staging tables into the warehouse.
+        if not args.warehouse:
+            p.error("snapshot wants --warehouse (SCD2 history lives on "
+                    "disk and version-merges against the prior state)")
+        from furchild_spark.models import registry as _reg
+
+        names = [
+            n for n in _reg.names()
+            if _reg[n].materialized == "snapshot"
+        ]
+        chosen = _names(args, spark)
+        if chosen is not None:
+            names = [n for n in names if n in set(chosen)]
+        if not names:
+            print("nothing to do (no snapshot models selected)")
+            return 0
+        built = runner.run(names, threads=args.threads)
+        for name, df in built.items():
+            print(f"snapshotted {name}: {df.count()} rows")
+        errors = {
+            n: r for n, r in runner.run_results.items()
+            if r["status"] == "error"
+        }
+        for n, r in sorted(errors.items()):
+            print(f"FAILED {n}: {r['error']}")
+        return 1 if errors else 0
 
     if args.cmd == "run":
         names = _names(args, spark)

@@ -11,5 +11,6 @@ registry = ModelRegistry()
 
 from . import staging  # noqa: E402,F401
 from . import marts  # noqa: E402,F401
+from . import snapshots  # noqa: E402,F401
 
 __all__ = ["registry"]

@@ -389,3 +389,107 @@ def test_clone_zero_copy_dev_warehouse(bronze, spark, tmp_path, capsys):
     rc = main(["clone", "--from-warehouse", prod, "--warehouse", dev,
                "--models", "stg_orders"], spark=spark)
     assert rc == 1
+
+
+def test_exclude_subtracts_from_selection(bronze, spark, capsys):
+    """dbt --exclude: exclusion wins over --models."""
+    rc = main(
+        ["run", "--bronze", bronze,
+         "--models", "stg_orders,stg_customers",
+         "--exclude", "stg_customers", "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_orders" in out
+    assert "built stg_customers" not in out
+
+
+def test_exclude_descendant_cone(bronze, spark, capsys):
+    """--exclude fct_orders+ removes fct_orders AND its descendants from
+    a stg_orders+ selection; the staging ancestors still build."""
+    rc = main(
+        ["run", "--bronze", bronze, "--models", "stg_orders+",
+         "--exclude", "fct_orders+", "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_orders" in out
+    assert "built fct_orders:" not in out  # (":" — fct_order_items differs)
+    assert "built fct_customers" not in out  # descendant of fct_orders
+    assert "built agg_orders_daily" not in out  # descendant of fct_orders
+
+
+def test_exclude_without_models_is_everything_minus(bronze, spark, capsys):
+    """No --models + --exclude = full registry minus the exclusion (the
+    selection can no longer be the implicit None). Exercised through
+    `test`, which is selection-driven but builds nothing."""
+    rc = main(
+        ["test", "--bronze", bronze, "--exclude", "stg_orders",
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stg_orders_order_id_unique" not in out
+    assert "checks" in out  # others still ran
+
+
+def test_exclude_unknown_model_exits_2(bronze, spark):
+    with pytest.raises(SystemExit) as e:
+        main(
+            ["run", "--bronze", bronze, "--exclude", "nope",
+             "--now", FROZEN],
+            spark=spark,
+        )
+    assert e.value.code == 2
+
+
+def test_exclude_rejects_state_selectors(bronze, spark):
+    with pytest.raises(SystemExit) as e:
+        main(
+            ["run", "--bronze", bronze, "--exclude", "state:modified",
+             "--now", FROZEN],
+            spark=spark,
+        )
+    assert e.value.code == 2
+
+
+def test_snapshot_subcommand_scd2_lifecycle(bronze, spark, tmp_path, capsys):
+    """`snapshot` materializes ONLY snapshot models: first run
+    initializes the SCD2 table, an unchanged re-run opens no new
+    versions, and no staging tables leak into the warehouse."""
+    import os
+
+    wh = str(tmp_path / "wh_snap")
+    rc = main(
+        ["snapshot", "--bronze", bronze, "--warehouse", wh, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "snapshotted snap_customers" in out
+    listed = set(os.listdir(wh))
+    assert "snap_customers" in listed
+    assert "stg_customers" not in listed  # snapshots read sources
+
+    first = spark.read.parquet(os.path.join(wh, "snap_customers"))
+    n1 = first.count()
+    assert {"valid_from", "valid_to"} <= set(first.columns)
+    assert first.filter("valid_to IS NULL").count() == n1  # all current
+
+    later = "2024-03-06T00:00:00"
+    rc = main(
+        ["snapshot", "--bronze", bronze, "--warehouse", wh, "--now", later],
+        spark=spark,
+    )
+    assert rc == 0
+    again = spark.read.parquet(os.path.join(wh, "snap_customers"))
+    assert again.count() == n1  # nothing changed -> no new versions
+
+
+def test_snapshot_requires_warehouse(bronze, spark):
+    with pytest.raises(SystemExit) as e:
+        main(["snapshot", "--bronze", bronze, "--now", FROZEN], spark=spark)
+    assert e.value.code == 2
