@@ -124,3 +124,200 @@ UNIT_TESTS: list[UnitTest] = [
         ],
     ),
 ]
+
+_ORDER_TS = dt.datetime(2024, 3, 10, 12, 0, 0)
+
+_OI_SCHEMA = (
+    "order_id string, created_at_local timestamp, created_at_utc timestamp, "
+    "product_id string, quantity double, unit_price double, "
+    "line_gross double, line_discount_amt double, line_tax_amt double, "
+    "line_net_amt double"
+)
+
+_ADDR_SCHEMA = (
+    "address_id string, user_id string, address_type string, area string, "
+    "town string, region_id string, country_code string, "
+    "address_display string, building string, apartment_number string, "
+    "street_name string, landmark string, email string, phone string, "
+    "latitude double, longitude double, updated_at timestamp, "
+    "_src_extracted_at timestamp"
+)
+
+
+def _addr(aid, atype, area, ts, user="U1"):
+    return {
+        "address_id": aid, "user_id": user, "address_type": atype,
+        "area": area, "town": None, "region_id": None, "country_code": None,
+        "address_display": None, "building": None, "apartment_number": None,
+        "street_name": None, "landmark": None, "email": None, "phone": None,
+        "latitude": None, "longitude": None,
+        "updated_at": ts, "_src_extracted_at": ts,
+    }
+
+
+def _oi(order_id, product, gross, discount, tax, net, qty=1.0, unit=1.0):
+    return {
+        "order_id": order_id, "created_at_local": _ORDER_TS,
+        "created_at_utc": _ORDER_TS, "product_id": product,
+        "quantity": qty, "unit_price": unit, "line_gross": gross,
+        "line_discount_amt": discount, "line_tax_amt": tax,
+        "line_net_amt": net,
+    }
+
+
+UNIT_TESTS += [
+    UnitTest(
+        name="stg_delivery_slots_ampm_windows_canonicalize",
+        model="stg_delivery_slots",
+        description="The free-text slot miner (reference "
+        "stg_delivery_slots.sql): en/em dashes normalize, am/pm hours "
+        "shift to 24h (12pm stays 12, pm adds 12), the surrogate key is "
+        "md5 of the canonical window, and start-hour buckets the period.",
+        given={
+            "transactions": ([
+                {"DELIVERY_TIME": "9am - 12pm"},
+                {"DELIVERY_TIME": "6-9pm"},
+                {"DELIVERY_TIME": "8 AM — 11 AM"},   # em dash + upper
+                {"DELIVERY_TIME": "9am - 12pm"},     # duplicate → distinct
+            ], "DELIVERY_TIME string"),
+        },
+        expect=[
+            {"slot_txt": "9am - 12pm", "delivery_slot": "09:00-12:00",
+             "start_time": "09:00:00", "end_time": "12:00:00",
+             "slot_period": "morning",
+             "delivery_slot_id": "d58206def5c0d18fc6443fe0ea859603"},
+            {"slot_txt": "6-9pm", "delivery_slot": "18:00-21:00",
+             "start_time": "18:00:00", "end_time": "21:00:00",
+             "slot_period": "evening",
+             "delivery_slot_id": "5570b2a797c4b00a4f12edef41a4206c"},
+            {"slot_txt": "8 am - 11 am", "delivery_slot": "08:00-11:00",
+             "start_time": "08:00:00", "end_time": "11:00:00",
+             "slot_period": "morning",
+             "delivery_slot_id": "76e095713d3f89a40e659832baa135c4"},
+        ],
+    ),
+    UnitTest(
+        name="stg_delivery_slots_wordy_and_minute_texts",
+        model="stg_delivery_slots",
+        description="Reference-parity edge rows: word-only slots keep a "
+        "NULL window (and collide on the dbt_utils NULL-sentinel md5 — "
+        "faithful to generate_surrogate_key semantics); 'evening' hints "
+        "pm so hour 0 becomes 12:00:00/afternoon while 'morning' stays "
+        "00:00:00/other; duration texts like '30-60 min' are filtered "
+        "out entirely.",
+        given={
+            "transactions": ([
+                {"DELIVERY_TIME": "morning"},
+                {"DELIVERY_TIME": "evening"},
+                {"DELIVERY_TIME": "30-60 min"},
+                {"DELIVERY_TIME": ""},          # blank → filtered
+                {"DELIVERY_TIME": None},        # NULL → filtered
+            ], "DELIVERY_TIME string"),
+        },
+        expect=[
+            {"slot_txt": "morning", "delivery_slot": None,
+             "start_time": "00:00:00", "end_time": "00:00:00",
+             "slot_period": "other",
+             "delivery_slot_id": "f14cc5cdce0420f4a5a6b6d9d7b85f39"},
+            {"slot_txt": "evening", "delivery_slot": None,
+             "start_time": "12:00:00", "end_time": "12:00:00",
+             "slot_period": "afternoon",
+             "delivery_slot_id": "f14cc5cdce0420f4a5a6b6d9d7b85f39"},
+        ],
+    ),
+    UnitTest(
+        name="fct_orders_asof_address_prefers_latest_before",
+        model="fct_orders",
+        description="The J6 as-of join (reference fct_orders.sql:115-141): "
+        "among a customer's SHIPPING addresses, the one most recently "
+        "updated at-or-before order time wins — beating an older "
+        "before-order address, any after-order address, and a billing "
+        "address that is closest in time but the wrong type.",
+        given={
+            "fct_order_items": ([
+                _oi("O1", "P1", 20.0, 2.0, 1.0, 19.0, qty=2.0, unit=10.0),
+                _oi("O1", "P2", 5.0, 0.0, 0.25, 5.25, unit=5.0),
+            ], _OI_SCHEMA),
+            "stg_orders": ([
+                {"order_id": "O1", "vat_percentage": 5.0},
+            ], "order_id string, vat_percentage double"),
+            "stg_transactions": ([
+                {"order_id": "O1", "customer_id": "C1"},
+            ], "order_id string, customer_id string"),
+            "stg_users": ([
+                {"user_id": "U1", "customer_id": "C1"},
+            ], "user_id string, customer_id string"),
+            "stg_addresses": ([
+                _addr("a1", "shipping", "LatestBefore",
+                      dt.datetime(2024, 3, 9, 12, 0, 0)),
+                _addr("a2", "shipping", "OldBefore",
+                      dt.datetime(2024, 3, 1, 12, 0, 0)),
+                _addr("a3", "shipping", "After",
+                      dt.datetime(2024, 3, 11, 12, 0, 0)),
+                _addr("a4", "billing", "ClosestWrongType",
+                      dt.datetime(2024, 3, 10, 11, 59, 0)),
+            ], _ADDR_SCHEMA),
+        },
+        expect=[
+            {"order_id": "O1", "customer_id": "C1",
+             "ship_area": "LatestBefore",
+             "order_sk": "00594a175ce5a58f286d91ca0a6f15a2",
+             "item_count": 2, "distinct_products": 2,
+             "order_gross": Decimal("25"),
+             "order_discount_amt": Decimal("2"),
+             "order_net_before_tax": Decimal("23"),
+             "order_tax_amt": Decimal("1.25"),
+             "order_net_amt": Decimal("24.25"),
+             # 2/25*100 and 1.25/23*100 rounded to 2
+             "order_discount_pct_effective": Decimal("8"),
+             "order_vat_pct_effective": Decimal("5.43"),
+             "vat_pct_src": Decimal("5"),
+             "order_date": dt.date(2024, 3, 10)},
+        ],
+    ),
+    UnitTest(
+        name="fct_orders_asof_fallback_and_zero_gross_guards",
+        model="fct_orders",
+        description="As-of fallback tier (reference fct_orders.sql "
+        "preference window): with NO address at-or-before order time the "
+        "nearest AFTER wins, exact-proximity ties break on the lowest "
+        "address_id; a zero-gross order hits both div-by-zero guards "
+        "(pcts 0, not NULL/error) and an order with no transaction match "
+        "keeps NULL customer and address columns.",
+        given={
+            "fct_order_items": ([
+                _oi("O3", "P1", 10.0, 0.0, 0.5, 10.5, unit=10.0),
+                _oi("O2", "P1", 0.0, 0.0, 0.0, 0.0, unit=0.0),
+            ], _OI_SCHEMA),
+            "stg_orders": ([
+                {"order_id": "O3", "vat_percentage": 5.0},
+                {"order_id": "O2", "vat_percentage": None},
+            ], "order_id string, vat_percentage double"),
+            "stg_transactions": ([
+                {"order_id": "O3", "customer_id": "C2"},
+            ], "order_id string, customer_id string"),
+            "stg_users": ([
+                {"user_id": "U2", "customer_id": "C2"},
+            ], "user_id string, customer_id string"),
+            "stg_addresses": ([
+                _addr("b1", "shipping", "NearestAfterTieLowId",
+                      dt.datetime(2024, 3, 11, 12, 0, 0), user="U2"),
+                _addr("b2", "shipping", "NearestAfterTieHighId",
+                      dt.datetime(2024, 3, 11, 12, 0, 0), user="U2"),
+                _addr("b9", "shipping", "FartherAfter",
+                      dt.datetime(2024, 3, 12, 12, 0, 0), user="U2"),
+            ], _ADDR_SCHEMA),
+        },
+        expect=[
+            {"order_id": "O3", "customer_id": "C2",
+             "ship_area": "NearestAfterTieLowId",
+             "order_gross": Decimal("10"),
+             "order_vat_pct_effective": Decimal("5"),
+             "order_discount_pct_effective": Decimal("0")},
+            {"order_id": "O2", "customer_id": None, "ship_area": None,
+             "order_gross": Decimal("0"),
+             "order_vat_pct_effective": Decimal("0"),
+             "order_discount_pct_effective": Decimal("0")},
+        ],
+    ),
+]
