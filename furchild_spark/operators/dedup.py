@@ -681,3 +681,182 @@ def contamination_check(
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .filter(F.col("n_hits") >= F.lit(min_hits))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr operator)
+# ---------------------------------------------------------------------------
+
+def exact_substring_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    min_docs: int = 2,
+    keep_first: bool = False,
+) -> DataFrame:
+    """Maximal cross-document exact-substring spans of ≥ ``min_tokens``
+    whitespace tokens — the relational re-expression of Lee et al. 2022's
+    suffix-array ExactSubstr dedup (arXiv:2107.06499; they use byte-level
+    suffix arrays, we use the anchor-window approximation: the dedup unit
+    is the ``min_tokens``-token window, and a reported span is the union
+    of overlapping duplicated windows, so every reported span IS an exact
+    corpus-duplicate substring and any duplicate substring of length
+    ≥ 2·min_tokens−1 tokens is guaranteed found; duplicates in
+    [min_tokens, 2·min_tokens−2] are found iff window-aligned).
+
+    Shape (never O(n²), never a suffix array's global sort):
+      1. map-only: every ``min_tokens``-token sliding window fingerprints
+         to md5 of its space-joined tokens (tokens are whitespace-split,
+         so ' ' is an unambiguous joiner);
+      2. ONE shuffle: groupBy(fingerprint) with a partial-aggregated
+         distinct-doc count — windows seen in ≥ ``min_docs`` docs are
+         duplicated (associative agg, hot boilerplate windows are safe);
+      3. ONE shuffle join back on fingerprint to mark positions;
+      4. ONE shuffle: groupBy(doc) collects the (bounded: ≤ tokens/doc)
+         sorted duplicate positions, and an in-row fold merges
+         overlapping windows into maximal spans.
+
+    ``keep_first=True`` skips marking each fingerprint's occurrences in
+    its lowest-id document — the corpus keeps one canonical copy of every
+    duplicated passage (the paper's keep-one semantics, canonicalized by
+    document id; all occurrences inside that keeper doc survive).
+
+    Output: one row per maximal span —
+    ``(doc_id, span_start, span_end, span_tokens)`` with token-index
+    bounds, start inclusive / end exclusive.
+
+    Reference has no counterpart (SURVEY §2 LLM-pipeline extension).
+    """
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    win = (
+        df.select(F.col(id_col), toks.alias("__t"))
+        .filter(F.size("__t") >= min_tokens)
+        .select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("__t") - min_tokens),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("__t", i + 1, min_tokens))
+                    ),
+                )
+            ).alias("pos", "fp"),
+        )
+    )
+    dup = (
+        win.groupBy("fp")
+        .agg(
+            F.countDistinct(id_col).alias("__nd"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .filter(F.col("__nd") >= min_docs)
+        .select("fp", "__keeper")
+    )
+    marked = win.join(dup, on="fp")
+    if keep_first:
+        marked = marked.filter(F.col(id_col) != F.col("__keeper"))
+    # in-row islands merge: positions are sorted and every interval has
+    # the same fixed length, so a strictly-overlapping successor always
+    # extends the open span to p + min_tokens (touching spans stay split,
+    # matching the windowed gaps-and-islands oracle)
+    empty_spans = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    merged = F.aggregate(
+        F.col("__ps"),
+        empty_spans,
+        lambda acc, p: F.when(
+            (F.size(acc) > 0) & (p < F.element_at(acc, -1)["e"]),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(
+                    F.struct(
+                        F.element_at(acc, -1)["s"].alias("s"),
+                        (p + min_tokens).alias("e"),
+                    )
+                ),
+            ),
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(F.struct(p.alias("s"), (p + min_tokens).alias("e"))),
+            )
+        ),
+    )
+    return (
+        marked.groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__ps"))
+        .select(id_col, F.explode(merged).alias("__sp"))
+        .select(
+            id_col,
+            F.col("__sp.s").alias("span_start"),
+            F.col("__sp.e").alias("span_end"),
+            (F.col("__sp.e") - F.col("__sp.s")).alias("span_tokens"),
+        )
+    )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_tokens: int = 50,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The serving half of :func:`exact_substring_spans`: rewrite every
+    document with its duplicated spans REMOVED, keeping one canonical
+    copy corpus-wide (``keep_first`` semantics — the lowest-id document
+    holding a duplicated passage keeps it; every other document loses
+    it). This is the operator Lee et al. 2022 apply before LM training.
+
+    The span side arrives pre-merged and small (spans per doc ≤
+    tokens/doc ÷ 1), so the rewrite is one left join on ``id_col`` plus
+    an in-row indexed filter — the document table is touched exactly
+    once more, and untouched documents pass through with
+    ``n_removed_tokens = 0``.
+
+    Output: ``(id_col, clean_text, n_tokens, n_removed_tokens)`` —
+    ``clean_text`` is the surviving tokens re-joined with single spaces
+    (the same canonical whitespace form every dedup operator here keys
+    on).
+    """
+    spans = (
+        exact_substring_spans(
+            df, id_col, text_col,
+            min_tokens=min_tokens, min_docs=min_docs, keep_first=True,
+        )
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").alias("s"),
+                    F.col("span_end").alias("e"),
+                )
+            ).alias("__spans"),
+            F.sum("span_tokens").alias("__n_removed"),
+        )
+    )
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = df.select(F.col(id_col), toks.alias("__t"))
+    joined = base.join(spans, on=id_col, how="left").select(
+        id_col,
+        "__t",
+        F.coalesce("__spans", F.expr(
+            "CAST(array() AS array<struct<s:int,e:int>>)"
+        )).alias("__spans"),
+        F.coalesce("__n_removed", F.lit(0)).cast("long").alias(
+            "n_removed_tokens"
+        ),
+    )
+    survive = F.filter(
+        "__t",
+        lambda x, i: ~F.exists(
+            "__spans", lambda sp: (i >= sp["s"]) & (i < sp["e"])
+        ),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", survive).alias("clean_text"),
+        F.size("__t").cast("long").alias("n_tokens"),
+        "n_removed_tokens",
+    )

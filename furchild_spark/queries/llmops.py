@@ -2767,3 +2767,130 @@ def bpe_apply(spark, sf_dir):
         F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
         "n_tokens",
     )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022 ExactSubstr, arXiv:2107.06499)
+# ---------------------------------------------------------------------------
+
+_ESS_MIN = 8  # anchor-window length at the fixture scale (paper uses 50)
+
+# shared CTE chain: tokens -> sliding md5 window fingerprints -> fingerprints
+# duplicated across >= 2 docs (with each fp's keeper = lowest doc_id)
+_ESS_CTES = f"""
+WITH tok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+win AS (
+  SELECT doc_id, CAST(u.i AS INT) AS pos,
+         md5(array_to_string(t[u.i+1:u.i+{_ESS_MIN}], ' ')) AS fp
+  FROM tok, unnest(range(0, greatest(len(t) - {_ESS_MIN} + 1, 0))) AS u(i)
+  WHERE len(t) >= {_ESS_MIN}
+),
+dup AS (
+  SELECT fp, MIN(doc_id) AS keeper
+  FROM win GROUP BY fp HAVING count(DISTINCT doc_id) >= 2
+)"""
+
+
+def _ess_span_sql(keep_first: bool) -> str:
+    """Gaps-and-islands span merge over the duplicated window positions
+    (p merges into the open span iff p - prev < window length — exactly
+    the fold in operators/dedup.exact_substring_spans)."""
+    keeper_filter = "WHERE w.doc_id <> d.keeper" if keep_first else ""
+    return f""",
+dw AS (
+  SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (fp) {keeper_filter}
+),
+isl AS (
+  SELECT doc_id, pos,
+    CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+              < {_ESS_MIN} THEN 0 ELSE 1 END AS brk
+  FROM dw
+),
+grp AS (
+  SELECT doc_id, pos,
+         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+  FROM isl
+),
+spans AS (
+  SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+         CAST(max(pos) + {_ESS_MIN} AS INT) AS span_end
+  FROM grp GROUP BY doc_id, g
+)"""
+
+
+@query(
+    "exact_substring_spans",
+    section="LLM-dedup exact-substring detection (Lee et al. 2022 "
+    "ExactSubstr via anchor windows: sliding md5 fingerprints, one "
+    "distinct-doc groupBy, islands merge to maximal spans; "
+    "arXiv:2107.06499, no reference counterpart)",
+    oracle=_ESS_CTES + _ess_span_sql(keep_first=False) + """
+SELECT doc_id, span_start, span_end,
+       span_end - span_start AS span_tokens
+FROM spans
+""",
+)
+def exact_substring_spans(spark, sf_dir):
+    """Maximal cross-document duplicate substrings ≥ 8 tokens
+    (operators/dedup.exact_substring_spans). The plan is the honest
+    sub-quadratic shape: map-only window fingerprints, ONE
+    partial-aggregated groupBy(fp), one keyed join back, one groupBy(doc)
+    with an in-row interval-merge fold — no suffix array, no sort of the
+    corpus, no candidate pair list. The oracle re-derives windows,
+    duplicated fingerprints, and the islands merge relationally — a
+    diverged tokenization, window hash, or merge boundary breaks the
+    hash."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.exact_substring_spans(d, "doc_id", "text",
+                                       min_tokens=_ESS_MIN)
+
+
+@query(
+    "exact_substring_dedup",
+    section="LLM-dedup exact-substring removal (the serving half: "
+    "duplicated passages removed everywhere but one canonical keeper "
+    "document; Lee et al. 2022 pre-training cleanup)",
+    oracle=_ESS_CTES + _ess_span_sql(keep_first=True) + """,
+tok_pos AS (
+  SELECT doc_id, u.i AS i, u.w AS w
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(0, len(t)),
+                 i -> struct_pack(i := i, w := t[i+1]))) AS u
+        FROM tok)
+),
+kept AS (
+  SELECT tp.doc_id, tp.i, tp.w
+  FROM tok_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.i >= s.span_start AND tp.i < s.span_end
+  )
+),
+agg AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS clean_text
+  FROM kept GROUP BY doc_id
+),
+removed AS (
+  SELECT doc_id, SUM(span_end - span_start) AS n_removed FROM spans
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+  coalesce(a.clean_text, '') AS clean_text,
+  CAST(len(t.t) AS BIGINT) AS n_tokens,
+  CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed_tokens
+FROM tok t
+LEFT JOIN agg a ON a.doc_id = t.doc_id
+LEFT JOIN removed r ON r.doc_id = t.doc_id
+""",
+)
+def exact_substring_dedup(spark, sf_dir):
+    """Documents rewritten with duplicated ≥8-token passages removed,
+    one canonical copy kept corpus-wide (keeper = the fingerprint's
+    lowest doc_id; operators/dedup.exact_substring_dedup). One extra
+    left join over the span table + an in-row indexed filter — the
+    corpus is re-read exactly once. The oracle replays span detection
+    WITH the keeper rule and the positional token filter, so clean_text
+    is compared verbatim."""
+    d = table(spark, sf_dir, "documents")
+    return dedup.exact_substring_dedup(d, "doc_id", "text",
+                                       min_tokens=_ESS_MIN)
