@@ -405,6 +405,14 @@ def semdedup(
     """
     cents = centroid_array(corpus, id_col, vec_col, num_centroids)
     assign = ivf_assign(corpus, cents, id_col, vec_col)
+    return _semdedup_prune(assign, id_col, threshold)
+
+
+def _semdedup_prune(assign: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """The within-cluster pruning stage shared by :func:`semdedup` (flat
+    assignment) and :func:`semdedup_ivf` (two-level assignment): ONE
+    self-join keyed on cent_id, rounded cosine ≥ threshold against any
+    lower id marks a duplicate."""
     a = assign.select(
         "cent_id",
         F.col("neighbor_id").alias("id_a"),
@@ -1166,3 +1174,139 @@ def sq8_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "adc_dot_scaled")
     )
+
+
+# ---------------------------------------------------------------------------
+# two-level centroid assignment (the semdedup 100 TB scale path)
+# ---------------------------------------------------------------------------
+
+def _argmax_cent(q, nrm, cents_arr):
+    """In-row nearest-centroid id over a centroid struct array — rounded
+    cosine desc, cid asc tiebreak (array_max over struct(sim, -cid), the
+    exact ordering ivf_assign uses)."""
+    best = F.array_max(
+        F.transform(
+            cents_arr,
+            lambda c: F.struct(
+                F.round(
+                    dot_q_double(q, c["cq"]) / (nrm * c["cnorm"]), 6
+                ).alias("sim"),
+                (-c["cid"]).alias("negcid"),
+            ),
+        )
+    )
+    return -best["negcid"]
+
+
+def two_level_assign(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    num_coarse: int = 3,
+) -> DataFrame:
+    """IVF-style coarse→fine nearest-centroid assignment: each row finds
+    its nearest of ``num_coarse`` coarse centroids, then its nearest FINE
+    centroid among those assigned to that coarse cell.
+
+    This is the fix for the flat assignment's hidden quadratic: SemDeDup
+    prescribes centroid count ∝ corpus (cluster size held constant), so
+    flat assign costs rows × k dots — quadratic in the corpus when
+    k ∝ rows (measured: the one non-collapsing entry in SF1.md's
+    distinct-corpus probe). With ``num_coarse ≈ √k`` this shape costs
+    rows × (√k + k/√k) = 2·rows·√k expected dots — the standard IVF
+    trade (FAISS IndexIVF's own coarse quantizer): assignment becomes
+    approximate at cell boundaries, deterministic given the centroid
+    sets, and every stage is still map-only against broadcast 1-row
+    centroid arrays with ZERO corpus exchanges.
+
+    Output schema matches :func:`ivf_assign`:
+    ``(cent_id, neighbor_id, c_q, c_norm)``.
+    """
+    fine = centroid_array(corpus, id_col, vec_col, num_centroids)
+    coarse = (
+        centroid_array(corpus, id_col, vec_col, num_coarse)
+        .select(F.col("__cents").alias("__coarse"), "__one")
+    )
+    # annotate each fine centroid with its coarse cell — one 1-row × 1-row
+    # join, k × c dots total (both tables are centroid-sized)
+    cents2 = fine.join(coarse, on="__one").select(
+        F.transform(
+            "__cents",
+            lambda f: F.struct(
+                f["cid"].alias("cid"),
+                f["cq"].alias("cq"),
+                f["cnorm"].alias("cnorm"),
+                _argmax_cent(
+                    f["cq"], f["cnorm"], F.col("__coarse")
+                ).alias("coarse_id"),
+            ),
+        ).alias("__cents"),
+        F.col("__coarse"),
+        F.col("__one"),
+    )
+    cb = corpus.select(
+        F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("c_q")
+    ).select("neighbor_id", "c_q", norm_q(F.col("c_q")).alias("c_norm"))
+    staged = cb.withColumn("__one", F.lit(1)).join(
+        F.broadcast(cents2), on="__one"
+    )
+    # The coarse argmax must be LET-BOUND, not referenced by name:
+    # Catalyst's CollapseProject inlines a withColumn alias into every
+    # use site, and a reference inside the fine filter's lambda would
+    # re-evaluate the whole coarse scan PER FINE CANDIDATE — turning
+    # O(rows·(c + k/c)) into O(rows·k·c), worse than flat. Wrapping the
+    # value in a 1-element array and binding it through transform's
+    # lambda variable evaluates it exactly once per row (the only
+    # let-expression Spark's expression language offers).
+    #
+    # Fine argmax restricted to the chosen coarse cell (k/c expected
+    # candidates; never empty — every coarse centroid is also a fine
+    # centroid and assigns to itself at cosine 1).
+    cent_id = F.element_at(
+        F.transform(
+            F.array(
+                _argmax_cent(F.col("c_q"), F.col("c_norm"), F.col("__coarse"))
+            ),
+            lambda chosen: -F.array_max(
+                F.transform(
+                    F.filter(
+                        "__cents", lambda f: f["coarse_id"] == chosen
+                    ),
+                    lambda f: F.struct(
+                        F.round(
+                            dot_q_double(F.col("c_q"), f["cq"])
+                            / (F.col("c_norm") * f["cnorm"]),
+                            6,
+                        ).alias("sim"),
+                        (-f["cid"]).alias("negcid"),
+                    ),
+                )
+            )["negcid"],
+        ),
+        1,
+    )
+    return staged.withColumn("cent_id", cent_id).select(
+        "cent_id", "neighbor_id", "c_q", "c_norm"
+    )
+
+
+def semdedup_ivf(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_centroids: int = 8,
+    num_coarse: int = 3,
+) -> DataFrame:
+    """SemDeDup with the two-level assignment (:func:`two_level_assign`)
+    instead of the flat rows × k argmax — the variant whose assignment
+    cost stays O(rows·√k) as the paper-prescribed centroid scaling grows
+    k with the corpus. Cluster membership can differ from :func:`semdedup`
+    at coarse-cell boundaries (standard IVF approximation); the
+    within-cluster pruning rule is identical (pairwise rounded cosine ≥
+    threshold against any lower id, keep-lowest-id)."""
+    assign = two_level_assign(
+        corpus, id_col, vec_col, num_centroids, num_coarse
+    )
+    return _semdedup_prune(assign, id_col, threshold)

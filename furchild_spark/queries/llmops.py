@@ -2894,3 +2894,93 @@ def exact_substring_dedup(spark, sf_dir):
     d = table(spark, sf_dir, "documents")
     return dedup.exact_substring_dedup(d, "doc_id", "text",
                                        min_tokens=_ESS_MIN)
+
+
+@query(
+    "semdedup_ivf",
+    section="LLM-dedup semantic, two-level assignment (SemDeDup with the "
+    "IVF coarse->fine centroid argmax: assignment O(rows*sqrt(k)) instead "
+    "of rows*k when k scales with the corpus; arXiv:2303.09540 + the "
+    "FAISS IndexIVF coarse-quantizer pattern)",
+    oracle=f"""
+WITH e AS ({_IVF_E}),
+nc AS (SELECT greatest(8, count(*) * 800 // 6000000) AS n FROM lineitem),
+nco AS (SELECT greatest(3, CAST(ceil(sqrt(n)) AS BIGINT)) AS n2 FROM nc),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e
+  WHERE vec_id < (SELECT n FROM nc)
+),
+coarse AS (
+  SELECT vec_id AS coarse_id, embedding AS gvec, nrm AS gnrm FROM e
+  WHERE vec_id < (SELECT n2 FROM nco)
+),
+centc AS (
+  SELECT cent_id, cvec, cnrm, coarse_id FROM (
+    SELECT f.cent_id, f.cvec, f.cnrm, g.coarse_id,
+      row_number() OVER (
+        PARTITION BY f.cent_id
+        ORDER BY round(CAST({_DOT.format(a='f.cvec', b='g.gvec')} AS DOUBLE)
+                       / (f.cnrm * g.gnrm), 6) DESC, g.coarse_id ASC
+      ) AS rn
+    FROM cent f CROSS JOIN coarse g
+  ) WHERE rn = 1
+),
+rowc AS (
+  SELECT vec_id, embedding, nrm, coarse_id FROM (
+    SELECT x.vec_id, x.embedding, x.nrm, g.coarse_id,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='g.gvec')} AS DOUBLE)
+                       / (x.nrm * g.gnrm), 6) DESC, g.coarse_id ASC
+      ) AS rn
+    FROM e x CROSS JOIN coarse g
+  ) WHERE rn = 1
+),
+assign AS (
+  SELECT cent_id, vec_id, embedding, nrm FROM (
+    SELECT c.cent_id, x.vec_id, x.embedding, x.nrm,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM rowc x JOIN centc c ON c.coarse_id = x.coarse_id
+  ) WHERE rn = 1
+),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM assign a JOIN assign b
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round(CAST({_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+              / (a.nrm * b.nrm), 6) >= 0.3
+)
+SELECT a.vec_id, CAST(a.cent_id AS BIGINT) AS cent_id,
+  (d.vec_id IS NOT NULL) AS is_dup
+FROM assign a LEFT JOIN dup d ON d.vec_id = a.vec_id
+""",
+)
+def semdedup_ivf(spark, sf_dir):
+    """SemDeDup with the two-level coarse->fine assignment
+    (operators/similarity.semdedup_ivf) — the scale path SF1.md's
+    distinct-corpus probe demanded: flat assignment is rows x k dots and
+    k scales with the corpus (paper prescription), making assignment
+    quadratic-in-sf; routing through ceil(sqrt(k)) coarse cells makes it
+    O(rows*sqrt(k)) with every stage still map-only against broadcast
+    1-row centroid arrays. Cluster membership may differ from `semdedup`
+    at coarse-cell boundaries (standard IVF approximation); the pruning
+    rule is identical. The oracle replays BOTH argmax levels (fine->
+    coarse, row->coarse, row->fine-within-cell) and the within-cluster
+    prune relationally — same rounded-cosine and id-asc tie-breaks."""
+    import math as _math
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.01
+    k = max(8, int(800 * sf))
+    emb = table(spark, sf_dir, "embeddings")
+    out = similarity.semdedup_ivf(
+        emb, "vec_id", "embedding", threshold=0.3,
+        num_centroids=k, num_coarse=max(3, _math.ceil(_math.sqrt(k))),
+    )
+    return out.select("vec_id", F.col("cent_id").cast("long").alias("cent_id"),
+                      "is_dup")

@@ -144,3 +144,42 @@ def test_ivfpq_nprobe_exhaustive_matches_ivf_candidates(spark, truth):
         emb, queries, "vec_id", "embedding", k=K, num_centroids=8, nprobe=8
     )
     assert _recall(full, truth) >= _recall(pruned, truth)
+
+
+def test_two_level_assign_self_when_every_vector_is_a_centroid(spark):
+    """k = n: each vector's nearest fine centroid is itself (cosine 1,
+    id tiebreak), whatever coarse cell routing happened — the identity
+    that pins both argmax levels at once."""
+    import random
+
+    from furchild_spark.operators import similarity as S
+
+    rng = random.Random(7)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(12)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    out = S.two_level_assign(df, num_centroids=12, num_coarse=4).collect()
+    assert len(out) == 12
+    assert all(r.cent_id == r.neighbor_id for r in out)
+
+
+def test_semdedup_ivf_agrees_with_flat_on_tight_twins(spark):
+    """Exact duplicate vectors land in the SAME cell under any
+    assignment (identical argmax inputs), so twin pairs are found by
+    both the flat and the two-level variant; the keep-lowest-id rule
+    marks exactly the higher twin."""
+    import random
+
+    from furchild_spark.operators import similarity as S
+
+    rng = random.Random(11)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    rows = [(i, v) for i, v in enumerate(base)]
+    rows += [(100 + i, v) for i, v in enumerate(base[:3])]  # 3 exact twins
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    for fn in (
+        lambda: S.semdedup(df, threshold=0.999, num_centroids=3),
+        lambda: S.semdedup_ivf(df, threshold=0.999, num_centroids=3,
+                               num_coarse=2),
+    ):
+        out = {r.vec_id: r.is_dup for r in fn().collect()}
+        assert {k for k, v in out.items() if v} == {100, 101, 102}

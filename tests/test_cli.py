@@ -151,6 +151,11 @@ def test_show_explain_prints_plan(bronze, spark, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "Physical Plan" in out
+    # the plan-lint discipline, operationalized for users: the printed
+    # plan must show the staging model's not-null key filters reaching
+    # the bronze scan (PushedFilters), not a post-scan Filter only
+    assert "PushedFilters: [" in out
+    assert "IsNotNull" in out
 
 
 def test_graph_selector_malformed_is_usage_error(bronze, spark):

@@ -55,7 +55,8 @@ DEDUP_ANN_ENTRIES = [
     "exact_dedup", "exact_dedup_incremental",
     "minhash_neardup", "minhash_neardup_incremental",
     "ngram_jaccard", "ngram_jaccard_neardup", "simhash",
-    "contamination_check", "semdedup", "embedding_cosine_neardup",
+    "contamination_check", "semdedup", "semdedup_ivf",
+    "embedding_cosine_neardup",
     "exact_substring_spans", "exact_substring_dedup",
     "boilerplate_chunk_removal", "curation_pipeline",
     "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_topk_probe0",
