@@ -2473,7 +2473,7 @@ p{r} AS (
     FROM words{r}
   ) GROUP BY pr.s1, pr.s2
 ),
-b{r} AS (SELECT s1, s2, cnt FROM p{r} ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1),
+b{r} AS MATERIALIZED (SELECT s1, s2, cnt FROM p{r} ORDER BY cnt DESC, s1 ASC, s2 ASC LIMIT 1),
 pos{r} AS (
   SELECT word, freq, pr.i AS i, pr.s AS s
   FROM (SELECT word, freq,
@@ -2504,7 +2504,7 @@ ap{r} AS (
     lag(keep) OVER (PARTITION BY word ORDER BY i) AS pk
   FROM sel{r}
 ),
-words{r+1} AS (
+words{r+1} AS MATERIALIZED (
   SELECT word, freq,
     list(CASE WHEN keep = 1 THEN s || ns ELSE s END ORDER BY i)
       FILTER (WHERE pk IS NULL OR pk = 0) AS syms
@@ -2984,3 +2984,129 @@ def semdedup_ivf(spark, sf_dir):
     )
     return out.select("vec_id", F.col("cent_id").cast("long").alias("cent_id"),
                       "is_dup")
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END tokenizer serving pipeline: exact-substring dedup -> length
+# gate -> BPE train on the CLEANED corpus -> BPE apply -> sequence packing
+# ---------------------------------------------------------------------------
+
+_TPP_MIN_TOKENS = 5     # post-dedup length gate
+_TPP_BUDGET = 128       # pack budget (BPE tokens)
+
+_TPP_RULES_CACHE: dict[str, list] = {}
+
+
+def _tpp_kept(spark, sf_dir):
+    """The pipeline's shared front half: duplicated passages removed
+    (keep-one, anchor window 8), then the post-removal length gate."""
+    d = table(spark, sf_dir, "documents")
+    cleaned = dedup.exact_substring_dedup(d, "doc_id", "text",
+                                          min_tokens=_ESS_MIN)
+    return cleaned.filter(
+        (F.col("n_tokens") - F.col("n_removed_tokens")) >= _TPP_MIN_TOKENS
+    )
+
+
+@query(
+    "tokenize_pack_pipeline",
+    section="LLM-pipeline END-TO-END tokenizer serving composition: "
+    "exact-substring dedup (keep-one) -> post-removal length gate -> BPE "
+    "trained on the CLEANED corpus -> map-only BPE apply -> zero-padding "
+    "sequence packing, with a pipeline-level (not per-operator) oracle",
+    oracle=_ESS_CTES + _ess_span_sql(keep_first=True) + f""",
+tok_pos AS (
+  SELECT doc_id, u.i AS i, u.w AS w
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(t)+1),
+                 i -> struct_pack(i := i, w := t[i]))) AS u
+        FROM tok)
+),
+kept0 AS (
+  SELECT tp.doc_id, tp.i, tp.w
+  FROM tok_pos tp
+  WHERE NOT EXISTS (
+    SELECT 1 FROM spans s
+    WHERE s.doc_id = tp.doc_id AND tp.i >= s.span_start AND tp.i < s.span_end
+  )
+),
+clean AS (SELECT doc_id, list(w ORDER BY i) AS ct FROM kept0 GROUP BY doc_id),
+kept AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: the 5 trainer rounds below reference
+  -- their predecessors with fan-out, and DuckDB's default CTE inlining
+  -- would re-evaluate the whole dedup front half (windows -> spans ->
+  -- NOT EXISTS removal) an exponential number of times — measured as a
+  -- >10 min oracle at sf0.01 vs seconds with the boundary pinned.
+  SELECT doc_id, ct FROM clean WHERE len(ct) >= {_TPP_MIN_TOKENS}
+),
+w0 AS (
+  SELECT word, COUNT(*) AS freq
+  FROM (SELECT unnest(ct) AS word FROM kept) GROUP BY word
+),
+words1 AS (
+  SELECT word, freq,
+    list_transform(range(1, len(word)+1), i -> word[i]) AS syms
+  FROM w0
+),""" + ",".join(_bpe_round_ctes(r) for r in range(1, _BPE_ROUNDS + 1)) + f""",
+dtok_pos AS (
+  SELECT doc_id, u.i AS i, u.w AS w
+  FROM (SELECT doc_id,
+          unnest(list_transform(range(1, len(ct)+1),
+                 i -> struct_pack(i := i, w := ct[i]))) AS u
+        FROM kept)
+),
+sub AS (
+  SELECT dp.doc_id, dp.i, wv.syms
+  FROM dtok_pos dp JOIN words{_BPE_ROUNDS + 1} wv ON wv.word = dp.w
+),
+nbpe AS (
+  SELECT doc_id, CAST(SUM(len(syms)) AS BIGINT) AS n
+  FROM sub GROUP BY doc_id
+),
+cum AS (
+  SELECT doc_id, n,
+    CAST(COALESCE(SUM(n) OVER (
+      ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
+  FROM nbpe WHERE n > 0
+),
+seg AS (
+  SELECT doc_id, g0, g0 + n AS g1,
+    unnest(range(g0 // {_TPP_BUDGET}, (g0 + n - 1) // {_TPP_BUDGET} + 1)) AS p
+  FROM cum
+)
+SELECT doc_id,
+  CAST(p AS BIGINT) AS pack_id,
+  CAST(greatest(g0, p * {_TPP_BUDGET}) - p * {_TPP_BUDGET} AS BIGINT) AS pack_pos,
+  CAST(greatest(g0, p * {_TPP_BUDGET}) - g0 AS BIGINT) AS doc_offset,
+  CAST(least(g1, (p + 1) * {_TPP_BUDGET})
+       - greatest(g0, p * {_TPP_BUDGET}) AS BIGINT) AS seg_len
+FROM seg
+""",
+)
+def tokenize_pack_pipeline(spark, sf_dir):
+    """The serving half of a pretraining data pipeline as ONE composed
+    flow: exact_substring_dedup (keep-one canonical copy, window 8) ->
+    drop documents left with < 5 tokens -> train BPE merges ON THE
+    CLEANED corpus (rules differ from the raw-corpus bpe_merges rules
+    whenever dedup removed a dominant pair — the composition is what is
+    being certified) -> map-only bpe_apply -> pack the BPE token counts
+    into 128-token training sequences (concatenate-and-chop, zero
+    padding). The oracle replays the ENTIRE chain relationally: span
+    detection with the keeper rule, positional removal, the length
+    gate, all 5 trainer rounds over the cleaned corpus, vocabulary
+    substitution, and the deterministic md5-ordered prefix-sum packing
+    — a divergence in ANY stage breaks the hash. Like bpe_apply, the
+    trained rule list (a ≤5-row model artifact) is collected once per
+    sf_dir and memoized."""
+    kept = _tpp_kept(spark, sf_dir)
+    if sf_dir not in _TPP_RULES_CACHE:
+        rows = text.bpe_train(kept, "clean_text", rounds=_BPE_ROUNDS).collect()
+        rows.sort(key=lambda r: r["round"])
+        _TPP_RULES_CACHE[sf_dir] = [(r["p1"], r["p2"]) for r in rows]
+    applied = text.bpe_apply(
+        kept, _TPP_RULES_CACHE[sf_dir], "doc_id", "clean_text"
+    )
+    from furchild_spark.operators.batching import pack_sequences
+
+    return pack_sequences(applied, "doc_id", "n_tokens", budget=_TPP_BUDGET)

@@ -143,6 +143,71 @@ def orc_roundtrip_e2e(spark, sf_dir):
 
 
 @query(
+    "csv_jsonl_quarantine_e2e",
+    section="S1 source formats: CSV + JSONL landing readers with declared "
+    "schemas and PERMISSIVE corrupt-row quarantine (one bad line -> one "
+    "quarantined row, never a lost batch)",
+    oracle="""
+SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(3 AS BIGINT) AS csv_corrupt, CAST(2 AS BIGINT) AS jsonl_corrupt
+FROM documents WHERE doc_id < 50
+""",
+)
+def csv_jsonl_quarantine_e2e(spark, sf_dir):
+    """documents (doc_id < 50) written as CSV AND as JSON-lines, then read
+    back through the schema-declared landing readers
+    (sources/readers.read_csv_source / read_jsonl_source) with 3 corrupt
+    CSV lines and 2 corrupt JSONL lines injected into the landing dirs.
+    The clean sides inner-join on doc_id (both readers must reproduce
+    every field bit-for-bit -- a type coercion or quoting bug breaks the
+    hash); the quarantine counts ride along as broadcast scalars and must
+    equal exactly the injected corruption (PERMISSIVE mode: a bad line
+    becomes one _corrupt row, never an aborted read or a silent drop)."""
+    import os as _os
+
+    from furchild_spark.sources.readers import (
+        quarantine, read_csv_source, read_jsonl_source,
+    )
+
+    base = _os.path.join(tempfile.gettempdir(), "furchild_csv_jsonl_e2e")
+    shutil.rmtree(base, ignore_errors=True)
+    csv_dir, jl_dir = f"{base}/csv", f"{base}/jsonl"
+    d = table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    schema = "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    d.coalesce(1).write.option("header", "true").mode("overwrite").csv(csv_dir)
+    d.coalesce(1).write.mode("overwrite").json(jl_dir)
+    # corrupt lines (first line of the injected file is a header — with
+    # header=True Spark skips line 1 of EVERY file): a doc_id that can't
+    # cast, an over-length row, an unterminated quote / broken JSON
+    with open(f"{csv_dir}/zz_corrupt.csv", "w") as fh:
+        fh.write("doc_id,text,lang,source,n_chars\n")
+        fh.write("abc,t,l,s,notanint\n")
+        fh.write("1,2,3,4,5,6,7,8\n")
+        fh.write('"unterminated,x,y,z,1\n')
+    with open(f"{jl_dir}/zz_corrupt.json", "w") as fh:
+        fh.write('{"doc_id": oops}\nnot json at all\n')
+    c_clean, c_bad = quarantine(read_csv_source(spark, csv_dir, schema, header=True))
+    j_clean, j_bad = quarantine(read_jsonl_source(spark, jl_dir, schema))
+    counts = F.broadcast(
+        c_bad.agg(F.count(F.lit(1)).alias("csv_corrupt")).crossJoin(
+            j_bad.agg(F.count(F.lit(1)).alias("jsonl_corrupt"))
+        )
+    )
+    c = c_clean.select("doc_id", "lang", "source", "n_chars")
+    j = j_clean.select(F.col("doc_id").alias("jdoc"), F.col("text"))
+    return (
+        c.join(j, c["doc_id"] == j["jdoc"])
+        .crossJoin(counts)
+        .select(
+            "doc_id", "lang", "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            F.col("csv_corrupt").cast("long").alias("csv_corrupt"),
+            F.col("jsonl_corrupt").cast("long").alias("jsonl_corrupt"),
+        )
+    )
+
+
+@query(
     "txlog_runner_e2e",
     section=(
         "engine extra: Runner on the txlog backend (table_format='txlog' — "

@@ -374,6 +374,7 @@ def test_catalog_wide_no_singlepartition_windows(spark):
     bounded_ok = {
         "ann_ivf_topk", "epoch_shuffle", "model__dim_date",
         "sql_identical_text", "tfidf_top_terms", "sequence_packing",
+        "tokenize_pack_pipeline",  # same 256-row shard-offset prefix sum
     }
     for name in QUERIES:
         if name.endswith("_e2e") or name in bounded_ok:
