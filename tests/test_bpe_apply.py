@@ -32,3 +32,27 @@ def test_bpe_apply_is_map_only(spark):
         df.explain("formatted")
     p = buf.getvalue()
     assert "Exchange" not in p and "Join" not in p
+
+
+def test_vocab_factored_apply_is_bit_identical(spark):
+    """bpe_apply_by_vocab shares the word->subwords fold with bpe_apply,
+    so the two paths must agree token-for-token on every document —
+    including empty/NULL texts (left-join passthrough with empty
+    arrays) and repeated words (one fold, many occurrences)."""
+    from furchild_spark.operators import text
+
+    rows = [
+        (1, "the thesis rests on these tests"),
+        (2, "tests tests tests"),
+        (3, ""),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    rules = [("e", "s"), ("t", "h"), ("th", "e")]
+    a = {r.doc_id: r for r in text.bpe_apply(df, rules).collect()}
+    b = {r.doc_id: r for r in text.bpe_apply_by_vocab(df, rules).collect()}
+    assert set(a) == set(b) == {1, 2, 3, 4}
+    for k in a:
+        assert a[k].bpe_tokens == b[k].bpe_tokens
+        assert a[k].n_tokens == b[k].n_tokens
+    assert b[4].bpe_tokens == [] and b[4].n_tokens == 0
