@@ -163,7 +163,8 @@ def _names(args, spark=None) -> list[str] | None:
     subtracts its own graph-selector expansion from the result; with no
     --models it subtracts from the full registry, so the return value
     degrades from None to an explicit everything-minus list."""
-    included = _included_names(args, spark)
+    cache: dict = {}
+    included = _included_names(args, spark, _cache=cache)
     exclude = getattr(args, "exclude", None)
     if not exclude:
         return included
@@ -179,8 +180,19 @@ def _names(args, spark=None) -> list[str] | None:
         )
     parsed = _parse_graph_tokens(toks, set(order), "--exclude")
     if any(up or down for _, up, down in parsed):
-        # descendant/ancestor exclusion cones need the observed DAG
-        lineage, order, _ = _observed_lineage(args, spark)
+        # exclusion cones need the observed DAG — but reuse the full
+        # probe the --models expansion already paid for when it did,
+        # and keep ancestor-only exclusions on the named-cone probe
+        # (ref() recursion records each root's full ancestor cone) so
+        # an unrelated broken model can't abort the run
+        if "full" in cache:
+            lineage, order, _ = cache["full"]
+        elif not any(down for _, _, down in parsed):
+            lineage, order, _ = _observed_lineage(
+                args, spark, roots=[n for n, _, _ in parsed]
+            )
+        else:
+            lineage, order, _ = _observed_lineage(args, spark)
         excluded = _expand_graph(parsed, lineage, order)
     else:
         excluded = {n for n, _, _ in parsed}
@@ -188,8 +200,11 @@ def _names(args, spark=None) -> list[str] | None:
     return [n for n in base if n not in excluded]
 
 
-def _included_names(args, spark=None) -> list[str] | None:
-    """The --models half of the selection (see _names)."""
+def _included_names(args, spark=None, _cache=None) -> list[str] | None:
+    """The --models half of the selection (see _names). ``_cache``, when
+    a dict, receives the full-registry lineage probe under ``"full"`` if
+    this expansion performed one — _names reuses it for --exclude cones
+    instead of re-probing."""
     if not args.models:
         return None
     toks = args.models.split(",")
@@ -236,6 +251,8 @@ def _included_names(args, spark=None) -> list[str] | None:
         else [n for n, _, _ in parsed]
     )
     lineage, order, probe = _observed_lineage(args, spark, roots=roots)
+    if _cache is not None and roots is None:
+        _cache["full"] = (lineage, order, probe)
     parents = {n: set(lineage.get(n, {}).get("refs", [])) for n in order}
     children: dict[str, set] = {n: set() for n in order}
     for n, ps in parents.items():

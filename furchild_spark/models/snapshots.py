@@ -58,11 +58,18 @@ def snap_customers(ctx) -> DataFrame:
         F.col("DATE_UPDATED").alias("source_updated_at"),
         F.col("_AIRBYTE_EXTRACTED_AT").alias("_ingested_at"),
     ).filter(F.col("ID").isNotNull())
+    # final tiebreaker: the check_cols tuple — two in-batch duplicates
+    # with IDENTICAL timestamps but different tracked values must pick a
+    # deterministic winner, or re-runs open spurious SCD2 versions
     return S.dedup_keep_latest(
         src,
         "customer_id",
         [
             F.coalesce("source_updated_at", "_ingested_at").desc_nulls_last(),
             F.col("_ingested_at").desc_nulls_last(),
+            F.col("customer_name").asc_nulls_last(),
+            F.col("email_primary").asc_nulls_last(),
+            F.col("area").asc_nulls_last(),
+            F.col("city_id").asc_nulls_last(),
         ],
     )

@@ -1261,8 +1261,15 @@ def two_level_assign(
     # let-expression Spark's expression language offers).
     #
     # Fine argmax restricted to the chosen coarse cell (k/c expected
-    # candidates; never empty — every coarse centroid is also a fine
-    # centroid and assigns to itself at cosine 1).
+    # candidates). The cell is ALMOST never empty — every coarse
+    # centroid is also a fine centroid and self-assigns at cosine 1 —
+    # but a rounded-cosine 1.0 TIE between near-duplicate coarse
+    # centroids resolves to the lower cid, which can leave the higher
+    # one's cell empty while a row's own coarse argmax still picks it.
+    # array_max over the empty filtered set yields NULL, so we coalesce
+    # with the flat fine argmax (lazy: Coalesce short-circuits in
+    # codegen, so the O(k) flat scan runs only for rows that hit an
+    # empty cell — the two-level O(√k) cost is unchanged elsewhere).
     cent_id = F.element_at(
         F.transform(
             F.array(
@@ -1286,9 +1293,12 @@ def two_level_assign(
         ),
         1,
     )
-    return staged.withColumn("cent_id", cent_id).select(
-        "cent_id", "neighbor_id", "c_q", "c_norm"
+    flat_cent_id = _argmax_cent(
+        F.col("c_q"), F.col("c_norm"), F.col("__cents")
     )
+    return staged.withColumn(
+        "cent_id", F.coalesce(cent_id, flat_cent_id)
+    ).select("cent_id", "neighbor_id", "c_q", "c_norm")
 
 
 def semdedup_ivf(

@@ -2937,14 +2937,19 @@ rowc AS (
   ) WHERE rn = 1
 ),
 assign AS (
+  -- in-cell candidates win when the cell is non-empty (the coarse-match
+  -- DESC key); an EMPTY cell (rounded-tie coarse self-assignment, see
+  -- two_level_assign) falls back to the flat fine argmax — the same
+  -- coalesce the Spark side applies
   SELECT cent_id, vec_id, embedding, nrm FROM (
     SELECT c.cent_id, x.vec_id, x.embedding, x.nrm,
       row_number() OVER (
         PARTITION BY x.vec_id
-        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+        ORDER BY (c.coarse_id = x.coarse_id) DESC,
+                 round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
                        / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
       ) AS rn
-    FROM rowc x JOIN centc c ON c.coarse_id = x.coarse_id
+    FROM rowc x CROSS JOIN centc c
   ) WHERE rn = 1
 ),
 dup AS (

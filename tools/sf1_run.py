@@ -210,11 +210,22 @@ def main() -> None:
     # clobbering the full-sweep record (total_sec then describes only
     # the latest invocation; per-entry rows are the source of truth)
     merged = results
-    if len(names) < len(default_names):
+    if set(names) != set(default_names):
+        # a SET comparison, not a count: an explicit name list that
+        # happens to match the default length must still merge, never
+        # clobber the full-sweep record
         try:
             with open(detail_path) as fh:
                 prior = json.load(fh).get("entries", {})
-            merged = {**prior, **results}
+            # stamp carried-over rows so stale operator versions are
+            # distinguishable from this invocation's measurements
+            merged = {
+                **{
+                    n: {**r, "merged_from_prior": True}
+                    for n, r in prior.items()
+                },
+                **results,
+            }
         except (OSError, ValueError):
             pass
     with open(detail_path, "w") as fh:
