@@ -609,7 +609,11 @@ class Runner:
                 f"missing columns {missing}, undeclared columns {extra}, "
                 f"type mismatches {retyped}"
             )
-        nn = list(c.get("not_null", ()))
+        # the name/type check above is static (plan schema, no job); the
+        # not_null count below is a Spark ACTION, so it only runs on
+        # warehouse-backed builds — view-only probe runners (dag/docs/
+        # state fingerprints) promise zero actions and zero side effects
+        nn = list(c.get("not_null", ())) if self.warehouse_dir else []
         if nn:
             from pyspark.sql import functions as F
 

@@ -377,7 +377,27 @@ def fct_orders(ctx) -> DataFrame:
 # dim_orders (ref models/marts/commerce/dims/dim_orders.sql)
 # ---------------------------------------------------------------------------
 
-@model(materialized="table", unique_key="order_sk")
+@model(
+    materialized="table",
+    unique_key="order_sk",
+    # dbt model contract (contract: enforced): the reference declares
+    # every column of this dim (models/marts/commerce/dims/
+    # dim_orders.yml:8-43) — the dim is a stable consumer interface, so
+    # additive/typed drift must abort the build, not surprise a report
+    contract={
+        "columns": {
+            "order_sk": "string",
+            "order_id": "string",
+            "customer_id": "string",
+            "created_at_local": "timestamp_ntz",
+            "created_at_utc": "timestamp",
+            "order_date_local": "date",
+            "is_first_order": "boolean",
+            "order_rank_for_customer": "int",
+        },
+        "not_null": ["order_sk", "order_id"],
+    },
+)
 def dim_orders(ctx) -> DataFrame:
     """Order dim with customer-lifecycle rank (ref dim_orders.sql:7-74)."""
     src = ctx.ref("stg_orders").select(

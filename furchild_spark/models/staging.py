@@ -355,7 +355,30 @@ def stg_order_items(ctx) -> DataFrame:
     )
 
 
-@model(materialized="table")  # reference: transient table (stg_items.sql:1)
+@model(
+    materialized="table",  # reference: transient table (stg_items.sql:1)
+    # dbt model contract (contract: enforced): the reference declares
+    # every shipped column for this model (models/staging/schema.yml:
+    # 103-137) — name/type drift aborts BEFORE materialization, and the
+    # schema.yml not_null tests on the key/quantity/realized-price
+    # columns become pre-write constraints
+    contract={
+        "columns": {
+            "transaction_item_id": "string",
+            "transaction_id": "string",
+            "product_id": "string",
+            "product_name": "string",
+            "stock_id": "string",
+            "stock_name": "string",
+            "unit": "string",
+            "quantity": "decimal(38,6)",
+            "unit_price_ex_vat": "decimal(38,6)",
+            "total_discount_pct": "decimal(38,6)",
+            "realized_unit_price_ex_vat": "decimal(38,6)",
+        },
+        "not_null": ["transaction_item_id", "transaction_id"],
+    },
+)
 def stg_items(ctx) -> DataFrame:
     """Realized ex-VAT unit prices (reference models/staging/stg_items.sql).
 

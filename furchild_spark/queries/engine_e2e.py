@@ -524,3 +524,102 @@ def microbatch_e2e(spark, sf_dir):
     r2 = Runner(spark, reg, sources={"events": events}, warehouse_dir=base,
                 incremental=True, now=now)
     return r2.ref("ev_mb").select("event_id", "user_id", "ts", "value")
+
+
+@query(
+    "contracts_e2e",
+    section="engine extra: dbt model contracts (contract: enforced, dbt "
+    "1.5) — declared column/type/nullability validated BEFORE "
+    "materialization on both backends; reference declares every shipped "
+    "column per model (models/staging/schema.yml:102-263)",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       TRUE AS parquet_type_abort, TRUE AS txlog_type_abort,
+       TRUE AS not_null_abort
+FROM orders WHERE o_orderkey % 3 = 0
+""",
+)
+def contracts_e2e(spark, sf_dir):
+    """The contract lifecycle end-to-end on BOTH backends: a conforming
+    contracted model (declared columns+types+not_null) materializes
+    through the real Runner on parquet and txlog; then a type-drifted
+    build and a not_null-violating build each abort with
+    ContractViolationError and NOTHING on disk (checked per backend —
+    the dbt 'stable interface' rule: drift is a build failure, not a
+    consumer surprise). The name/type check is static (plan schema, no
+    job); the not_null check is one pre-write count. Returned rows are
+    the conforming table READ BACK from the parquet warehouse with one
+    literal flag per proven abort — a missed abort or a leaked write
+    flips a flag and breaks the hash."""
+    import os
+
+    from furchild_spark.engine.registry import (
+        ContractViolationError, ModelRegistry, Runner,
+    )
+
+    base = tempfile.mkdtemp(prefix="furchild_contracts_e2e_")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    src = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") % 3 == 0)
+        .select(*cols)
+    )
+    contract = {
+        "columns": {
+            "o_orderkey": "bigint",
+            "o_custkey": "bigint",
+            "o_orderstatus": "string",
+            "o_totalprice": "double",
+        },
+        "not_null": ["o_orderkey"],
+    }
+    shape = {"drift": None}  # None=conform | "type" | "null"
+
+    reg = ModelRegistry()
+
+    @reg.model(name="orders_c", materialized="table", contract=contract)
+    def orders_c(ctx):
+        df = ctx.source("orders")
+        if shape["drift"] == "type":
+            df = df.withColumn(
+                "o_totalprice", F.col("o_totalprice").cast("string")
+            )
+        elif shape["drift"] == "null":
+            df = df.withColumn(
+                "o_orderkey",
+                F.when(F.col("o_orderkey") % 9 == 0, None)
+                .otherwise(F.col("o_orderkey")),
+            )
+        return df
+
+    def run(fmt, wh):
+        Runner(
+            spark, reg, sources=lambda n: src,
+            warehouse_dir=wh, table_format=fmt,
+        ).ref("orders_c")
+
+    def aborts(fmt, drift) -> bool:
+        shape["drift"] = drift
+        wh = tempfile.mkdtemp(prefix=f"furchild_contracts_{fmt}_{drift}_")
+        try:
+            run(fmt, wh)
+            return False  # should have raised
+        except ContractViolationError:
+            # the abort must also have left NOTHING behind
+            return not os.path.exists(os.path.join(wh, "orders_c"))
+        finally:
+            shape["drift"] = None
+
+    # conforming path: both backends materialize
+    run("parquet", f"{base}/pq")
+    run("txlog", f"{base}/tx")
+    from furchild_spark.engine import materialize as mat
+
+    committed = mat.read_table(spark, f"{base}/pq/orders_c").select(*cols)
+    return committed.select(
+        *cols,
+        F.lit(aborts("parquet", "type")).alias("parquet_type_abort"),
+        F.lit(aborts("txlog", "type")).alias("txlog_type_abort"),
+        F.lit(aborts("parquet", "null")).alias("not_null_abort"),
+    )
