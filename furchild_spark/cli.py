@@ -432,6 +432,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     common(dc)
     dc.add_argument("--output", help="write JSON here instead of stdout")
+    dc.add_argument(
+        "--html",
+        help="also render a self-contained static HTML catalog page here "
+             "(dbt docs serve's artifact, minus the server)",
+    )
     g = sub.add_parser("gen-fixtures", help="write deterministic bronze demo data")
     g.add_argument("--bronze", required=True)
     mt = sub.add_parser(
@@ -646,7 +651,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # dbt docs generate: one artifact holding what a reader needs to
         # navigate the warehouse without executing it — configs, observed
         # edges, resolved column types (from the analyzed schema of the
-        # view-mode composed plan), and the tests attached to each model.
+        # view-mode composed plan), descriptions (model docstrings), the
+        # tests attached to each model, and — when --warehouse points at
+        # a built warehouse — a dbt-catalog.json-style stats section
+        # (row counts, bytes, files, materialized column types) read
+        # ENTIRELY from metadata: txlog manifests / parquet footers,
+        # O(files), zero Spark jobs.
+        from furchild_spark.engine import docs as D
         from furchild_spark.models import registry
 
         lineage, order, probe = _observed_lineage(args, spark)
@@ -664,6 +675,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "unique_key": m.unique_key,
                 "partition_by": list(m.partition_by),
                 "tags": list(m.tags),
+                "description": D.description_of(m),
+                "contract": m.contract,
                 "depends_on": lineage.get(
                     name, {"refs": [], "sources": []}
                 ),
@@ -688,12 +701,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 for f in C.FRESHNESS
             ],
         }
+        if args.warehouse:
+            doc["catalog"] = D.warehouse_catalog(
+                args.warehouse, order, registry,
+                table_format=args.table_format,
+            )
+        if getattr(args, "html", None):
+            with open(args.html, "w") as fh:
+                fh.write(D.render_html(doc))
+            print(f"wrote {args.html}")
         text = json.dumps(doc, indent=1, sort_keys=True)
         if args.output:
             with open(args.output, "w") as fh:
                 fh.write(text)
             print(f"wrote {args.output}")
-        else:
+        elif not getattr(args, "html", None):
             print(text)
         return 0
 

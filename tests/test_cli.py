@@ -301,6 +301,111 @@ def test_docs_manifest_shape(bronze, spark, tmp_path, capsys):
     assert any(f["source"] == "transactions" for f in doc["freshness"])
 
 
+def test_docs_catalog_matches_warehouse_and_lineage(
+    bronze, spark, tmp_path, capsys
+):
+    """dbt docs generate with a built warehouse: (1) the artifact's
+    node/edge set equals Runner.lineage; (2) the catalog section's
+    column types equal the MATERIALIZED schemas (read back with Spark);
+    (3) row counts equal the tables' counts; (4) descriptions and the
+    declared contracts are present; (5) the --html render is a
+    self-contained page naming every model. The catalog is built from
+    parquet footers only — no Spark job."""
+    import json
+    import os
+
+    from furchild_spark.engine.registry import Runner
+    from furchild_spark.models import registry
+
+    wh = str(tmp_path / "docs_wh")
+    assert main(
+        ["run", "--bronze", bronze, "--warehouse", wh, "--now", FROZEN],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    out_path = str(tmp_path / "docs.json")
+    html_path = str(tmp_path / "catalog.html")
+    rc = main(
+        ["docs", "--bronze", bronze, "--warehouse", wh,
+         "--output", out_path, "--html", html_path, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    doc = json.loads(open(out_path).read())
+
+    # (1) node/edge parity with an independent probe Runner
+    probe = Runner(
+        spark, registry,
+        sources=lambda n: spark.read.parquet(os.path.join(bronze, f"{n}.parquet")),
+        now=__import__("datetime").datetime.fromisoformat(FROZEN),
+    )
+    for name in registry.names():
+        probe.ref(name)
+    assert set(doc["nodes"]) == set(probe.lineage)
+    for name, lin in probe.lineage.items():
+        assert doc["nodes"][name]["depends_on"] == lin, name
+
+    # (2)+(3) catalog stats vs materialized reality
+    cat = doc["catalog"]
+    assert cat, "warehouse catalog section missing"
+    for name in ("stg_orders", "fct_orders", "dim_orders"):
+        t = spark.read.option("mergeSchema", "true").parquet(
+            os.path.join(wh, name)
+        )
+        want = {f.name: f.dataType.simpleString() for f in t.schema.fields}
+        assert cat[name]["columns"] == want, name
+        assert cat[name]["row_count"] == t.count(), name
+        assert cat[name]["bytes"] > 0 and cat[name]["files"] >= 1
+    # views are correctly absent from the catalog half
+    for name, node in doc["nodes"].items():
+        if node["materialized"] in ("view", "ephemeral"):
+            assert name not in cat
+
+    # (4) descriptions + contracts surfaced
+    assert doc["nodes"]["dim_orders"]["description"].startswith(
+        "Order dim"
+    )
+    assert doc["nodes"]["dim_orders"]["contract"]["columns"]["order_sk"] == "string"
+
+    # (5) static HTML render
+    html = open(html_path).read()
+    assert html.startswith("<!doctype html>")
+    for name in doc["nodes"]:
+        assert name in html
+
+
+def test_docs_catalog_txlog_backend(bronze, spark, tmp_path, capsys):
+    """The catalog half on the txlog backend answers from the commit
+    manifest: row counts O(1), version surfaced."""
+    import json
+
+    wh = str(tmp_path / "docs_txwh")
+    assert main(
+        ["run", "--bronze", bronze, "--warehouse", wh, "--now", FROZEN,
+         "--table-format", "txlog", "--models", "stg_orders"],
+        spark=spark,
+    ) == 0
+    capsys.readouterr()
+    out_path = str(tmp_path / "docs_tx.json")
+    rc = main(
+        ["docs", "--bronze", bronze, "--warehouse", wh,
+         "--table-format", "txlog", "--output", out_path, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    doc = json.loads(open(out_path).read())
+    entry = doc["catalog"]["stg_orders"]
+    from furchild_spark.engine.txlog import TxTable
+
+    tx = TxTable(spark, str(tmp_path / "docs_txwh" / "stg_orders"))
+    assert entry["row_count"] == tx.count()
+    assert entry["version"] == tx.current_version()
+    assert entry["columns"] == {
+        f.name: f.dataType.simpleString()
+        for f in tx.snapshot().schema.fields
+    }
+
+
 def test_defer_to_prod_warehouse(bronze, spark, tmp_path, capsys):
     """dbt --defer: a dev run of ONE mart against a built prod warehouse
     reads its staging upstreams from prod — the dev warehouse ends up
