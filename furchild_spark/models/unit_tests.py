@@ -321,3 +321,189 @@ UNIT_TESTS += [
         ],
     ),
 ]
+
+
+def _inv(raw_id, **j):
+    """A zbooks_invoices bronze row whose JSON_DATA is built from kwargs
+    (string-typed scalars, reference stg_invoice_payments.sql:7-35)."""
+    import json as _json
+
+    return {
+        "_AIRBYTE_RAW_ID": raw_id,
+        "_AIRBYTE_EXTRACTED_AT": dt.datetime(2024, 3, 1, 0, 0, 0),
+        "JSON_DATA": _json.dumps(j),
+    }
+
+
+_ZB_SCHEMA = (
+    "_AIRBYTE_RAW_ID string, _AIRBYTE_EXTRACTED_AT timestamp, "
+    "JSON_DATA string"
+)
+
+
+UNIT_TESTS += [
+    UnitTest(
+        name="stg_invoice_payments_status_canon_keeps_only_payments",
+        model="stg_invoice_payments",
+        description="The VARIANT status-canonicalization chain (reference "
+        "stg_invoice_payments.sql:38-52): paid+zero-balance stays paid, "
+        "paid/partially_paid with balance>0 becomes partially_paid, and "
+        "draft/void/unpaid/overdue/unknown/malformed-JSON rows are all "
+        "filtered out — only payment rows survive.",
+        given={
+            "zbooks_invoices": ([
+                _inv("r1", invoice_id="INV-1", date="2024-02-01",
+                     total="100.00", balance="0", status="PAID",
+                     last_payment_date="2024-02-20"),
+                _inv("r2", invoice_id="INV-2", date="2024-02-11",
+                     total="100.00", balance="40.00", status="paid"),
+                _inv("r3", invoice_id="INV-D", date="2024-02-01",
+                     total="10", balance="10", status="draft"),
+                _inv("r4", invoice_id="INV-V", date="2024-02-01",
+                     total="10", balance="10", status="void"),
+                _inv("r5", invoice_id="INV-O", date="2024-02-01",
+                     total="10", balance="10", status="overdue"),
+                _inv("r6", invoice_id="INV-X", date="2024-02-01",
+                     total="10", balance="10", status="something_else"),
+                {"_AIRBYTE_RAW_ID": "r7",
+                 "_AIRBYTE_EXTRACTED_AT": dt.datetime(2024, 3, 1),
+                 "JSON_DATA": "{not json"},
+            ], _ZB_SCHEMA),
+        },
+        expect=[
+            {"invoice_id": "INV-1", "status_canonical": "paid"},
+            {"invoice_id": "INV-2", "status_canonical": "partially_paid"},
+        ],
+    ),
+    UnitTest(
+        name="stg_invoice_payments_greatest_guard_and_date_fallback",
+        model="stg_invoice_payments",
+        description="The amount/date guard chain (reference "
+        "stg_invoice_payments.sql:28-35): amount_paid = "
+        "greatest(total-balance, 0) — an over-credited balance clamps to "
+        "0, never negative; payment_date prefers last_payment_date, "
+        "falls back to invoice_date only when something was actually "
+        "paid, else NULL; and the synthesized payment_id md5 keys on "
+        "whichever date survived (dbt_utils surrogate-key parity).",
+        given={
+            "zbooks_invoices": ([
+                # explicit last_payment_date wins
+                _inv("r1", invoice_id="INV-1", date="2024-02-01",
+                     total="100.00", balance="0", status="paid",
+                     last_payment_date="2024-02-20"),
+                # '' last_payment_date + positive amount -> invoice_date
+                _inv("r2", invoice_id="INV-2", date="2024-02-11",
+                     total="100.00", balance="40.00",
+                     status="partially_paid", last_payment_date=""),
+                # balance > total: amount clamps to 0, no payment date,
+                # the key falls through to invoice_date
+                _inv("r3", invoice_id="INV-3", date="2024-02-12",
+                     total="50.00", balance="80.00",
+                     status="partially_paid", last_payment_date=""),
+            ], _ZB_SCHEMA),
+        },
+        expect=[
+            {"invoice_id": "INV-1", "amount_paid": Decimal("100"),
+             "payment_date": dt.date(2024, 2, 20),
+             "payment_id": "70c1844ef4a051ebb0c04d4dcb1e7646"},
+            {"invoice_id": "INV-2", "amount_paid": Decimal("60"),
+             "payment_date": dt.date(2024, 2, 11),
+             "payment_id": "3af78b57972dcd14ef94c3d01695d1f9"},
+            {"invoice_id": "INV-3", "amount_paid": Decimal("0"),
+             "payment_date": None,
+             "payment_id": "f28228779a0b6584e68f016299e3f084"},
+        ],
+    ),
+]
+
+
+_SOI_SCHEMA = (
+    "order_item_id string, order_id string, product_id string, "
+    "product_name string, stock_id string, stock_name string, "
+    "unit string, quantity decimal(18,2), price decimal(18,2), "
+    "line_amount decimal(37,4), has_vat boolean, "
+    "discount_percentage decimal(10,2), "
+    "bulk_discount_percentage decimal(10,2), "
+    "discount_application_type int, "
+    "friendbuy_discount_percentage decimal(10,2), "
+    "friendbuy_discount_application_type int, "
+    "meal_plan_request_id string, _ingested_at timestamp"
+)
+
+
+def _soi(iid, order, qty, price, has_vat=True, disc=None, disc_type=None,
+         bulk=None, fb=None, fb_type=None):
+    return {
+        "order_item_id": iid, "order_id": order, "product_id": "P1",
+        "product_name": "kibble", "stock_id": "S1", "stock_name": "s",
+        "unit": "kg",
+        "quantity": Decimal(qty) if qty is not None else None,
+        "price": Decimal(price) if price is not None else None,
+        "line_amount": None, "has_vat": has_vat,
+        "discount_percentage": Decimal(disc) if disc is not None else None,
+        "bulk_discount_percentage": Decimal(bulk) if bulk is not None else None,
+        "discount_application_type": disc_type,
+        "friendbuy_discount_percentage": Decimal(fb) if fb is not None else None,
+        "friendbuy_discount_application_type": fb_type,
+        "meal_plan_request_id": None, "_ingested_at": _ORDER_TS,
+    }
+
+
+UNIT_TESTS += [
+    UnitTest(
+        name="fct_order_items_decimal_chain_clamp_and_apptype_quirk",
+        model="fct_order_items",
+        description="The decimal(38,6) line-math chain (reference "
+        "fct_order_items.sql:56-127): (a) NULL application type coalesces "
+        "to PERCENTAGE so the discount applies; (b) a NON-NULL int type "
+        "can never equal 'PERCENTAGE' (staging typed it int — faithful "
+        "reference quirk) so the discount is ignored while bulk always "
+        "applies; (c) the effective pct clamps at 100 (net-before-tax "
+        "0, tax 0 even with VAT on); (d) a left-join miss on stg_orders "
+        "zeroes the VAT fraction (div-by-zero/NULL guard) and NULL "
+        "qty/price zero the gross.",
+        given={
+            "stg_order_items": ([
+                # (a) 10% applies; VAT 5% on net-before-tax
+                _soi("i1", "O1", "2", "10", has_vat=True, disc="10"),
+                # (b) disc 50 ignored (type 1), fb 20 ignored (type 2),
+                #     bulk 30 applies; no VAT
+                _soi("i2", "O1", "1", "40", has_vat=False, disc="50",
+                     disc_type=1, fb="20", fb_type=2, bulk="30"),
+                # (c) 60+70 clamps to 100 -> everything discounts away
+                _soi("i3", "O1", "2", "25", has_vat=True, disc="60",
+                     bulk="70"),
+                # (d) unknown order + NULL qty/price
+                _soi("i4", "O2", None, None, has_vat=None),
+            ], _SOI_SCHEMA),
+            "stg_orders": ([
+                {"order_id": "O1", "created_at_local": _ORDER_TS,
+                 "created_at_utc": _ORDER_TS,
+                 "vat_percentage": Decimal("5")},
+            ], "order_id string, created_at_local timestamp, "
+               "created_at_utc timestamp, vat_percentage decimal(10,2)"),
+        },
+        expect=[
+            {"order_item_id": "i1", "line_gross": Decimal("20"),
+             "discount_pct_effective": Decimal("10"),
+             "line_discount_amt": Decimal("2"), "vat_pct": Decimal("5"),
+             "line_tax_amt": Decimal("0.9"),
+             "line_net_amt": Decimal("18.9")},
+            {"order_item_id": "i2", "line_gross": Decimal("40"),
+             "discount_pct_effective": Decimal("30"),
+             "line_discount_amt": Decimal("12"), "vat_pct": Decimal("5"),
+             "line_tax_amt": Decimal("0"),
+             "line_net_amt": Decimal("28")},
+            {"order_item_id": "i3", "line_gross": Decimal("50"),
+             "discount_pct_effective": Decimal("100"),
+             "line_discount_amt": Decimal("50"), "vat_pct": Decimal("5"),
+             "line_tax_amt": Decimal("0"),
+             "line_net_amt": Decimal("0")},
+            {"order_item_id": "i4", "line_gross": Decimal("0"),
+             "discount_pct_effective": Decimal("0"),
+             "line_discount_amt": Decimal("0"), "vat_pct": Decimal("0"),
+             "line_tax_amt": Decimal("0"),
+             "line_net_amt": Decimal("0")},
+        ],
+    ),
+]

@@ -687,3 +687,38 @@ def test_rrf_fusion_windows_are_query_partitioned(spark):
     # tree-walk check, not the vacuous "SinglePartition, Window" substring
     # (that exact text never appears in formatted plans — verified)
     assert not _singlepartition_windows(QUERIES["rrf_hybrid_topk"].fn(spark, SF))
+
+
+def test_exact_substring_spans_bounded_shuffles_with_partials(spark):
+    """ExactSubstr span detection's 100 TB contract (the docstring's '3
+    bounded shuffles'): window fingerprints are map-only, the duplicated-
+    fingerprint groupBy shows MAP-SIDE PARTIAL aggregation (the guard for
+    the hot-boilerplate skew path — a viral header fingerprint combines
+    per-partition before the exchange), and the whole plan carries
+    exactly three data exchanges (distinct-doc pre-agg, fp rollup, doc
+    islands merge) — never a cartesian candidate pairing and never a
+    corpus-wide sort."""
+    import re
+
+    p = plan_of(spark, "exact_substring_spans")
+    assert "CartesianProduct" not in p
+    assert "partial_" in p
+    assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 3
+    assert "hashpartitioning(fp" in p
+
+
+def test_tokenize_pack_pipeline_single_checkpoint_feeds_both_legs(spark):
+    """The composed tokenizer pipeline materializes the span-removal
+    subtree through exactly ONE localCheckpoint, and every leg (trainer
+    rounds, serve-side apply, packing) reads THAT RDD — a second
+    checkpoint id or a leg recomputing the dedup subtree would double
+    the most expensive stage of the pipeline."""
+    import re
+
+    df = QUERIES["tokenize_pack_pipeline"].fn(spark, SF)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    ids = re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", p)
+    assert len(set(ids)) == 1, f"expected one checkpoint RDD, got {set(ids)}"
+    assert len(ids) >= 2, "both legs must read the checkpointed subtree"

@@ -13,9 +13,10 @@ from furchild_spark.models.unit_tests import UNIT_TESTS
 
 def test_shipped_fixtures_all_pass(spark):
     results = run_unit_tests(spark, registry, UNIT_TESTS)
-    assert len(results) == len(UNIT_TESTS) == 7
+    assert len(results) == len(UNIT_TESTS) == 10
     assert {r.model for r in results} >= {
         "stg_transactions", "stg_items", "stg_delivery_slots", "fct_orders",
+        "stg_invoice_payments", "fct_order_items",
     }
     bad = [(r.name, r.error, r.unexpected, r.missing)
            for r in results if not r.passed]
