@@ -1320,3 +1320,91 @@ def semdedup_ivf(
         corpus, id_col, vec_col, num_centroids, num_coarse
     )
     return _semdedup_prune(assign, id_col, threshold)
+
+
+def semdedup_incremental(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    num_centroids: int = 8,
+) -> DataFrame:
+    """A NEW batch semantically deduped against an EXISTING corpus
+    without reassigning the corpus — the daily-ingest mirror of
+    :func:`semdedup`, completing the incremental family
+    (:func:`~furchild_spark.operators.dedup.exact_dedup_incremental`,
+    ``minhash_neardup_incremental``).
+
+    A batch vector is a duplicate iff (a) ANY corpus vector in its
+    cluster has rounded cosine ≥ ``threshold`` (the corpus is already
+    kept, so it always wins — no id ordering), or (b) a LOWER-id batch
+    vector in its cluster does (the family's standard intra-batch rule).
+
+    Scale shape: the centroid set comes from the CORPUS and is frozen —
+    at 100 TB it is a maintained table written when the corpus was
+    deduped, as are the per-cluster corpus assignments
+    (``(cent_id, id, quantized vec, norm)``); the :func:`ivf_assign`
+    recompute here stands in for reading them, exactly like the corpus
+    band-signature note on ``minhash_neardup_incremental``. The batch
+    assignment is map-only against the broadcast centroid array, and
+    both prune joins are keyed on ``cent_id`` with the BATCH side small
+    — Catalyst broadcasts it, so corpus data files are never rewritten
+    and never globally exchanged.
+
+    Output matches :func:`semdedup`: one ``(id, cent_id, is_dup)``
+    verdict row per BATCH vector.
+    """
+    cents = centroid_array(corpus_df, id_col, vec_col, num_centroids)
+    corpus_assign = ivf_assign(corpus_df, cents, id_col, vec_col)
+    batch_assign = ivf_assign(new_df, cents, id_col, vec_col)
+    b = batch_assign.select(
+        "cent_id",
+        F.col("neighbor_id").alias("id_b"),
+        F.col("c_q").alias("q_b"),
+        F.col("c_norm").alias("n_b"),
+    )
+    cos_vs_b = F.round(
+        dot_q_double(F.col("q_a"), F.col("q_b"))
+        / (F.col("n_a") * F.col("n_b")),
+        6,
+    )
+    cross_dups = (
+        b.join(
+            corpus_assign.select(
+                "cent_id",
+                F.col("c_q").alias("q_a"),
+                F.col("c_norm").alias("n_a"),
+            ),
+            on="cent_id",
+        )
+        .filter(cos_vs_b >= F.lit(threshold))
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    intra_dups = (
+        b.join(
+            batch_assign.select(
+                "cent_id",
+                F.col("neighbor_id").alias("id_a"),
+                F.col("c_q").alias("q_a"),
+                F.col("c_norm").alias("n_a"),
+            ),
+            on="cent_id",
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cos_vs_b >= F.lit(threshold))
+        .select(F.col("id_b").alias("__dup_id"))
+        .distinct()
+    )
+    dups = cross_dups.unionByName(intra_dups).distinct()
+    return (
+        batch_assign.join(
+            dups, batch_assign["neighbor_id"] == dups["__dup_id"], "left"
+        )
+        .select(
+            F.col("neighbor_id").alias(id_col),
+            "cent_id",
+            F.col("__dup_id").isNotNull().alias("is_dup"),
+        )
+    )

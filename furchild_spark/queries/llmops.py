@@ -2991,6 +2991,92 @@ def semdedup_ivf(spark, sf_dir):
                       "is_dup")
 
 
+@query(
+    "semdedup_incremental",
+    section="LLM-dedup semantic INCREMENTAL (a new batch deduped against "
+    "the existing corpus on its frozen centroid/assignment tables — the "
+    "daily-ingest mirror of semdedup, completing the incremental family "
+    "with exact_dedup_incremental and minhash_neardup_incremental)",
+    oracle=f"""
+WITH e AS ({_IVF_E}),
+nc AS (SELECT greatest(8, count(*) * 800 // 6000000) AS n FROM lineitem),
+corpus AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+batch AS (SELECT * FROM e WHERE vec_id % 4 = 0),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM corpus
+  WHERE vec_id < (SELECT n FROM nc)
+),
+cassign AS (
+  SELECT cent_id, vec_id, embedding, nrm FROM (
+    SELECT c.cent_id, x.vec_id, x.embedding, x.nrm,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM corpus x CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+bassign AS (
+  SELECT cent_id, vec_id, embedding, nrm FROM (
+    SELECT c.cent_id, x.vec_id, x.embedding, x.nrm,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM batch x CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+dup AS (
+  -- corpus always wins (no id ordering) ...
+  SELECT DISTINCT b.vec_id
+  FROM bassign b JOIN cassign a ON a.cent_id = b.cent_id
+  WHERE round(CAST({_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+              / (a.nrm * b.nrm), 6) >= 0.3
+  UNION
+  -- ... plus the standard lower-id rule within the batch
+  SELECT DISTINCT b.vec_id
+  FROM bassign b JOIN bassign a
+    ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+  WHERE round(CAST({_DOT.format(a='a.embedding', b='b.embedding')} AS DOUBLE)
+              / (a.nrm * b.nrm), 6) >= 0.3
+)
+SELECT b.vec_id, CAST(b.cent_id AS BIGINT) AS cent_id,
+  (d.vec_id IS NOT NULL) AS is_dup
+FROM bassign b LEFT JOIN dup d ON d.vec_id = b.vec_id
+""",
+)
+def semdedup_incremental(spark, sf_dir):
+    """Incremental SemDeDup (operators/similarity.semdedup_incremental):
+    the embeddings table splits into an existing corpus (vec_id % 4 != 0)
+    and today's batch (% 4 == 0); the batch is assigned map-only to the
+    CORPUS's frozen centroid array and pruned against (a) same-cluster
+    corpus vectors — the corpus always wins, no id ordering — and (b)
+    lower-id same-cluster batch vectors. The corpus is never reassigned
+    or rewritten: at 100 TB its centroid + assignment tables are
+    maintained at ingest (the ivf_assign recompute stands in for reading
+    them), and both prune joins are keyed on cent_id with the small
+    batch side broadcast. The oracle replays both argmaxes and both
+    prune rules relationally. num_centroids scales with the corpus
+    exactly as the semdedup entry documents."""
+    import re as _re
+
+    m = _re.search(r"sf([0-9.]+)", sf_dir or "")
+    sf = float(m.group(1)) if m else 0.01
+    k = max(8, int(800 * sf))
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    out = similarity.semdedup_incremental(
+        batch, corpus, "vec_id", "embedding",
+        threshold=0.3, num_centroids=k,
+    )
+    return out.select(
+        "vec_id", F.col("cent_id").cast("long").alias("cent_id"), "is_dup"
+    )
+
+
 # ---------------------------------------------------------------------------
 # END-TO-END tokenizer serving pipeline: exact-substring dedup -> length
 # gate -> BPE train on the CLEANED corpus -> BPE apply -> sequence packing

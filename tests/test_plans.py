@@ -39,6 +39,7 @@ def plan_of(spark, name: str) -> str:
         "ann_lsh_topk_probe0",
         "exact_dedup_incremental",
         "minhash_neardup_incremental",
+        "semdedup_incremental",
         "contamination_check",
         "kmv_distinct_sketch",
         "inverted_index",
