@@ -104,11 +104,18 @@ def main() -> None:
     # warmup: JVM/codegen spin-up on a trivial action, outside the clock
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
 
+    # parallel to history: the 1-min loadavg sampled right after each run,
+    # so a slow run in the committed record carries its own environment
+    # evidence (the r8 record's pass-wide spike cluster was unattributable
+    # because only loadavg_start existed)
+    load_hist: dict[str, list[float]] = {}
+
     def run_once(name: str) -> float:
         q = QUERIES[name]
         t0 = time.perf_counter()
         q.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
+        load_hist.setdefault(name, []).append(round(os.getloadavg()[0], 1))
         # each timing pays its own intermediate materialization: persisted
         # subtrees (operator-level + Runner cache_refs) are dropped so the
         # result is a cold-cache plan time, not a cache read
@@ -180,6 +187,18 @@ def main() -> None:
     # FIRST run of each mini-session pays the codegen-eviction recompile
     # (the phase-1 classes are long gone after ~149 other plans), so its
     # budget estimate carries a recompile allowance; later runs are warm.
+    #
+    # Boundary GC: phase 1 just executed every catalog entry twice
+    # (~400 jobs); the heap holds their broadcast/codegen/cleanup
+    # backlog, and the worst-first ordering sends the EXPENSIVE entries
+    # into that debris first — the r8 clean record shows a cluster of
+    # 10-30 s one-off spikes exactly at run index 2 (each entry's first
+    # phase-2 run). One explicit full GC here clears the backlog outside
+    # anyone's clock instead of amortizing it into the first
+    # mini-sessions. (BENCHNOTES.md "phase-2 spike cluster" has the
+    # probe evidence: the entries are spike-free in isolation and after
+    # pressure, so the cost is session debris, not the plans.)
+    spark.sparkContext._jvm.System.gc()
     recompile_allowance = 5.0
     for name in sorted(history, key=lambda n: min(history[n]), reverse=True):
         runs = history[name]
@@ -302,6 +321,7 @@ def main() -> None:
                 "n_queries": len(all_timings),
                 "env": env,
                 "runs": {k: [round(x, 3) for x in v] for k, v in history.items()},
+                "run_load": load_hist,
             },
             fh,
             indent=1,
