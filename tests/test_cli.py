@@ -301,6 +301,33 @@ def test_docs_manifest_shape(bronze, spark, tmp_path, capsys):
     assert any(f["source"] == "transactions" for f in doc["freshness"])
 
 
+def test_show_and_freshness_honor_vars(bronze, spark, capsys):
+    """--vars flows uniformly into EVERY subcommand's runner (run/build
+    and the probe paths alike): `show stg_items` with an overridden
+    vat_rate must print different ex-VAT prices than the default — the
+    var reaches the model through the same _make_runner seam freshness
+    and show --explain use."""
+    assert main(
+        ["show", "stg_items", "--bronze", bronze, "-n", "500"], spark=spark
+    ) == 0
+    base = capsys.readouterr().out
+    assert main(
+        ["show", "stg_items", "--bronze", bronze, "-n", "500",
+         "--vars", '{"vat_rate": 1.0}'],
+        spark=spark,
+    ) == 0
+    overridden = capsys.readouterr().out
+    assert base != overridden  # vat division visibly changed prices
+    # freshness accepts --vars without changing its own semantics
+    rc = main(
+        ["freshness", "--bronze", bronze, "--now", FROZEN,
+         "--vars", '{"vat_rate": 1.0}'],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert "lag=" in out and rc in (0, 1)
+
+
 def test_docs_catalog_matches_warehouse_and_lineage(
     bronze, spark, tmp_path, capsys
 ):
