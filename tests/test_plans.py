@@ -416,6 +416,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "rrf_hybrid_topk",  # embeds the BM25 run → same 1-row scalars
         "semdedup",  # 1-row centroid-array constant-key broadcast (ivf_assign)
         "semdedup_ivf",  # same 1-row broadcasts, coarse + fine arrays
+        "semdedup_incremental",  # same 1-row centroid broadcast, batch+corpus
         "dsir_select",  # broadcast 1-row (tp, tq) smoothed-totals scalar
         "ccnet_buckets",  # broadcast 1-row percentile-thresholds scalar
         "bpe_merges",  # 1-row best-pair broadcast per round (checkpointed)
