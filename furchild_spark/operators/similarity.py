@@ -1223,6 +1223,25 @@ def two_level_assign(
     Output schema matches :func:`ivf_assign`:
     ``(cent_id, neighbor_id, c_q, c_norm)``.
     """
+    cents2 = two_level_centroids(
+        corpus, id_col, vec_col, num_centroids, num_coarse
+    )
+    return two_level_apply(corpus, cents2, id_col, vec_col)
+
+
+def two_level_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    num_coarse: int = 3,
+) -> DataFrame:
+    """The frozen two-level centroid artifact: one row carrying the fine
+    centroid array (each fine centroid annotated with its coarse cell)
+    plus the coarse array — split out of :func:`two_level_assign` so a
+    DIFFERENT DataFrame (an ingest batch) can be assigned against a
+    corpus's centroid set (:func:`semdedup_incremental`). At 100 TB this
+    single row is the maintained table."""
     fine = centroid_array(corpus, id_col, vec_col, num_centroids)
     coarse = (
         centroid_array(corpus, id_col, vec_col, num_coarse)
@@ -1230,7 +1249,7 @@ def two_level_assign(
     )
     # annotate each fine centroid with its coarse cell — one 1-row × 1-row
     # join, k × c dots total (both tables are centroid-sized)
-    cents2 = fine.join(coarse, on="__one").select(
+    return fine.join(coarse, on="__one").select(
         F.transform(
             "__cents",
             lambda f: F.struct(
@@ -1245,7 +1264,18 @@ def two_level_assign(
         F.col("__coarse"),
         F.col("__one"),
     )
-    cb = corpus.select(
+
+
+def two_level_apply(
+    df: DataFrame,
+    cents2: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign ``df``'s vectors through an EXISTING two-level centroid
+    artifact (:func:`two_level_centroids`) — map-only against the
+    broadcast 1-row artifact, O(rows·√k) dots."""
+    cb = df.select(
         F.col(id_col).alias("neighbor_id"), quantize(vec_col).alias("c_q")
     ).select("neighbor_id", "c_q", norm_q(F.col("c_q")).alias("c_norm"))
     staged = cb.withColumn("__one", F.lit(1)).join(
@@ -1329,6 +1359,7 @@ def semdedup_incremental(
     vec_col: str = "embedding",
     threshold: float = 0.3,
     num_centroids: int = 8,
+    num_coarse: int | None = None,
 ) -> DataFrame:
     """A NEW batch semantically deduped against an EXISTING corpus
     without reassigning the corpus — the daily-ingest mirror of
@@ -1352,12 +1383,27 @@ def semdedup_incremental(
     — Catalyst broadcasts it, so corpus data files are never rewritten
     and never globally exchanged.
 
+    ``num_coarse``: None = flat per-row argmax (rows × k dots — right
+    while k is small); an int routes BOTH sides through the two-level
+    coarse→fine artifact (:func:`two_level_centroids` +
+    :func:`two_level_apply`, O(rows·√k)) — the path to use when k scales
+    with the corpus (the SemDeDup paper's prescription), same trade as
+    :func:`semdedup_ivf`. Both sides always share ONE centroid artifact,
+    so cluster membership agrees across the corpus/batch boundary.
+
     Output matches :func:`semdedup`: one ``(id, cent_id, is_dup)``
     verdict row per BATCH vector.
     """
-    cents = centroid_array(corpus_df, id_col, vec_col, num_centroids)
-    corpus_assign = ivf_assign(corpus_df, cents, id_col, vec_col)
-    batch_assign = ivf_assign(new_df, cents, id_col, vec_col)
+    if num_coarse is None:
+        cents = centroid_array(corpus_df, id_col, vec_col, num_centroids)
+        corpus_assign = ivf_assign(corpus_df, cents, id_col, vec_col)
+        batch_assign = ivf_assign(new_df, cents, id_col, vec_col)
+    else:
+        cents2 = two_level_centroids(
+            corpus_df, id_col, vec_col, num_centroids, num_coarse
+        )
+        corpus_assign = two_level_apply(corpus_df, cents2, id_col, vec_col)
+        batch_assign = two_level_apply(new_df, cents2, id_col, vec_col)
     b = batch_assign.select(
         "cent_id",
         F.col("neighbor_id").alias("id_b"),

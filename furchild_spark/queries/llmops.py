@@ -2996,38 +2996,62 @@ def semdedup_ivf(spark, sf_dir):
     section="LLM-dedup semantic INCREMENTAL (a new batch deduped against "
     "the existing corpus on its frozen centroid/assignment tables — the "
     "daily-ingest mirror of semdedup, completing the incremental family "
-    "with exact_dedup_incremental and minhash_neardup_incremental)",
+    "with exact_dedup_incremental and minhash_neardup_incremental; "
+    "two-level O(rows*sqrt(k)) assignment shared by both sides)",
     oracle=f"""
 WITH e AS ({_IVF_E}),
 nc AS (SELECT greatest(8, count(*) * 800 // 6000000) AS n FROM lineitem),
+nco AS (SELECT greatest(3, CAST(ceil(sqrt(n)) AS BIGINT)) AS n2 FROM nc),
 corpus AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
 batch AS (SELECT * FROM e WHERE vec_id % 4 = 0),
 cent AS (
   SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM corpus
   WHERE vec_id < (SELECT n FROM nc)
 ),
-cassign AS (
+coarse AS (
+  SELECT vec_id AS coarse_id, embedding AS gvec, nrm AS gnrm FROM corpus
+  WHERE vec_id < (SELECT n2 FROM nco)
+),
+centc AS (
+  SELECT cent_id, cvec, cnrm, coarse_id FROM (
+    SELECT f.cent_id, f.cvec, f.cnrm, g.coarse_id,
+      row_number() OVER (
+        PARTITION BY f.cent_id
+        ORDER BY round(CAST({_DOT.format(a='f.cvec', b='g.gvec')} AS DOUBLE)
+                       / (f.cnrm * g.gnrm), 6) DESC, g.coarse_id ASC
+      ) AS rn
+    FROM cent f CROSS JOIN coarse g
+  ) WHERE rn = 1
+),
+rowc AS (
+  SELECT vec_id, embedding, nrm, coarse_id FROM (
+    SELECT x.vec_id, x.embedding, x.nrm, g.coarse_id,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='g.gvec')} AS DOUBLE)
+                       / (x.nrm * g.gnrm), 6) DESC, g.coarse_id ASC
+      ) AS rn
+    FROM e x CROSS JOIN coarse g
+  ) WHERE rn = 1
+),
+assign AS (
+  -- fine argmax restricted to the row's coarse cell, flat fallback on
+  -- an empty cell — identical to the semdedup_ivf oracle; computed for
+  -- ALL vectors, then split corpus/batch below (both sides share one
+  -- centroid artifact, so the argmax is the same expression)
   SELECT cent_id, vec_id, embedding, nrm FROM (
     SELECT c.cent_id, x.vec_id, x.embedding, x.nrm,
       row_number() OVER (
         PARTITION BY x.vec_id
-        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+        ORDER BY (c.coarse_id = x.coarse_id) DESC,
+                 round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
                        / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
       ) AS rn
-    FROM corpus x CROSS JOIN cent c
+    FROM rowc x CROSS JOIN centc c
   ) WHERE rn = 1
 ),
-bassign AS (
-  SELECT cent_id, vec_id, embedding, nrm FROM (
-    SELECT c.cent_id, x.vec_id, x.embedding, x.nrm,
-      row_number() OVER (
-        PARTITION BY x.vec_id
-        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
-                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
-      ) AS rn
-    FROM batch x CROSS JOIN cent c
-  ) WHERE rn = 1
-),
+cassign AS (SELECT * FROM assign WHERE vec_id % 4 <> 0),
+bassign AS (SELECT * FROM assign WHERE vec_id % 4 = 0),
 dup AS (
   -- corpus always wins (no id ordering) ...
   SELECT DISTINCT b.vec_id
@@ -3059,7 +3083,12 @@ def semdedup_incremental(spark, sf_dir):
     them), and both prune joins are keyed on cent_id with the small
     batch side broadcast. The oracle replays both argmaxes and both
     prune rules relationally. num_centroids scales with the corpus
-    exactly as the semdedup entry documents."""
+    exactly as the semdedup entry documents, and assignment routes
+    through the two-level coarse→fine artifact (one artifact SHARED by
+    corpus and batch, so membership agrees across the boundary) —
+    O(rows·√k) like semdedup_ivf, so the entry stays linear-ish when k
+    grows with the corpus."""
+    import math as _math
     import re as _re
 
     m = _re.search(r"sf([0-9.]+)", sf_dir or "")
@@ -3071,6 +3100,7 @@ def semdedup_incremental(spark, sf_dir):
     out = similarity.semdedup_incremental(
         batch, corpus, "vec_id", "embedding",
         threshold=0.3, num_centroids=k,
+        num_coarse=max(3, _math.ceil(_math.sqrt(k))),
     )
     return out.select(
         "vec_id", F.col("cent_id").cast("long").alias("cent_id"), "is_dup"

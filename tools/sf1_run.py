@@ -56,6 +56,7 @@ DEDUP_ANN_ENTRIES = [
     "minhash_neardup", "minhash_neardup_incremental",
     "ngram_jaccard", "ngram_jaccard_neardup", "simhash",
     "contamination_check", "semdedup", "semdedup_ivf",
+    "semdedup_incremental",
     "embedding_cosine_neardup",
     "exact_substring_spans", "exact_substring_dedup",
     "boilerplate_chunk_removal", "curation_pipeline",
