@@ -343,7 +343,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     def common(sp):
         sp.add_argument("--bronze", help="dir of <source>.parquet files")
         sp.add_argument("--warehouse", help="materialization dir (omit = view-only run)")
-        sp.add_argument("--models", help="comma-separated subset (default: all)")
+        sp.add_argument(
+            "--models", "--select", dest="models",
+            help="comma-separated subset (default: all); --select is the "
+                 "dbt-1.0+ spelling, --models the legacy alias — same "
+                 "selector grammar either way",
+        )
         sp.add_argument(
             "--exclude",
             help="comma-separated models to EXCLUDE from the selection "

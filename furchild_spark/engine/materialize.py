@@ -199,6 +199,28 @@ def replace_slice(
     return read_table(spark, path)
 
 
+def predicate_expr(col: str, op: str, val):
+    """One ``(col, op, value)`` comparison as a Column — the predicate
+    grammar shared with the txlog manifest skipper (txlog._predicate_expr),
+    so the same ``incremental_predicates`` triples drive BOTH backends."""
+    c = F.col(col)
+    return {
+        "==": c == F.lit(val),
+        "<": c < F.lit(val),
+        "<=": c <= F.lit(val),
+        ">": c > F.lit(val),
+        ">=": c >= F.lit(val),
+    }[op]
+
+
+def _predicates_expr(predicates):
+    pred = None
+    for col, op, val in predicates:
+        c = predicate_expr(col, op, val)
+        pred = c if pred is None else (pred & c)
+    return pred
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -206,6 +228,7 @@ def merge_upsert(
     unique_key: str,
     partition_by: tuple[str, ...] = (),
     keep_newer_ts: str | None = None,
+    predicates: tuple = (),
 ) -> DataFrame:
     """Upsert ``updates`` into the parquet table at ``path`` on ``unique_key``.
 
@@ -219,13 +242,24 @@ def merge_upsert(
     an OLDER version of a key can no longer clobber a newer row (the
     failure mode of blind new-row-wins in streaming micro-batch sinks).
     Ties go to the update (idempotent redelivery of the newest version).
+
+    ``predicates``: dbt ``incremental_predicates`` — ``(col, op, value)``
+    triples ANDed together. Existing rows that do NOT satisfy every
+    predicate (NULL counts as not satisfying, SQL merge semantics) are
+    carried forward UNTOUCHED and never enter the key-match join — the
+    merge's expensive side is pruned to the predicate window.
+    CONTRACT (dbt's own): incoming keys only ever live inside the
+    window; a key whose existing row sits outside it would duplicate.
     """
     recover(spark, path)
     if partition_by:
         return _merge_partition_scoped(
-            spark, path, updates, unique_key, partition_by, keep_newer_ts
+            spark, path, updates, unique_key, partition_by, keep_newer_ts,
+            predicates,
         )
-    return _merge_full(spark, path, updates, unique_key, keep_newer_ts)
+    return _merge_full(
+        spark, path, updates, unique_key, keep_newer_ts, predicates
+    )
 
 
 def _drop_stale_updates(
@@ -256,6 +290,7 @@ def _merge_partition_scoped(
     unique_key: str,
     partition_by: tuple[str, ...],
     keep_newer_ts: str | None = None,
+    predicates: tuple = (),
 ) -> DataFrame:
     """Merge touching only the partitions present in ``updates``.
 
@@ -284,13 +319,25 @@ def _merge_partition_scoped(
             )
             row_cond = c if row_cond is None else (row_cond & c)
         cond = row_cond if cond is None else (cond | row_cond)
+    touched_rows = existing.filter(cond)
+    out_window = None
+    if predicates:
+        # incremental_predicates: in-window rows key-match; out-window
+        # rows of the SAME touched partitions carry forward verbatim
+        # (they rewrite with their partition either way — the prune is
+        # the join side, the point of the dbt config)
+        pred = _predicates_expr(predicates)
+        out_window = touched_rows.filter(~F.coalesce(pred, F.lit(False)))
+        touched_rows = touched_rows.filter(pred)
     updates = _drop_stale_updates(
-        existing.filter(cond), updates, unique_key, keep_newer_ts
+        touched_rows, updates, unique_key, keep_newer_ts
     )
-    kept = existing.filter(cond).join(
+    kept = touched_rows.join(
         updates.select(unique_key).distinct(), unique_key, "left_anti"
     )
     merged = kept.unionByName(updates, allowMissingColumns=True)
+    if out_window is not None:
+        merged = out_window.unionByName(merged, allowMissingColumns=True)
     # break lineage so Spark allows overwriting a path we also read from;
     # only the touched partitions' rows are materialized
     merged = merged.localCheckpoint(eager=True)
@@ -309,12 +356,22 @@ def _merge_full(
     updates: DataFrame,
     unique_key: str,
     keep_newer_ts: str | None = None,
+    predicates: tuple = (),
 ) -> DataFrame:
-    """Global merge with a crash-safe directory swap."""
+    """Global merge with a crash-safe directory swap. With
+    ``predicates``, only the in-window slice of the existing table
+    enters the anti-join; the out-window slice unions back verbatim."""
     existing = read_table(spark, path)
+    out_window = None
+    if predicates:
+        pred = _predicates_expr(predicates)
+        out_window = existing.filter(~F.coalesce(pred, F.lit(False)))
+        existing = existing.filter(pred)
     updates = _drop_stale_updates(existing, updates, unique_key, keep_newer_ts)
     kept = existing.join(updates.select(unique_key).distinct(), unique_key, "left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
+    if out_window is not None:
+        merged = out_window.unionByName(merged, allowMissingColumns=True)
 
     fs, jvm = _fs(spark, path)
     staged = _hpath(jvm, path + "__staged")

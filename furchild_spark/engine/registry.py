@@ -107,6 +107,12 @@ class Model:
     #   insert_overwrite  replace exactly the partitions present in the batch
     #   microbatch        event-time batches, each replacing its own slice
     incremental_strategy: str = "merge"
+    # dbt incremental_predicates (1.4+): (col, op, value) triples ANDed;
+    # the merge only key-matches existing rows INSIDE this window —
+    # parquet prunes the anti-join side, txlog prunes whole FILES via
+    # footer stats (O(window) merges, not O(table)). dbt's own contract:
+    # incoming keys only ever live inside the window.
+    incremental_predicates: tuple = ()
     # microbatch config (dbt 1.9 names): the event-time column, the batch
     # granularity, and how many PRIOR batches to rebuild for late data
     event_time: str | None = None
@@ -151,6 +157,7 @@ class ModelRegistry:
         updated_at: str | None = None,
         check_cols: tuple[str, ...] | None = None,
         incremental_strategy: str = "merge",
+        incremental_predicates: tuple = (),
         event_time: str | None = None,
         batch_size: str = "day",
         lookback: int = 1,
@@ -188,6 +195,19 @@ class ModelRegistry:
             if incremental_strategy == "insert_overwrite" and not _cols(partition_by):
                 raise ValueError(
                     f"model {model_name}: insert_overwrite requires partition_by"
+                )
+            preds = tuple(tuple(p) for p in (incremental_predicates or ()))
+            for p in preds:
+                if len(p) != 3 or p[1] not in ("==", "<", "<=", ">", ">="):
+                    raise ValueError(
+                        f"model {model_name}: incremental_predicates entries "
+                        f"must be (col, op, value) with op in ==/</<=/>/>=; "
+                        f"got {p!r}"
+                    )
+            if preds and incremental_strategy != "merge":
+                raise ValueError(
+                    f"model {model_name}: incremental_predicates only apply "
+                    f"to the merge strategy, not {incremental_strategy!r}"
                 )
             if incremental_strategy == "microbatch":
                 if not event_time:
@@ -228,6 +248,7 @@ class ModelRegistry:
                 updated_at=updated_at,
                 check_cols=_cols(check_cols) if check_cols else None,
                 incremental_strategy=incremental_strategy,
+                incremental_predicates=preds,
                 event_time=event_time,
                 batch_size=batch_size,
                 lookback=lookback,
@@ -543,6 +564,14 @@ class Runner:
         stats = cluster
         if model is not None and getattr(model, "event_time", None):
             stats = tuple(dict.fromkeys(cluster + (model.event_time,)))
+        if model is not None and model.incremental_predicates:
+            # footer stats on the predicate columns are what lets the
+            # merge prune whole files to the predicate window — and
+            # clustering on them gives each file a narrow range to
+            # prune against (without it every file straddles the window)
+            pcols = tuple(p[0] for p in model.incremental_predicates)
+            cluster = tuple(dict.fromkeys(cluster + pcols))
+            stats = tuple(dict.fromkeys(stats + pcols))
         tx = txlog.TxTable(
             self.spark, self._path(name), cluster_by=cluster, stats_cols=stats
         )
@@ -752,11 +781,16 @@ class Runner:
                     if len(model.partition_by) == 1
                     else None
                 )
-                tx.merge(df, [model.unique_key], scope_col=scope)
+                tx.merge(
+                    df, [model.unique_key], scope_col=scope,
+                    predicates=model.incremental_predicates,
+                )
                 self._exists[model.name] = True
                 return tx.snapshot()
             merged = mat.merge_upsert(
-                self.spark, path, df, model.unique_key, partition_by=model.partition_by
+                self.spark, path, df, model.unique_key,
+                partition_by=model.partition_by,
+                predicates=model.incremental_predicates,
             )
             return merged
         if self.table_format == "txlog":

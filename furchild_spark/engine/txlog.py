@@ -704,6 +704,7 @@ class TxTable:
         max_retries: int = 3,
         scope_col: str | None = None,
         allow_evolution: bool = False,
+        predicates=(),
     ) -> int:
         """Upsert by key with optimistic-concurrency retry: rows of the
         current snapshot whose key appears in ``updates`` are replaced;
@@ -730,12 +731,30 @@ class TxTable:
         and standard for partition-scoped overwrite (cf.
         ``materialize.py`` partition collection): update batches touch
         few scope values by construction.
+
+        ``predicates`` (dbt ``incremental_predicates``, ``(col, op,
+        value)`` triples ANDed): only files whose footer stats MAY hold
+        a row satisfying every predicate are read for key matching —
+        every other file carries forward by reference, so merge cost is
+        O(window), not O(table), even without a scope column. Same
+        contract as dbt: incoming keys only ever live inside the window.
+        Composes with ``scope_col`` (a file must pass both pruners to be
+        touched).
         """
         for attempt in range(max_retries + 1):
             base = self.current_version()
             if base == 0:
                 files, rows = self._write_data(updates)
                 manifest = self._manifest_for(updates, "merge", files, rows)
+            elif scope_col is None and predicates:
+                files, rows = self._scoped_merge_files(
+                    updates, key_cols, None, base, allow_evolution,
+                    predicates=predicates,
+                )
+                manifest = self._manifest_for(
+                    updates, "merge", files, rows,
+                    schema=self._evolved_schema(updates, base),
+                )
             elif scope_col is None:
                 current = self.snapshot(base)
                 survivors = current.join(
@@ -754,7 +773,8 @@ class TxTable:
                 )
             else:
                 files, rows = self._scoped_merge_files(
-                    updates, key_cols, scope_col, base, allow_evolution
+                    updates, key_cols, scope_col, base, allow_evolution,
+                    predicates=predicates,
                 )
                 manifest = self._manifest_for(
                     updates, "merge", files, rows,
@@ -771,34 +791,61 @@ class TxTable:
         self,
         updates: DataFrame,
         key_cols: list[str],
-        scope_col: str,
+        scope_col: str | None,
         base: int,
         allow_evolution: bool = False,
+        predicates=(),
     ) -> tuple[list[dict], int]:
         """File lists for a file-scoped merge: (carried ∪ rewritten,
         total rows). Skipping is conservative — a file without usable
-        stats counts as touched and gets rewritten."""
+        stats counts as touched and gets rewritten. A file is touched
+        only if it passes BOTH pruners: the scope-value hit test (when
+        ``scope_col`` is set) and the static ``predicates`` window (when
+        given)."""
         m = self._read_manifest(base)
-        values = [
-            r[0] for r in updates.select(scope_col).distinct().collect()
-        ]
+        values = (
+            [r[0] for r in updates.select(scope_col).distinct().collect()]
+            if scope_col is not None
+            else None
+        )
         touched, carried = [], []
         for e in m["files"]:
-            rng = e.get("stats", {}).get(scope_col)
-            hit = rng is None or any(
-                self._file_may_match(e, [(scope_col, "==", v)]) for v in values
-            )
+            hit = True
+            if values is not None:
+                rng = e.get("stats", {}).get(scope_col)
+                hit = rng is None or any(
+                    self._file_may_match(e, [(scope_col, "==", v)])
+                    for v in values
+                )
+            if hit and predicates:
+                hit = self._file_may_match(e, predicates)
             (touched if hit else carried).append(e)
         schema = StructType.fromJson(m["schema"])
         if touched:
             paths = [self._abs(e["path"]) for e in touched]
             current = self.spark.read.schema(schema).parquet(*paths)
+            protected = None
+            if predicates:
+                # a touched file can still hold OUT-window rows (footer
+                # ranges straddle the predicate boundary): they carry
+                # forward verbatim, never key-matched — same protection
+                # the parquet backend gives the out-window slice
+                pred = None
+                for col, op, val in predicates:
+                    c = _predicate_expr(col, op, val)
+                    pred = c if pred is None else (pred & c)
+                protected = current.filter(~F.coalesce(pred, F.lit(False)))
+                current = current.filter(pred)
             survivors = current.join(
                 updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
             )
             merged = survivors.unionByName(
                 updates, allowMissingColumns=allow_evolution
             )
+            if protected is not None:
+                merged = protected.unionByName(
+                    merged, allowMissingColumns=allow_evolution
+                )
         else:
             merged = updates
         new_files, new_rows = self._write_data(merged)
