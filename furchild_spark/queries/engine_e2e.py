@@ -623,3 +623,90 @@ def contracts_e2e(spark, sf_dir):
         F.lit(aborts("txlog", "type")).alias("txlog_type_abort"),
         F.lit(aborts("parquet", "null")).alias("not_null_abort"),
     )
+
+
+@query(
+    "incremental_predicates_e2e",
+    section="S6 extra: dbt incremental_predicates (1.4+) — the merge "
+    "key-matches ONLY the declared target window; out-of-window rows "
+    "are never scanned (txlog: whole files carried by reference via "
+    "footer stats) and never replaced, even by a colliding key",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate,
+       TRUE AS files_carried
+FROM orders WHERE o_orderdate < TIMESTAMP '1996-12-01'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice * 1.1 AS o_totalprice, o_orderdate, TRUE
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+UNION ALL
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       -1.0 AS o_totalprice, TIMESTAMP '1997-01-15', TRUE
+FROM orders
+WHERE o_orderdate < TIMESTAMP '1996-12-01' AND o_orderkey % 997 = 0
+""",
+)
+def incremental_predicates_e2e(spark, sf_dir):
+    """Windowed incremental merge end-to-end through the real Runner on
+    the txlog backend: the model declares
+    ``incremental_predicates=(o_orderdate >= 1996-12-01)``, the update
+    batch carries (a) every in-window key at ×1.1 and (b) a handful of
+    keys whose EXISTING rows sit OUTSIDE the window (the dbt
+    contract-violation probe). The windowed semantics are OBSERVABLE in
+    the hash: out-window originals all survive untouched AND the
+    violating keys' updates insert beside them (a plain unwindowed merge
+    would have replaced those rows — different row set, different hash).
+    The ``files_carried`` flag asserts the scale property: the merge's
+    second manifest must share data files with the first (out-of-window
+    files carried BY REFERENCE, proven via footer-stat pruning on the
+    auto-clustered predicate column), so merge cost is O(window), not
+    O(table)."""
+    import datetime as dt
+
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+    from furchild_spark.engine.txlog import TxTable
+
+    base = tempfile.mkdtemp(prefix="furchild_incr_pred_e2e_")
+    cut = dt.datetime(1996, 12, 1)
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    state = {"inc": False}
+
+    reg = ModelRegistry()
+
+    @reg.model(
+        name="orders_pred", materialized="incremental",
+        unique_key="o_orderkey",
+        incremental_predicates=(("o_orderdate", ">=", cut),),
+    )
+    def orders_pred(ctx):
+        df = ctx.source("orders")
+        if not state["inc"]:
+            return df
+        upd = df.filter(F.col("o_orderdate") >= F.lit(cut)).withColumn(
+            "o_totalprice", F.col("o_totalprice") * F.lit(1.1)
+        )
+        viol = (
+            df.filter(
+                (F.col("o_orderdate") < F.lit(cut))
+                & (F.col("o_orderkey") % 997 == 0)
+            )
+            .withColumn("o_totalprice", F.lit(-1.0))
+            .withColumn(
+                "o_orderdate", F.lit("1997-01-15").cast("timestamp")
+            )
+        )
+        return upd.unionByName(viol)
+
+    kw = dict(sources=lambda n: o, warehouse_dir=base,
+              table_format="txlog", tx_target_files=8)
+    Runner(spark, reg, incremental=False, **kw).ref("orders_pred")
+    tx = TxTable(spark, f"{base}/orders_pred")
+    m1 = {e["path"] for e in tx._read_manifest(tx.current_version())["files"]}
+    state["inc"] = True
+    Runner(spark, reg, incremental=True, **kw).ref("orders_pred")
+    m2 = {e["path"] for e in tx._read_manifest(tx.current_version())["files"]}
+    carried = bool(m1 & m2)
+    return tx.snapshot().select(
+        *_ORDER_COLS, F.lit(carried).alias("files_carried")
+    )
