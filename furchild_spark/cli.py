@@ -679,6 +679,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "materialized": m.materialized,
                 "unique_key": m.unique_key,
                 "partition_by": list(m.partition_by),
+                "incremental_predicates": [
+                    # JSON-stable: datetime/date window bounds -> ISO
+                    [c, o, v if isinstance(v, (int, float, str, bool))
+                     else str(v)]
+                    for c, o, v in m.incremental_predicates
+                ],
                 "tags": list(m.tags),
                 "description": D.description_of(m),
                 "contract": m.contract,
