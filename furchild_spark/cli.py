@@ -415,9 +415,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
 
     sub.add_parser("ls", help="list registered models")
-    for c in ("run", "build", "test", "freshness", "seed", "retry",
-              "snapshot"):
+    for c in ("run", "build", "test", "seed", "retry", "snapshot"):
         common(sub.add_parser(c))
+    fr = sub.add_parser("freshness")
+    common(fr)
+    fr.add_argument(
+        "--output",
+        help="also write dbt's sources.json artifact (per-source status/"
+             "lag/thresholds, the file CI gates consume)",
+    )
     dg = sub.add_parser(
         "dag", help="print the observed model lineage (dbt docs equivalent)"
     )
@@ -847,6 +853,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for r in results:
             print(f"{r.source:28s} lag={r.lag_hours:8.1f}h {r.status}")
             worst = max(worst, 1 if r.status == "error" else 0)
+        if getattr(args, "output", None):
+            # dbt's sources.json artifact: machine-readable per-source
+            # status, the file CI gates and freshness dashboards consume
+            spec_by_src = {f.source: f for f in C.FRESHNESS}
+            art = {
+                "results": [
+                    {
+                        "source": r.source,
+                        "status": r.status,
+                        "lag_hours": round(r.lag_hours, 3),
+                        "loaded_at_col": spec_by_src[r.source].loaded_at_col,
+                        "warn_after_hours":
+                            spec_by_src[r.source].warn_after_hours,
+                        "error_after_hours":
+                            spec_by_src[r.source].error_after_hours,
+                    }
+                    for r in results
+                ],
+            }
+            with open(args.output, "w") as fh:
+                json.dump(art, fh, indent=1, sort_keys=True)
+            print(f"wrote {args.output}")
         return worst
 
     if args.cmd == "test":

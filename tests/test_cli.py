@@ -301,6 +301,31 @@ def test_docs_manifest_shape(bronze, spark, tmp_path, capsys):
     assert any(f["source"] == "transactions" for f in doc["freshness"])
 
 
+def test_freshness_writes_sources_artifact(bronze, spark, tmp_path, capsys):
+    """dbt's sources.json analog: freshness --output writes per-source
+    status + lag + the declared thresholds, matching the printed table."""
+    import json
+
+    out_path = str(tmp_path / "sources.json")
+    rc = main(
+        ["freshness", "--bronze", bronze, "--now", FROZEN,
+         "--output", out_path],
+        spark=spark,
+    )
+    printed = capsys.readouterr().out
+    art = json.loads(open(out_path).read())
+    assert art["results"], "empty artifact"
+    statuses = set()
+    for r in art["results"]:
+        assert set(r) == {
+            "source", "status", "lag_hours", "loaded_at_col",
+            "warn_after_hours", "error_after_hours",
+        }
+        assert r["source"] in printed and r["status"] in printed
+        statuses.add(r["status"])
+    assert rc == (1 if "error" in statuses else 0)
+
+
 def test_show_and_freshness_honor_vars(bronze, spark, capsys):
     """--vars flows uniformly into EVERY subcommand's runner (run/build
     and the probe paths alike): `show stg_items` with an overridden
