@@ -898,14 +898,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
         failed = 0
         for r in results:
-            status = "PASS" if r.passed else r.severity.upper()
+            # dbt's status ladder (error_if -> warn_if -> pass): a
+            # thresholded check can WARN without failing the suite even
+            # at severity=error
+            status = "PASS" if r.status == "pass" else r.status.upper()
             stored = (
                 f" -> {r.failures_path}"
                 if r.failures_path and r.failures else ""
             )
             print(f"{r.name:56s} {status}"
-                  + ("" if r.passed else f" ({r.failures} rows)") + stored)
-            if not r.passed and r.severity == "error":
+                  + ("" if r.status == "pass" else f" ({r.failures} rows)")
+                  + stored)
+            if r.status == "error":
                 failed += 1
         # dbt 1.8: `dbt test` runs UNIT tests (mocked-input logic tests)
         # alongside the data checks; unit tests belong to their model, so

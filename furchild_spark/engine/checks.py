@@ -101,6 +101,31 @@ class Check:
     fn: Callable[[DataFrame], DataFrame]  # model df -> failure rows
     severity: str = "error"  # dbt default
     extra_model: str | None = None  # for relationship/FK checks
+    # dbt warn_if / error_if (conditions on the FAILURE COUNT, e.g.
+    # ">10", ">=100", "!=0"): the status ladder is evaluated top-down —
+    # error_if met -> error, else warn_if met -> warn, else pass. The
+    # "!=0" defaults reproduce plain dbt severity semantics exactly, so
+    # a threshold only changes behavior when declared.
+    warn_if: str = "!=0"
+    error_if: str = "!=0"
+
+
+def _count_cond(failures: int, cond: str) -> bool:
+    """Evaluate a dbt threshold condition string against a count."""
+    import re
+
+    m = re.fullmatch(r"\s*(!=|>=|<=|>|<|==)\s*(\d+)\s*", cond)
+    if not m:
+        raise ValueError(f"malformed warn_if/error_if condition: {cond!r}")
+    op, n = m.group(1), int(m.group(2))
+    return {
+        "!=": failures != n,
+        "==": failures == n,
+        ">": failures > n,
+        ">=": failures >= n,
+        "<": failures < n,
+        "<=": failures <= n,
+    }[op]
 
 
 def _generic(builder, *args):
@@ -226,10 +251,23 @@ class CheckResult:
     failures: int
     # where the failure rows landed (store_failures runs only)
     failures_path: str | None = None
+    # dbt threshold conditions the run was evaluated under
+    warn_if: str = "!=0"
+    error_if: str = "!=0"
+
+    @property
+    def status(self) -> str:
+        """dbt's status ladder: error_if (gated by severity='error')
+        first, then warn_if, else pass."""
+        if self.severity == "error" and _count_cond(self.failures, self.error_if):
+            return "error"
+        if _count_cond(self.failures, self.warn_if):
+            return "warn"
+        return "pass"
 
     @property
     def passed(self) -> bool:
-        return self.failures == 0 or self.severity == "warn"
+        return self.status != "error"
 
 
 def run_checks(
@@ -277,8 +315,14 @@ def run_checks(
             path = os.path.join(store_failures_dir, c.name)
             fails.write.mode("overwrite").parquet(path)
             failures = fails.sparkSession.read.parquet(path).count()
-            return CheckResult(c.name, c.model, c.severity, failures, path)
-        return CheckResult(c.name, c.model, c.severity, fails.count())
+            return CheckResult(
+                c.name, c.model, c.severity, failures, path,
+                warn_if=c.warn_if, error_if=c.error_if,
+            )
+        return CheckResult(
+            c.name, c.model, c.severity, fails.count(),
+            warn_if=c.warn_if, error_if=c.error_if,
+        )
 
     if threads <= 1 or len(suite) <= 1:
         return [one(c) for c in suite]

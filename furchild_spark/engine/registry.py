@@ -1078,14 +1078,14 @@ class BuildResult:
 
     @property
     def errors(self) -> list:
+        # CheckResult.status applies the dbt warn_if/error_if ladder;
+        # with default thresholds it equals the old severity+count test
         return [
-            r
-            for r in self.checks
-            if r.severity == "error" and r.failures > 0
+            r for r in self.checks if r.status == "error"
         ] + [f for f in self.freshness if f.status == "error"]
 
     @property
     def warnings(self) -> list:
         return [
-            r for r in self.checks if r.severity == "warn" and r.failures > 0
+            r for r in self.checks if r.status == "warn"
         ] + [f for f in self.freshness if f.status == "warn"]

@@ -184,3 +184,39 @@ def test_run_checks_threaded_matches_serial(runner):
     assert [(r.name, r.failures) for r in serial] == [
         (r.name, r.failures) for r in threaded
     ]
+
+
+def test_warn_if_error_if_threshold_ladder(spark):
+    """dbt warn_if/error_if: conditions on the FAILURE COUNT decide the
+    status ladder (error_if -> warn_if -> pass); the '!=0' defaults
+    reproduce plain severity semantics, so declared thresholds are the
+    only behavior change."""
+    df = spark.range(50).select(
+        F.when(F.col("id") < 20, None).otherwise(F.col("id")).alias("k")
+    )  # exactly 20 NULL failures for not_null(k)
+
+    def mk(**kw):
+        c = C.Check("t", "m", lambda d: C.not_null(d, "k"), **kw)
+        return C.run_checks(lambda n: df, checks=[c])[0]
+
+    # defaults: 20 failures at severity=error -> error
+    r = mk()
+    assert r.status == "error" and not r.passed
+    # error_if '>100': 20 failures -> warn (warn_if default !=0 met)
+    r = mk(error_if=">100")
+    assert r.status == "warn" and r.passed and r.failures == 20
+    # both thresholds above the count -> pass
+    r = mk(warn_if=">30", error_if=">100")
+    assert r.status == "pass" and r.passed
+    # error_if '>=20' met exactly -> error
+    r = mk(error_if=">=20")
+    assert r.status == "error"
+    # severity=warn NEVER errors, whatever error_if says (dbt gating)
+    r = mk(severity="warn", error_if="!=0")
+    assert r.status == "warn" and r.passed
+
+
+def test_threshold_condition_validation():
+    with pytest.raises(ValueError, match="malformed"):
+        C._count_cond(5, "~= 3")
+    assert C._count_cond(5, " > 4 ") and not C._count_cond(5, "==0")
