@@ -215,7 +215,49 @@ def fct_order_items(ctx) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 @model(
-    materialized="incremental", unique_key="order_sk", partition_by=("order_date",)
+    materialized="incremental", unique_key="order_sk",
+    partition_by=("order_date",),
+    # dbt model contract (contract: enforced) on the flagship
+    # incremental fact — the reference declares its interface at
+    # models/marts/commerce/facts/fct_orders.yml:4-16; here the full
+    # column set is pinned so BOTH the from-scratch and the incremental
+    # branch abort on drift before the merge touches the table
+    contract={
+        "columns": {
+            "order_sk": "string",
+            "order_id": "string",
+            "customer_id": "string",
+            "created_at_local": "timestamp_ntz",
+            "created_at_utc": "timestamp",
+            "order_date": "date",
+            "order_date_local": "date",
+            "item_count": "bigint",
+            "distinct_products": "bigint",
+            "order_gross": "decimal(38,6)",
+            "order_discount_amt": "decimal(38,6)",
+            "order_net_before_tax": "decimal(38,6)",
+            "order_tax_amt": "decimal(38,6)",
+            "order_net_amt": "decimal(38,6)",
+            "order_discount_pct_effective": "decimal(38,6)",
+            "order_vat_pct_effective": "decimal(38,6)",
+            "vat_pct_src": "decimal(38,6)",
+            "ship_area": "string",
+            "ship_town": "string",
+            "ship_region_id": "string",
+            "ship_country_code": "string",
+            "ship_address_display": "string",
+            "ship_building": "string",
+            "ship_apartment_number": "string",
+            "ship_street_name": "string",
+            "ship_landmark": "string",
+            "ship_email": "string",
+            "ship_phone": "string",
+            "ship_latitude": "decimal(38,6)",
+            "ship_longitude": "decimal(38,6)",
+            "_calculated_at": "timestamp",
+        },
+        "not_null": ["order_sk", "order_id"],
+    },
 )
 def fct_orders(ctx) -> DataFrame:
     """Order-level fact: line rollup + canonical customer + as-of shipping

@@ -128,7 +128,10 @@ UNIT_TESTS: list[UnitTest] = [
 _ORDER_TS = dt.datetime(2024, 3, 10, 12, 0, 0)
 
 _OI_SCHEMA = (
-    "order_id string, created_at_local timestamp, created_at_utc timestamp, "
+    # created_at_local is NTZ in the real fct_order_items output — the
+    # fct_orders contract (enforced) rejects a plain-timestamp mock
+    "order_id string, created_at_local timestamp_ntz, "
+    "created_at_utc timestamp, "
     "product_id string, quantity double, unit_price double, "
     "line_gross double, line_discount_amt double, line_tax_amt double, "
     "line_net_amt double"

@@ -212,6 +212,7 @@ def test_shipped_models_carry_reference_contracts(spark):
     for name, yml in (
         ("stg_items", "models/staging/schema.yml:103-137"),
         ("dim_orders", "models/marts/commerce/dims/dim_orders.yml:8-43"),
+        ("fct_orders", "models/marts/commerce/facts/fct_orders.yml:4-16"),
     ):
         m = models_reg[name]
         assert m.contract and m.contract["columns"], (name, yml)
@@ -223,7 +224,7 @@ def test_shipped_models_carry_reference_contracts(spark):
     r = Runner(
         spark, models_reg, sources=lambda n: spark.read.parquet(srcs[n])
     )
-    for name in ("stg_items", "dim_orders"):
+    for name in ("stg_items", "dim_orders", "fct_orders"):
         df = r.ref(name)
         assert set(f.name for f in df.schema.fields) == set(
             models_reg[name].contract["columns"]
