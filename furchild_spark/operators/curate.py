@@ -677,3 +677,136 @@ def rrf_fuse(runs: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
             "rrf_score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (Naive Bayes log-odds, hashing trick)
+# ---------------------------------------------------------------------------
+
+def nb_quality_score(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    is_positive,
+    is_negative,
+    hash_chars: int = 3,
+) -> DataFrame:
+    """Trained quality-classifier scoring — the GPT-3-style corpus filter
+    (Brown et al. 2020, arXiv:2005.14165 Appendix A: a linear classifier
+    trained on a curated positive corpus vs. a raw crawl, applied to
+    score every crawl document; the same fastText-shaped filter LLaMA's
+    pipeline reuses). The model is multinomial Naive Bayes with add-1
+    smoothing over tokens hashed into ``16**hash_chars`` buckets (the
+    fastText hashing trick, Joulin et al. 2016 — the vocabulary is
+    CONSTANT-SIZE by construction, so the weight table always
+    broadcasts). A document's score is the class-prior log-odds plus the
+    sum of its tokens' bucket log-odds::
+
+        w(b)  = ln( (cp(b)+1)/(Tp+B)  /  ((cq(b)+1)/(Tq+B)) )
+        score = ln(Npos/Nneg) + sum_t w(bucket(t))
+
+    where cp/cq are the bucket's token counts in the positive/negative
+    training docs, Tp/Tq the class token totals, B the bucket count, and
+    buckets never seen in training fall back to the smoothed-unseen
+    weight ln((Tq+B)/(Tp+B)). ``is_positive`` / ``is_negative`` are
+    boolean label Columns (weak supervision — source provenance, a rule
+    gate, an earlier model); rows where neither holds are the unlabeled
+    pool. EVERY input row is scored, one output row per input row —
+    callers filter/threshold (score > 0 reads "more reference-like than
+    crawl-like").
+
+    Shape at 100 TB: one token explode feeds ONE bounded-cardinality
+    groupBy (<= B groups, map-side combined) for training; totals and
+    the prior roll up from that already-tiny table; scoring is the
+    explode side LEFT-joined to the BROADCAST weight table and one
+    doc-keyed agg. No window over the corpus, no driver state, nothing
+    proportional to vocabulary.
+
+    Parity: counts are exact integers; each weight is ``ln`` of one
+    division of two exact integer products (< 2^53), rounded to 6 dp;
+    per-doc sums are DECIMAL(18,6) (order-independent); the final score
+    is one exact decimal add then a cast to double.
+
+    Output: ``(id, n_toks, score)`` for every input row — zero-token
+    docs score exactly the prior.
+    """
+    from .util import fanout
+
+    n_buckets = 16 ** hash_chars
+    staged = fanout(docs).select(
+        F.col(id_col),
+        is_positive.alias("__pos"),
+        is_negative.alias("__neg"),
+        tokens(text_col).alias("__t"),
+    )
+    feats = staged.select(
+        F.col(id_col), "__pos", "__neg", F.explode("__t").alias("__tok")
+    ).select(
+        F.col(id_col), "__pos", "__neg",
+        F.substring(F.md5("__tok"), 1, hash_chars).alias("__b"),
+    )
+    cnt = feats.filter(F.col("__pos") | F.col("__neg")).groupBy("__b").agg(
+        F.sum(F.when(F.col("__pos"), 1).otherwise(0)).alias("cp"),
+        F.sum(F.when(F.col("__neg"), 1).otherwise(0)).alias("cq"),
+    )
+    tot = cnt.agg(F.sum("cp").alias("tp"), F.sum("cq").alias("tq"))
+    w = cnt.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        F.round(
+            F.log(
+                ((F.col("cp") + 1) * (F.col("tq") + n_buckets)).cast("double")
+                / ((F.col("cq") + 1) * (F.col("tp") + n_buckets)).cast("double")
+            ),
+            6,
+        ).alias("__w"),
+    )
+    # 1-row scalar tables: the unseen-bucket fallback weight and the
+    # class-prior log-odds (doc counts, not token counts)
+    wdef = tot.select(
+        F.round(
+            F.log(
+                (F.col("tq") + n_buckets).cast("double")
+                / (F.col("tp") + n_buckets).cast("double")
+            ),
+            6,
+        ).alias("__wdef")
+    )
+    prior = docs.agg(
+        F.round(
+            F.log(
+                F.sum(F.when(is_positive, 1).otherwise(0)).cast("double")
+                / F.sum(F.when(is_negative, 1).otherwise(0)).cast("double")
+            ),
+            6,
+        ).alias("__prior")
+    )
+    per_doc = (
+        feats.join(F.broadcast(w), on="__b", how="left")
+        .crossJoin(F.broadcast(wdef))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_toks"),
+            F.sum(
+                F.coalesce(F.col("__w"), F.col("__wdef")).cast(
+                    "decimal(18,6)"
+                )
+            ).alias("__s"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(per_doc, on=id_col, how="left")
+        .crossJoin(F.broadcast(prior))
+        .select(
+            id_col,
+            F.coalesce(F.col("n_toks"), F.lit(0).cast("long")).alias(
+                "n_toks"
+            ),
+            (
+                F.coalesce(F.col("__s"), F.lit(0).cast("decimal(18,6)"))
+                + F.col("__prior").cast("decimal(18,6)")
+            )
+            .cast("double")
+            .alias("score"),
+        )
+    )

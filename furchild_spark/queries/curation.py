@@ -766,3 +766,77 @@ def dsir_select(spark, sf_dir):
     return curate.dsir_select(
         d, "doc_id", "text", is_target=F.col("source") == "src0", k=50
     )
+
+
+# ---------------------------------------------------------------------------
+# trained quality classifier (GPT-3-style NB log-odds, hashing trick)
+# ---------------------------------------------------------------------------
+
+@query(
+    "quality_classifier",
+    section="LLM-curation trained quality classifier — the GPT-3 corpus "
+    "filter (arXiv:2005.14165 App. A): Naive Bayes log-odds over hash-"
+    "bucketed tokens (fastText hashing trick), trained on curated-vs-"
+    "crawl weak labels, scoring the unlabeled pool; no reference "
+    "counterpart",
+    oracle=f"""
+WITH tok AS (SELECT doc_id, source, unnest({_TOKS}) AS t FROM documents),
+fb AS (SELECT doc_id, source, substr(md5(t), 1, 3) AS b FROM tok),
+cnt AS (
+  SELECT b,
+    SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS cp,
+    SUM(CASE WHEN source IN ('src2', 'src3') THEN 1 ELSE 0 END) AS cq
+  FROM fb WHERE source IN ('src0', 'src1', 'src2', 'src3') GROUP BY b
+),
+tot AS (SELECT SUM(cp) AS tp, SUM(cq) AS tq FROM cnt),
+w AS (
+  SELECT b,
+    round(ln(CAST((cp + 1) * (tq + 4096) AS DOUBLE)
+             / CAST((cq + 1) * (tp + 4096) AS DOUBLE)), 6) AS w
+  FROM cnt CROSS JOIN tot
+),
+wdef AS (
+  SELECT round(ln(CAST(tq + 4096 AS DOUBLE)
+                  / CAST(tp + 4096 AS DOUBLE)), 6) AS wd FROM tot
+),
+pri AS (
+  SELECT round(ln(
+    CAST(SUM(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(CASE WHEN source IN ('src2', 'src3') THEN 1 ELSE 0 END) AS DOUBLE)
+  ), 6) AS prior FROM documents
+),
+sc AS (
+  SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_toks,
+    SUM(CAST(COALESCE(w.w, (SELECT wd FROM wdef)) AS DECIMAL(18,6))) AS s
+  FROM fb LEFT JOIN w USING (b) GROUP BY fb.doc_id
+)
+SELECT d.doc_id, COALESCE(sc.n_toks, 0) AS n_toks,
+  CAST(COALESCE(sc.s, CAST(0 AS DECIMAL(18,6)))
+       + CAST((SELECT prior FROM pri) AS DECIMAL(18,6)) AS DOUBLE) AS score
+FROM documents d LEFT JOIN sc USING (doc_id)
+WHERE d.source NOT IN ('src0', 'src1', 'src2', 'src3')
+ORDER BY score DESC, d.doc_id ASC LIMIT 50
+""",
+)
+def quality_classifier(spark, sf_dir):
+    """Trained quality filter (operators/curate.nb_quality_score): the
+    GPT-3 recipe — treat src0/src1 as the curated reference corpus
+    (WebText's role), src2/src3 as the raw-crawl negative sample, train
+    NB log-odds over 4096 hash buckets, then score the 16 unlabeled
+    sources and keep the 50 most reference-like documents. Training is
+    one bounded 4096-group aggregate; scoring is a broadcast join; the
+    top-k is orderBy+limit -> TakeOrderedAndProject. The oracle rebuilds
+    buckets, smoothing, the unseen-bucket fallback, the doc-count
+    prior, and the top-k relationally."""
+    d = table(spark, sf_dir, "documents")
+    pos = F.col("source").isin("src0", "src1")
+    neg = F.col("source").isin("src2", "src3")
+    scored = curate.nb_quality_score(
+        d, "doc_id", "text", is_positive=pos, is_negative=neg
+    )
+    pool = d.filter(~pos & ~neg).select("doc_id")
+    return (
+        scored.join(pool, on="doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(50)
+    )

@@ -418,6 +418,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "semdedup_ivf",  # same 1-row broadcasts, coarse + fine arrays
         "semdedup_incremental",  # same 1-row centroid broadcast, batch+corpus
         "dsir_select",  # broadcast 1-row (tp, tq) smoothed-totals scalar
+        "quality_classifier",  # broadcast 1-row totals/fallback/prior scalars
         "ccnet_buckets",  # broadcast 1-row percentile-thresholds scalar
         "bpe_merges",  # 1-row best-pair broadcast per round (checkpointed)
         "sq8_codec",   # 1-row min/max codec broadcast (train artifact)
@@ -673,6 +674,19 @@ def test_dsir_selection_is_takeordered_not_window(spark):
     totals crossJoin is a broadcast scalar (BNLJ allowed), and the
     log-ratio table must broadcast back onto the feature rows."""
     p = plan_of(spark, "dsir_select")
+    assert "TakeOrderedAndProject" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_quality_classifier_scoring_is_broadcast_takeordered(spark):
+    """The NB quality classifier's weight table is bounded at 4096 rows
+    by the hashing trick, so the scoring join must be a BroadcastHashJoin
+    (never a shuffled join keyed on the bucket), the top-k must compile
+    to TakeOrderedAndProject (distributed partial top-k), and the only
+    nested-loop joins are the 1-row totals/fallback/prior scalar
+    broadcasts — no cartesian anywhere."""
+    p = plan_of(spark, "quality_classifier")
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
