@@ -58,6 +58,7 @@ def _make_runner(args, spark):
         warehouse_dir=args.warehouse,
         incremental=args.incremental,
         full_refresh=getattr(args, "full_refresh", False),
+        empty=getattr(args, "empty", False),
         variables=json.loads(args.vars) if args.vars else None,
         now=_parse_now(args.now),
         table_format=args.table_format,
@@ -77,7 +78,13 @@ def _probe_runner(args, spark):
     """A VIEW-ONLY runner for plan-construction-time introspection — no
     Spark action and (critically) no warehouse writes even when the
     caller passed --warehouse."""
-    probe = argparse.Namespace(**{**vars(args), "warehouse": None})
+    # empty=False even under --empty: probe plans feed lineage and the
+    # state-selector fingerprints, which must hash identically whether a
+    # run is a dry run or a full build (otherwise an --empty CI manifest
+    # would mark every model state:modified against a real run's).
+    probe = argparse.Namespace(
+        **{**vars(args), "warehouse": None, "empty": False}
+    )
     return _make_runner(probe, spark)
 
 
@@ -208,6 +215,29 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
     if not args.models:
         return None
     toks = args.models.split(",")
+    if any("exposure:" in t for t in toks):
+        # dbt exposure selectors: exposure:NAME = the exposure's direct
+        # dependencies; +exposure:NAME = their full ancestor cones. An
+        # exposure has no descendants, so a trailing + is an error.
+        from furchild_spark.models import registry as _reg
+
+        exposures = _reg.exposures()
+        expanded = []
+        for t in toks:
+            core = t.removeprefix("+")
+            if not core.startswith("exposure:"):
+                expanded.append(t)
+                continue
+            ename = core.removeprefix("exposure:")
+            if ename.endswith("+"):
+                _usage_error(f"{t!r}: exposures have no descendants — "
+                             "use exposure:NAME or +exposure:NAME")
+            if ename not in exposures:
+                _usage_error(f"unknown exposure: {ename!r} "
+                             f"(declared: {sorted(exposures)})")
+            pre = "+" if t.startswith("+") else ""
+            expanded.extend(pre + d for d in exposures[ename].depends_on)
+        toks = expanded
     state_toks = [t for t in toks if t.startswith("state:")]
     result_toks = [t for t in toks if t.startswith("result:")]
     graph_toks = [
@@ -347,7 +377,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--models", "--select", dest="models",
             help="comma-separated subset (default: all); --select is the "
                  "dbt-1.0+ spelling, --models the legacy alias — same "
-                 "selector grammar either way",
+                 "selector grammar either way; exposure:NAME selects a "
+                 "declared exposure's dependencies (+exposure:NAME = "
+                 "their ancestor cones)",
         )
         sp.add_argument(
             "--exclude",
@@ -367,6 +399,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                  "their from-scratch branch and overwrite-materialize "
                  "(txlog: a new version, history intact); a model's "
                  "full_refresh=False config opts it out",
+        )
+        sp.add_argument(
+            "--empty", action="store_true",
+            help="dbt 1.8 --empty: schema-only dry run — every source() "
+                 "and deferred ref() is limited to ZERO rows, so the DAG "
+                 "executes, contracts validate, and materializations "
+                 "write real schemas against no data (the cheap CI gate "
+                 "before a full build)",
         )
         sp.add_argument("--table-format", default="parquet",
                         choices=["parquet", "txlog"])
@@ -508,6 +548,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             m = registry[name]
             print(f"{name:40s} {m.materialized:12s} "
                   f"{'unique_key=' + str(m.unique_key) if m.unique_key else ''}")
+        for name, exp in registry.exposures().items():
+            print(f"{name:40s} {'exposure':12s} "
+                  f"type={exp.exposure_type} "
+                  f"depends_on={','.join(exp.depends_on)}")
         return 0
 
     if args.cmd == "gen-fixtures":
@@ -647,8 +691,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # the lazy plans — no Spark action, and no warehouse writes even
         # if --warehouse was passed — while recording each edge.
         lineage, order, _ = _observed_lineage(args, spark)
+        from furchild_spark.models import registry as _reg
+
+        exposures = _reg.exposures()
         if args.as_json:
-            print(json.dumps(lineage, indent=2, sort_keys=True))
+            out = dict(lineage)
+            for name, exp in exposures.items():
+                out[name] = {
+                    "refs": list(exp.depends_on), "sources": [],
+                    "exposure": exp.exposure_type,
+                }
+            print(json.dumps(out, indent=2, sort_keys=True))
         else:
             for name in order:
                 lin = lineage.get(name, {"refs": [], "sources": []})
@@ -656,6 +709,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     f"src:{s}" for s in lin["sources"]
                 ]
                 print(f"{name} <- {', '.join(deps) if deps else '(none)'}")
+            for name, exp in exposures.items():
+                deps = ", ".join(f"ref:{r}" for r in exp.depends_on)
+                print(f"{name} [exposure:{exp.exposure_type}] <- {deps}")
         return 0
 
     if args.cmd == "docs":
@@ -705,6 +761,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             }
         doc = {
             "nodes": nodes,
+            "exposures": {
+                name: {
+                    "type": exp.exposure_type,
+                    "depends_on": list(exp.depends_on),
+                    "owner": exp.owner,
+                    "url": exp.url,
+                    "description": exp.description,
+                }
+                for name, exp in registry.exposures().items()
+            },
             "sources": sorted(
                 {s for lin in lineage.values() for s in lin["sources"]}
             ),

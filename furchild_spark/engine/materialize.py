@@ -448,3 +448,29 @@ def compact(
         if f.getPath().getName().startswith("part-")
     ]
     return len(out_fs_files)
+
+
+# -- dry-run markers (dbt --empty) -------------------------------------------
+# A table materialized by an --empty run is a SCHEMA artifact, not data:
+# if a later incremental run treated it as an existing target, the model's
+# is_incremental() branch would merge the lookback window into a zero-row
+# base and silently drop all history. The marker file records "this dir
+# was written by a dry run"; has_existing() ignores marked tables, so the
+# first real build takes the from-scratch branch (and clears the marker).
+
+DRY_RUN_MARKER = "_dry_run"
+
+
+def mark_dry_run(spark: SparkSession, path: str) -> None:
+    fs, jvm = _fs(spark, path)
+    fs.create(_hpath(jvm, f"{path}/{DRY_RUN_MARKER}"), True).close()
+
+
+def clear_dry_run(spark: SparkSession, path: str) -> None:
+    fs, jvm = _fs(spark, path)
+    fs.delete(_hpath(jvm, f"{path}/{DRY_RUN_MARKER}"), False)
+
+
+def is_dry_run(spark: SparkSession, path: str) -> bool:
+    fs, jvm = _fs(spark, path)
+    return fs.exists(_hpath(jvm, f"{path}/{DRY_RUN_MARKER}"))

@@ -142,9 +142,31 @@ class Model:
     contract: dict | None = None
 
 
+@dataclass
+class Exposure:
+    """dbt exposure: a declared DOWNSTREAM consumer of models — a
+    dashboard, ML pipeline, or application that isn't itself a model but
+    belongs in the DAG. Exposures never build; they exist so lineage
+    answers "who breaks if this model does", docs list the consumers,
+    and selectors can name a consumer's upstream cone
+    (``--models exposure:NAME`` = its direct dependencies,
+    ``+exposure:NAME`` = the full ancestor cone)."""
+
+    name: str
+    exposure_type: str  # dbt's closed set, validated at registration
+    depends_on: tuple[str, ...]
+    owner: str = ""
+    url: str = ""
+    description: str = ""
+
+
+EXPOSURE_TYPES = ("dashboard", "notebook", "analysis", "ml", "application")
+
+
 class ModelRegistry:
     def __init__(self) -> None:
         self._models: dict[str, Model] = {}
+        self._exposures: dict[str, Exposure] = {}
 
     def model(
         self,
@@ -270,6 +292,49 @@ class ModelRegistry:
     def names(self) -> list[str]:
         return list(self._models)
 
+    def exposure(
+        self,
+        name: str,
+        exposure_type: str,
+        depends_on,
+        owner: str = "",
+        url: str = "",
+        description: str = "",
+    ) -> Exposure:
+        """Declare a dbt exposure. ``depends_on`` model names are
+        validated lazily (models may register after exposures in import
+        order) — consumers call :meth:`exposures`, which checks every
+        edge against the registered models."""
+        if exposure_type not in EXPOSURE_TYPES:
+            raise ValueError(
+                f"exposure {name}: type {exposure_type!r} not in "
+                f"{EXPOSURE_TYPES}"
+            )
+        deps = (depends_on,) if isinstance(depends_on, str) else tuple(
+            depends_on
+        )
+        if not deps:
+            raise ValueError(f"exposure {name}: depends_on is empty")
+        if name in self._models:
+            raise ValueError(f"exposure {name} collides with a model name")
+        exp = Exposure(
+            name=name, exposure_type=exposure_type, depends_on=deps,
+            owner=owner, url=url, description=description,
+        )
+        self._exposures[name] = exp
+        return exp
+
+    def exposures(self) -> dict[str, Exposure]:
+        """All declared exposures, with depends_on edges validated."""
+        for exp in self._exposures.values():
+            missing = [d for d in exp.depends_on if d not in self._models]
+            if missing:
+                raise ValueError(
+                    f"exposure {exp.name}: depends_on unknown models "
+                    f"{missing}"
+                )
+        return dict(self._exposures)
+
 
 @dataclass
 class ExecutionContext:
@@ -339,6 +404,7 @@ class Runner:
         warehouse_dir: str | None = None,
         incremental: bool = False,
         full_refresh: bool = False,
+        empty: bool = False,
         variables: dict | None = None,
         now: dt.datetime | None = None,
         cache_refs: bool = False,
@@ -373,6 +439,16 @@ class Runner:
         three days from last March without touching anything else, at
         per-batch cost. Ignored by every other strategy.
 
+        ``empty`` is dbt 1.8's ``--empty``: a schema-only dry run. Every
+        ``source()`` (and every deferred ``ref()`` read) is limited to
+        ZERO rows, so the whole DAG executes — model logic runs, contracts
+        validate, materializations write real schemas — against no data.
+        The CI use: prove a refactor still compiles, wires, and satisfies
+        its declared contracts in seconds, before paying the full build.
+        Only the INPUTS are limited (dbt's exact rule): an incremental
+        model's existing target is read as-is, so an ``--empty`` run
+        against a populated warehouse is a no-op merge, not a truncation.
+
         ``defer_to`` is dbt's ``--defer``: a PRIOR warehouse (usually
         production) whose materialized tables satisfy refs to models NOT
         selected for this run. A dev run of one mart then reads its
@@ -390,6 +466,7 @@ class Runner:
         self.warehouse_dir = warehouse_dir
         self.incremental = incremental
         self.full_refresh = full_refresh
+        self.empty = empty
         self.cache_refs = cache_refs
         self.table_format = table_format
         # txlog only: explicit data-file count for clustered writes. Small
@@ -467,9 +544,13 @@ class Runner:
 
     def source(self, name: str) -> DataFrame:
         self._record_edge("sources", name)
-        if callable(self._sources):
-            return self._sources(name)
-        return self._sources[name]
+        df = self._sources(name) if callable(self._sources) else (
+            self._sources[name]
+        )
+        # dbt --empty: inputs limited to zero rows, schema intact. limit(0)
+        # folds to an empty LocalRelation at plan time — the dry run never
+        # scans a data file.
+        return df.limit(0) if self.empty else df
 
     def ref(self, name: str) -> DataFrame:
         self._record_edge("refs", name)
@@ -536,14 +617,23 @@ class Runner:
         ):
             return None
         path = f"{self.defer_to}/{name}"
+        if mat.is_dry_run(self.spark, path):
+            # a dry-run artifact in the defer warehouse is a schema, not
+            # data — build locally instead of reading zero rows
+            return None
+        df = None
         if self.table_format == "txlog":
             from . import txlog
 
             tx = txlog.TxTable(self.spark, path)
-            return tx.snapshot() if tx.exists() else None
-        if mat.parquet_exists(self.spark, path):
-            return mat.read_table(self.spark, path)
-        return None
+            df = tx.snapshot() if tx.exists() else None
+        elif mat.parquet_exists(self.spark, path):
+            df = mat.read_table(self.spark, path)
+        if df is not None and self.empty:
+            # --empty limits deferred refs too (they are inputs, not
+            # this run's targets)
+            df = df.limit(0)
+        return df
 
     # -- incremental state -------------------------------------------------
     def _path(self, name: str) -> str | None:
@@ -600,7 +690,7 @@ class Runner:
                 self._tx(name).exists()
                 if self.table_format == "txlog"
                 else mat.parquet_exists(self.spark, path)
-            )
+            ) and not mat.is_dry_run(self.spark, path)
         return self._exists[name]
 
     def existing(self, name: str) -> DataFrame | None:
@@ -704,6 +794,14 @@ class Runner:
         path = self._path(model.name)
         if path is None or model.materialized in ("view", "ephemeral"):
             return df
+        if self.empty:
+            # --empty dry run: a zero-row plan with 1+ empty partitions
+            # writes NO parquet files (tasks skip empty output), leaving
+            # a dir with no footer to infer a schema from on read-back.
+            # A zero-partition LocalRelation of the already-validated
+            # schema is the one shape Spark persists as a schema-bearing
+            # empty file — and it makes the write metadata-only.
+            df = self.spark.createDataFrame([], df.schema)
         if model.materialized == "snapshot":
             # SCD2: applies on EVERY run (dbt `dbt snapshot` semantics) —
             # the first run initializes, later runs version-merge
@@ -796,11 +894,31 @@ class Runner:
         if self.table_format == "txlog":
             tx = self._tx(model.name)
             tx.overwrite(df)
-            self._exists[model.name] = True
+            if self.empty:
+                mat.mark_dry_run(self.spark, path)
+                self._exists[model.name] = False
+            else:
+                mat.clear_dry_run(self.spark, path)
+                self._exists[model.name] = True
             return tx.snapshot()
-        # table / transient / first incremental run → full overwrite
-        out = mat.overwrite(self.spark, path, df, partition_by=model.partition_by)
-        self._exists[model.name] = True
+        # table / transient / first incremental run → full overwrite.
+        # Dry runs write unpartitioned: partitionBy on a zero-row frame
+        # emits NO data file (partition dirs need rows), which would leave
+        # the table schema-less; the flat empty file keeps every column —
+        # including the partition columns — in the footer.
+        out = mat.overwrite(
+            self.spark, path, df,
+            partition_by=() if self.empty else model.partition_by,
+        )
+        if self.empty:
+            # the artifact is a schema, not data: mark it so a later
+            # incremental run full-builds instead of merging the lookback
+            # window into a zero-row base (a real overwrite clears the
+            # marker with the rest of the dir)
+            mat.mark_dry_run(self.spark, path)
+            self._exists[model.name] = False
+        else:
+            self._exists[model.name] = True
         return out
 
     def _build_microbatch(self, model: Model) -> DataFrame:

@@ -812,3 +812,26 @@ def agg_items_daily(ctx) -> DataFrame:
         F.sum(F.coalesce("line_gross", z386())).alias("gross_amount"),
         F.sum(F.coalesce("line_net_amt", z386())).alias("net_amount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# exposures (dbt exposures: declared downstream consumers in the DAG)
+# ---------------------------------------------------------------------------
+# The reference project ships no exposures: declarations, but these are the
+# consumers its marts exist for — a revenue dashboard over the fact/dim
+# layer and the LTV model training job. They never build; they give
+# lineage a "who breaks downstream" answer, appear in ls/dag/docs, and
+# make `--models exposure:NAME` / `+exposure:NAME` selections work.
+
+registry.exposure(
+    "orders_dashboard", "dashboard",
+    depends_on=("fct_orders", "dim_orders", "fct_customers"),
+    owner="analytics",
+    description="Revenue and fulfillment dashboard over the core marts.",
+)
+registry.exposure(
+    "ltv_model", "ml",
+    depends_on=("cohort_revenue_ltv", "first_channel_ltv"),
+    owner="data-science",
+    description="Customer-LTV training job consuming the LTV chain.",
+)

@@ -810,3 +810,48 @@ def nb_quality_score(
             .alias("score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe (group-aware) train/val/test split
+# ---------------------------------------------------------------------------
+
+def leakage_safe_split(
+    docs: DataFrame,
+    dup_pairs: DataFrame,
+    id_col: str,
+    train_frac: float = 0.8,
+    val_frac: float = 0.1,
+) -> DataFrame:
+    """Group-aware split assignment: near-duplicate documents must land
+    in the SAME split, or eval metrics silently measure memorization —
+    Lee et al. 2022 (arXiv:2107.06499 §6.2) measured >1% of validation
+    perplexity tokens leaking from train via near-dups in C4. The fix is
+    the ML-standard "group split": connected components over the
+    near-dup pair graph define groups, the md5 split key is the GROUP id
+    (cluster min-id; a singleton is its own group), and every member
+    inherits the group's split. Unlike dedup-then-split, all documents
+    survive — the guarantee is co-location, not removal.
+
+    Stability matters twice here: the md5 threshold split is stable
+    under corpus growth per group, and choosing the cluster MIN id as
+    the key means adding a NEW near-dup to an existing cluster cannot
+    flip the cluster's split (unless the newcomer becomes the min id —
+    the documented residual, inherent to any content-derived group key).
+
+    Shape at 100 TB: the pair graph is banded-candidate sized (never
+    O(n²)); CC is the checkpoint-bounded iterative join; the final
+    assignment is one left join + map-only md5 threshold.
+
+    Output: one row per input doc — ``(id, group_id, split)``.
+    """
+    clusters = connected_components(dup_pairs, checkpoint_interval=2)
+    keyed = (
+        docs.select(F.col(id_col))
+        .join(clusters, docs[id_col] == clusters["node"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("group_id"),
+        )
+    )
+    return hash_split(keyed, "group_id", train_frac, val_frac)

@@ -840,3 +840,63 @@ def quality_classifier(spark, sf_dir):
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# leakage-safe (group-aware) split
+# ---------------------------------------------------------------------------
+
+@query(
+    "leakage_safe_split",
+    section="LLM-curation leakage-safe split: near-duplicates co-locate "
+    "in ONE split (group split over MinHash near-dup connected "
+    "components — Lee et al. 2022 arXiv:2107.06499 §6.2 measured "
+    "train->val leakage through near-dups); all docs survive, the "
+    "guarantee is co-location, not removal",
+    oracle=_MINHASH_CTES.replace("WITH tok", "WITH RECURSIVE tok", 1)
+    + f"""
+, verified AS (
+  SELECT id_a, id_b FROM (
+    SELECT i.id_a, i.id_b,
+      CAST(i.n_inter AS DOUBLE) / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+  ) WHERE jaccard >= 0.3
+),
+nodes AS (
+  SELECT id_a AS node FROM verified UNION SELECT id_b FROM verified
+),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM verified
+  UNION SELECT id_b, id_a FROM verified
+),
+reach(src, dst) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN sym e ON r.dst = e.src
+),
+cl AS (SELECT src AS node, MIN(dst) AS cluster_id FROM reach GROUP BY src)
+SELECT d.doc_id,
+  COALESCE(cl.cluster_id, d.doc_id) AS group_id,
+  CASE WHEN md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)) < '{_Q_T1}'
+         THEN 'train'
+       WHEN md5(CAST(COALESCE(cl.cluster_id, d.doc_id) AS VARCHAR)) < '{_Q_T2}'
+         THEN 'val'
+       ELSE 'test' END AS split
+FROM documents d LEFT JOIN cl ON d.doc_id = cl.node
+""",
+)
+def leakage_safe_split(spark, sf_dir):
+    """Group split (operators/curate.leakage_safe_split): banded MinHash
+    candidates -> exact-Jaccard verify -> connected components -> every
+    doc keyed by its cluster min-id (singletons by themselves) -> md5
+    threshold split ON THE GROUP KEY, so a near-dup pair can never
+    straddle train/eval. One row per document. The oracle replays the
+    full chain (recursive-CTE CC) and the group-keyed CASE split."""
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_near_duplicates(
+        d, "doc_id", "text", num_perm=16, rows_per_band=4, shingle_k=3,
+        threshold=0.3, hash_fn="md5",
+    ).select("id_a", "id_b")
+    return curate.leakage_safe_split(d, pairs, "doc_id", 0.8, 0.1)

@@ -290,3 +290,66 @@ def hooks_e2e(spark, sf_dir):
         "kind string, key string, n long",
     )
     return data.unionByName(op_rows)
+
+
+@query(
+    "empty_build_e2e",
+    section="engine extra: dbt 1.8 --empty (schema-only dry run) — the "
+    "whole DAG executes against zero-row inputs, materializing real "
+    "schemas and no data; the dry-run artifact is MARKED so the first "
+    "real incremental run takes the from-scratch branch instead of "
+    "merging its lookback window into a zero-row base (the silent "
+    "history-loss trap a naive --empty implementation inherits)",
+    oracle="""
+SELECT 'real' AS phase, o_orderkey, o_custkey, o_orderstatus,
+       o_totalprice, o_orderdate
+FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'
+""",
+)
+def empty_build_e2e(spark, sf_dir):
+    """Two runs of one lookback-incremental model through the real
+    Runner: (1) ``empty=True`` — sources limit(0), the table
+    materializes as a ZERO-ROW parquet artifact with the full schema
+    and a dry-run marker; (2) a normal ``incremental=True`` run — the
+    marker makes has_existing() ignore the artifact, so is_incremental()
+    is False and the model loads FULL history unmodified. The hash gate
+    proves exactly that: if the dry run had left a poisoned 'existing'
+    table, phase 'real' would hold only the post-1996-12 lookback window
+    with restated (x1.1) prices and the value hash would diverge. The
+    dry phase is localCheckpoint-ed before the real run overwrites the
+    path, so it contributes its actual on-disk rows (zero) to the hash,
+    not a stale lazy re-read."""
+    from furchild_spark.engine import materialize as mat
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+
+    base = tempfile.mkdtemp(prefix="furchild_empty_e2e_")
+
+    def mk_registry():
+        reg = ModelRegistry()
+
+        @reg.model(name="orders_lb", materialized="incremental",
+                   unique_key="o_orderkey")
+        def orders_lb(ctx):
+            df = ctx.source("orders_src")
+            if ctx.is_incremental():
+                df = df.filter(
+                    F.col("o_orderdate")
+                    >= F.lit("1996-12-01").cast("timestamp")
+                ).withColumn(
+                    "o_totalprice", F.col("o_totalprice") * F.lit(1.1)
+                )
+            return df
+
+        return reg
+
+    src = table(spark, sf_dir, "orders").select(*_ORDER_COLS).filter(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")
+    )
+    kw = dict(sources=lambda n: src, warehouse_dir=base)
+    Runner(spark, mk_registry(), empty=True, **kw).ref("orders_lb")
+    pre = mat.read_table(spark, f"{base}/orders_lb").localCheckpoint()
+    Runner(spark, mk_registry(), incremental=True, **kw).ref("orders_lb")
+    post = mat.read_table(spark, f"{base}/orders_lb")
+    return pre.select(F.lit("dry").alias("phase"), *_ORDER_COLS).unionByName(
+        post.select(F.lit("real").alias("phase"), *_ORDER_COLS)
+    )

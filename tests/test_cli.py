@@ -655,3 +655,110 @@ def test_snapshot_requires_warehouse(bronze, spark):
     with pytest.raises(SystemExit) as e:
         main(["snapshot", "--bronze", bronze, "--now", FROZEN], spark=spark)
     assert e.value.code == 2
+
+
+def test_run_empty_flag_writes_schemas_not_data(bronze, spark, tmp_path, capsys):
+    """dbt 1.8 `run --empty`: the whole DAG executes against zero-row
+    inputs — every table materializes with its REAL schema and zero
+    rows (the cheap CI dry run), and a subsequent full run of the same
+    warehouse produces identical schemas with data."""
+    import os
+
+    wh = str(tmp_path / "wh_empty")
+    rc = main(
+        ["run", "--bronze", bronze, "--warehouse", wh, "--models",
+         "fct_orders", "--now", FROZEN, "--empty"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built fct_orders: 0 rows" in out
+    empty_schema = {
+        f.name: f.dataType.simpleString()
+        for f in spark.read.parquet(os.path.join(wh, "fct_orders")).schema
+    }
+
+    wh2 = str(tmp_path / "wh_full")
+    rc = main(
+        ["run", "--bronze", bronze, "--warehouse", wh2, "--models",
+         "fct_orders", "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    capsys.readouterr()
+    full = spark.read.parquet(os.path.join(wh2, "fct_orders"))
+    # the dry run writes unpartitioned (a partitioned zero-row write has
+    # no files to carry a footer), so compare as name->type: same columns,
+    # same types, independent of partition-column position
+    assert {f.name: f.dataType.simpleString() for f in full.schema} == (
+        empty_schema
+    )
+    assert full.count() > 0
+
+
+def test_empty_run_manifest_matches_full_run(bronze, spark, tmp_path, capsys):
+    """State-selector fingerprints must be dry-run invariant: an --empty
+    run's manifest.json equals a full run's (otherwise every model would
+    read state:modified after a CI dry run)."""
+    import json
+    import os
+
+    wh_e = str(tmp_path / "wh_e")
+    wh_f = str(tmp_path / "wh_f")
+    assert main(["run", "--bronze", bronze, "--warehouse", wh_e,
+                 "--now", FROZEN, "--empty"], spark=spark) == 0
+    assert main(["run", "--bronze", bronze, "--warehouse", wh_f,
+                 "--now", FROZEN], spark=spark) == 0
+    capsys.readouterr()
+    m_e = json.load(open(os.path.join(wh_e, "manifest.json")))
+    m_f = json.load(open(os.path.join(wh_f, "manifest.json")))
+    assert m_e == m_f
+
+
+def test_exposures_in_ls_dag_docs_and_selector(bronze, spark, tmp_path, capsys):
+    """dbt exposures: declared downstream consumers appear in ls (typed),
+    dag (as sink edges), docs (their own section), and exposure:NAME
+    selects exactly the exposure's dependency set."""
+    import json
+    import os
+
+    assert main(["ls"]) == 0
+    out = capsys.readouterr().out
+    assert "orders_dashboard" in out and "type=dashboard" in out
+    assert "ltv_model" in out and "type=ml" in out
+
+    assert main(["dag", "--bronze", bronze, "--now", FROZEN],
+                spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "orders_dashboard [exposure:dashboard] <- ref:fct_orders" in out
+
+    doc_path = str(tmp_path / "docs.json")
+    assert main(["docs", "--bronze", bronze, "--now", FROZEN,
+                 "--output", doc_path], spark=spark) == 0
+    capsys.readouterr()
+    doc = json.load(open(doc_path))
+    assert doc["exposures"]["ltv_model"]["depends_on"] == [
+        "cohort_revenue_ltv", "first_channel_ltv"
+    ]
+    assert doc["exposures"]["orders_dashboard"]["type"] == "dashboard"
+
+    wh = str(tmp_path / "wh_exp")
+    rc = main(["run", "--bronze", bronze, "--warehouse", wh, "--models",
+               "exposure:ltv_model", "--now", FROZEN], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built cohort_revenue_ltv" in out
+    assert "built first_channel_ltv" in out
+    # exposure deps only — unrelated marts not selected
+    assert "built agg_orders_daily" not in out
+    tables = {d for d in os.listdir(wh) if os.path.isdir(os.path.join(wh, d))}
+    assert {"cohort_revenue_ltv", "first_channel_ltv"} <= tables
+
+
+def test_exposure_selector_rejects_unknown_and_descendants(bronze, spark):
+    with pytest.raises(SystemExit):
+        main(["run", "--bronze", bronze, "--models", "exposure:nope",
+              "--now", FROZEN], spark=spark)
+    with pytest.raises(SystemExit):
+        main(["run", "--bronze", bronze, "--models", "exposure:ltv_model+",
+              "--now", FROZEN], spark=spark)

@@ -229,3 +229,33 @@ def test_shipped_models_carry_reference_contracts(spark):
         assert set(f.name for f in df.schema.fields) == set(
             models_reg[name].contract["columns"]
         )
+
+
+def test_empty_dry_run_still_catches_type_drift(spark, tmp_path):
+    """The CI pairing that motivates --empty: a schema-only dry run must
+    still abort on contract type drift (the check is static, so zero-row
+    inputs lose nothing), while the conforming model materializes an
+    empty table with the full declared schema."""
+    reg = _registry(
+        lambda ctx: ctx.source("s").select(
+            F.col("k").cast("string").alias("k"),  # drift: bigint -> string
+            "v", "amt",
+        )
+    )
+    wh = str(tmp_path / "wh_drift")
+    r = Runner(
+        spark, reg, sources=lambda n: _src(spark), warehouse_dir=wh,
+        empty=True,
+    )
+    with pytest.raises(ContractViolationError, match="k"):
+        r.ref("contracted")
+    assert not os.path.exists(os.path.join(wh, "contracted"))
+
+    reg_ok = _registry(lambda ctx: ctx.source("s").select("k", "v", "amt"))
+    wh_ok = str(tmp_path / "wh_ok")
+    out = Runner(
+        spark, reg_ok, sources=lambda n: _src(spark), warehouse_dir=wh_ok,
+        empty=True,
+    ).ref("contracted")
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == ["k", "v", "amt"]

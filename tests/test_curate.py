@@ -427,3 +427,57 @@ def test_bm25_duplicate_query_terms_score_once(spark):
     r2 = sorted(tuple(r) for r in
                 curate.bm25_topk(docs, "doc_id", "text", q2, k=5).collect())
     assert r1 == r2
+
+
+def test_leakage_safe_split_colocates_groups(spark):
+    """Every member of a dup cluster gets the CLUSTER's split (keyed by
+    min id), singletons split independently, all docs survive — and the
+    group key is the cluster min id, so the property that prevents
+    train/eval straddle holds by construction."""
+    docs = spark.createDataFrame(
+        [(i,) for i in range(1, 11)], ["doc_id"]
+    )
+    # two clusters {1,2,3} and {7,8}; 4,5,6,9,10 singletons
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], ["id_a", "id_b"]
+    )
+    out = curate.leakage_safe_split(docs, pairs, "doc_id").collect()
+    assert len(out) == 10
+    by_id = {r.doc_id: r for r in out}
+    assert {by_id[i].group_id for i in (1, 2, 3)} == {1}
+    assert {by_id[i].group_id for i in (7, 8)} == {7}
+    for i in (4, 5, 6, 9, 10):
+        assert by_id[i].group_id == i
+    # co-location: one split per group
+    assert len({by_id[i].split for i in (1, 2, 3)}) == 1
+    assert len({by_id[i].split for i in (7, 8)}) == 1
+    assert set(by_id) == set(range(1, 11))
+
+
+def test_nb_quality_score_prior_and_direction(spark):
+    """Zero-token docs score exactly the class prior; a doc made of
+    positive-corpus tokens outscores one made of negative-corpus tokens;
+    every input row returns exactly once."""
+    import math
+
+    rows = [
+        (1, "good clean prose", "pos"),
+        (2, "good fluent clean prose text", "pos"),
+        (3, "spam junk noise", "neg"),
+        (4, "junk spam garbage noise spam", "neg"),
+        (5, "clean prose indeed", "pool"),
+        (6, "spam noise everywhere", "pool"),
+        (7, "", "pool"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lbl"])
+    out = curate.nb_quality_score(
+        df, "doc_id", "text",
+        is_positive=F.col("lbl") == "pos",
+        is_negative=F.col("lbl") == "neg",
+    ).collect()
+    assert len(out) == 7
+    by_id = {r.doc_id: r for r in out}
+    prior = round(math.log(2 / 2), 6)  # 2 pos docs, 2 neg docs
+    assert by_id[7].n_toks == 0
+    assert by_id[7].score == pytest.approx(prior, abs=1e-9)
+    assert by_id[5].score > 0 > by_id[6].score

@@ -508,3 +508,61 @@ def test_model_full_refresh_config_overrides_flag(spark, tmp_path_factory):
     r3 = Runner(spark, reg, incremental=True, **kw)
     assert _rows(r3.ref("always_fresh")) == sorted(
         [(1, D1, _ts(f"{D1}T01:00"), 11)])
+
+
+# ---------------------------------------------------------------------------
+# dbt --empty interplay: dry-run artifacts must not poison incrementals
+# ---------------------------------------------------------------------------
+
+def _mk_registry_lookback():
+    reg = ModelRegistry()
+
+    @reg.model(
+        name="ev_merge", materialized="incremental", unique_key="event_id",
+    )
+    def ev_merge(ctx):
+        df = ctx.source("events")
+        if ctx.is_incremental():
+            # classic lookback: incremental runs only see recent rows
+            df = df.filter(F.col("day") >= "1970-01-09")
+        return df
+
+    return reg
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "txlog"])
+def test_empty_dry_run_does_not_poison_incremental(spark, tmp_path, fmt):
+    """The --empty trap this engine refuses to inherit: a dry run
+    materializes a ZERO-ROW target, and if a later incremental run
+    treated it as existing, the model's lookback branch would merge a
+    few recent days into an empty base and silently drop all history.
+    The dry-run marker makes has_existing() ignore the artifact, so the
+    first real run takes the from-scratch branch and loads everything —
+    on both backends."""
+    src = spark.range(100).select(
+        F.col("id").alias("event_id"),
+        F.date_format(
+            F.date_add(F.lit("1970-01-01").cast("date"),
+                       (F.col("id") % 10).cast("int")),
+            "yyyy-MM-dd",
+        ).alias("day"),
+    )
+    wh = str(tmp_path / f"wh_{fmt}")
+    kw = dict(sources=lambda n: src, warehouse_dir=wh, table_format=fmt)
+
+    out = Runner(spark, _mk_registry_lookback(), empty=True, **kw).ref(
+        "ev_merge"
+    )
+    assert out.count() == 0
+    assert os.path.exists(os.path.join(wh, "ev_merge", "_dry_run"))
+
+    # the real incremental run must NOT see the artifact as existing:
+    # full history (all 10 days), not just the lookback window
+    r2 = Runner(spark, _mk_registry_lookback(), incremental=True, **kw)
+    got = r2.ref("ev_merge")
+    assert got.count() == 100
+    assert not os.path.exists(os.path.join(wh, "ev_merge", "_dry_run"))
+
+    # and a SUBSEQUENT incremental run behaves normally (merge branch)
+    r3 = Runner(spark, _mk_registry_lookback(), incremental=True, **kw)
+    assert r3.ref("ev_merge").count() == 100
