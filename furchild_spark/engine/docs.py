@@ -229,6 +229,21 @@ def render_html(doc: dict) -> str:
 <p><b>checks:</b> {checks}</p>
 <table><tr><th>column</th><th>type</th></tr>{cols}</table>
 </details>""")
+    exp_rows = []
+    for name in sorted(doc.get("exposures", {})):
+        e = doc["exposures"][name]
+        deps = ", ".join(f"ref:{r}" for r in e.get("depends_on", []))
+        owner = f" · owner: {_esc(e['owner'])}" if e.get("owner") else ""
+        exp_rows.append(f"""
+<details id="{_esc(name)}">
+<summary><b>{_esc(name)}</b> <i>exposure:{_esc(e.get('type', ''))}</i>
+{owner}</summary>
+<p>{_esc(e.get('description', ''))}</p>
+<p><b>depends on:</b> {_esc(deps)}</p>
+</details>""")
+    exp_section = (
+        f"<h2>exposures</h2>{''.join(exp_rows)}" if exp_rows else ""
+    )
     return f"""<!doctype html>
 <html><head><meta charset="utf-8"><title>furchild_spark catalog</title>
 <style>
@@ -246,6 +261,8 @@ i {{ color: #777; }}
 <h1>furchild_spark catalog</h1>
 <p>{len(doc.get('nodes', {}))} models ·
 {len(doc.get('sources', []))} sources ·
-{len(cat)} materialized tables</p>
+{len(cat)} materialized tables ·
+{len(doc.get('exposures', {}))} exposures</p>
 {''.join(rows)}
+{exp_section}
 </body></html>"""

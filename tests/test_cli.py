@@ -419,11 +419,12 @@ def test_docs_catalog_matches_warehouse_and_lineage(
     )
     assert doc["nodes"]["dim_orders"]["contract"]["columns"]["order_sk"] == "string"
 
-    # (5) static HTML render
+    # (5) static HTML render — models AND the exposures section
     html = open(html_path).read()
     assert html.startswith("<!doctype html>")
     for name in doc["nodes"]:
         assert name in html
+    assert "exposure:dashboard" in html and "orders_dashboard" in html
 
 
 def test_docs_catalog_txlog_backend(bronze, spark, tmp_path, capsys):
