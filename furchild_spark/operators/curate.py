@@ -729,6 +729,12 @@ def nb_quality_score(
 
     Output: ``(id, n_toks, score)`` for every input row — zero-token
     docs score exactly the prior.
+
+    Precondition: BOTH label classes must be non-empty (some row matches
+    ``is_positive`` and some matches ``is_negative``) — a one-sided
+    training set has no log-odds to learn and the prior's doc-count
+    ratio degenerates (ln of 0 or of x/0), surfacing as NULL/±Infinity
+    scores rather than a silent wrong answer.
     """
     from .util import fanout
 
@@ -846,12 +852,12 @@ def leakage_safe_split(
     Output: one row per input doc — ``(id, group_id, split)``.
     """
     clusters = connected_components(dup_pairs, checkpoint_interval=2)
+    left = docs.select(F.col(id_col))
     keyed = (
-        docs.select(F.col(id_col))
-        .join(clusters, docs[id_col] == clusters["node"], "left")
+        left.join(clusters, left[id_col] == clusters["node"], "left")
         .select(
-            F.col(id_col),
-            F.coalesce(F.col("cluster_id"), F.col(id_col)).alias("group_id"),
+            left[id_col],
+            F.coalesce(F.col("cluster_id"), left[id_col]).alias("group_id"),
         )
     )
     return hash_split(keyed, "group_id", train_frac, val_frac)
