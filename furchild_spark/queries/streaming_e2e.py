@@ -272,3 +272,118 @@ def stateful_alerts_e2e(spark, sf_dir):
     return spark.read.parquet(out_path).select(
         "user_id", "event_id", "seq", "cum_value", "crossed"
     )
+
+
+_FP = ("md5(COALESCE(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), "
+       "''))")
+
+
+@query(
+    "streaming_dedup_e2e",
+    section="§2.8 + LLM-dedup streaming: micro-batch document ingest "
+    "exact-deduped against a MAINTAINED fingerprint state table "
+    "(bootstrapped from the corpus; survivors' fingerprints merge in "
+    "per batch), redelivered file proves exactly-once via keyed merges "
+    "— the daily-ingest dedup of a training pipeline run as a stream",
+    oracle=f"""
+WITH b1 AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE source IN ('src5','src6','src7','src8','src9')
+  UNION ALL
+  SELECT doc_id + 100000, text, source FROM documents WHERE source = 'src0'
+),
+b2 AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE source IN ('src10','src11','src12','src13','src14')
+  UNION ALL
+  SELECT doc_id + 200000, text, source FROM documents WHERE source = 'src5'
+),
+cfp AS (
+  SELECT DISTINCT {_FP} AS fingerprint FROM documents
+  WHERE source IN ('src0','src1','src2','src3','src4')
+),
+i1 AS (
+  SELECT {_FP} AS fingerprint, MIN(doc_id) AS doc_id FROM b1 GROUP BY 1
+),
+s1 AS (
+  SELECT * FROM i1 WHERE fingerprint NOT IN (SELECT fingerprint FROM cfp)
+),
+i2 AS (
+  SELECT {_FP} AS fingerprint, MIN(doc_id) AS doc_id FROM b2 GROUP BY 1
+),
+s2 AS (
+  SELECT * FROM i2 WHERE fingerprint NOT IN (SELECT fingerprint FROM cfp)
+    AND fingerprint NOT IN (SELECT fingerprint FROM s1)
+)
+SELECT b1.doc_id, b1.source FROM b1 JOIN s1 USING (doc_id)
+UNION ALL
+SELECT b2.doc_id, b2.source FROM b2 JOIN s2 USING (doc_id)
+""",
+)
+def streaming_dedup_e2e(spark, sf_dir):
+    """Corpus = src0-src4. The stream lands three single-file
+    micro-batches: b1 = src5-src9 PLUS exact copies of every src0 doc
+    (re-keyed +100000 — corpus dups, must reject), b2 = src10-src14 PLUS
+    copies of every src5 doc (+200000 — dups of batch-1 SURVIVORS, must
+    reject against state written by the b1 trigger, not the bootstrap),
+    then b1 REDELIVERED (at-least-once delivery; both sinks are keyed
+    merges, so it must change nothing). Returns the accepted table; the
+    oracle replays bootstrap fingerprints and both survivor rounds
+    relationally. maxFilesPerTrigger=1 forces the cross-batch state
+    dependency to be real."""
+    import glob as _glob
+    import os as _os
+
+    from furchild_spark.engine import materialize as mat
+    from furchild_spark.streaming.ingest import run_streaming_corpus_dedup
+
+    base = tempfile.mkdtemp(prefix="furchild_streamdedup_e2e_")
+    landing = f"{base}/landing"
+    d = table(spark, sf_dir, "documents")
+    corpus = d.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+    b1 = d.filter(
+        F.col("source").isin("src5", "src6", "src7", "src8", "src9")
+    ).unionByName(
+        d.filter(F.col("source") == "src0")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    b2 = d.filter(
+        F.col("source").isin("src10", "src11", "src12", "src13", "src14")
+    ).unionByName(
+        d.filter(F.col("source") == "src5")
+        .withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+    )
+    for i, (name, df) in enumerate(
+        [("b1", b1), ("b2", b2), ("b1_redelivered", b1)]
+    ):
+        tmp = f"{base}/stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _os.makedirs(landing, exist_ok=True)
+        shutil.copy(part, f"{landing}/{name}.parquet")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_streaming_corpus_dedup(
+            spark,
+            src_dir=landing,
+            schema=b1.schema,
+            corpus_df=corpus,
+            table_path=f"{base}/accepted",
+            fp_path=f"{base}/fingerprints",
+            id_col="doc_id",
+            text_col="text",
+            checkpoint_dir=f"{base}/ckpt",
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return mat.read_table(spark, f"{base}/accepted").select(
+        "doc_id", "source"
+    )

@@ -302,3 +302,90 @@ def stream_stream_attribution(
         "purchase_ts",
         "purchase_value",
     )
+
+
+def run_streaming_corpus_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    corpus_df: DataFrame,
+    table_path: str,
+    fp_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming corpus dedup — the daily-ingest dedup of a training-data
+    pipeline run as a STREAM: each micro-batch of new documents is
+    exact-deduped against a MAINTAINED fingerprint table (bootstrapped
+    once from the existing corpus) and against itself (min-id survivor
+    per fingerprint), survivors merge into the accepted table, and their
+    fingerprints merge into the state table — so the next micro-batch
+    dedups against everything accepted so far without ever rescanning
+    corpus text.
+
+    Scale shape: the state table holds one 32-hex row per DISTINCT
+    document ever accepted — the md5-fingerprint projection of the
+    corpus, not the corpus. Per batch: one bounded groupBy (map-side
+    combined on the batch), one anti-join keyed on the fingerprint
+    (shuffles only the batch; AQE broadcasts the batch side against the
+    big state when small), two keyed merges. Corpus data files are never
+    read after bootstrap and never rewritten.
+
+    Exactly-once: both sinks are unique-key MERGES (doc id / fingerprint),
+    so a redelivered file recomputes zero survivors (its fingerprints are
+    already state) and the merges no-op — idempotent without relying on
+    the checkpoint alone.
+    """
+    from furchild_spark.operators.text import normalize_text
+
+    def fp_of(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.md5(
+                F.coalesce(normalize_text(text_col), F.lit(""))
+            ).alias("fingerprint"),
+            F.col(id_col),
+        )
+
+    # bootstrap the state table from the corpus (min-id canonical per
+    # fingerprint — one aggregate, run once; in production this table is
+    # maintained at ingest, never rebuilt)
+    if not mat.parquet_exists(spark, fp_path):
+        mat.overwrite(
+            spark, fp_path,
+            fp_of(corpus_df).groupBy("fingerprint").agg(
+                F.min(id_col).alias(id_col)
+            ),
+        )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        state = mat.read_table(s, fp_path)
+        intra = fp_of(batch_df).groupBy("fingerprint").agg(
+            F.min(id_col).alias(id_col)
+        )
+        surv = intra.join(
+            state.select("fingerprint"), on="fingerprint", how="left_anti"
+        ).localCheckpoint()  # both merges read it; and the accepted-table
+        # merge below changes no state it depends on, but the fp merge
+        # AFTER it must not recompute against the already-updated table
+        accepted = batch_df.join(
+            surv.select(id_col), on=id_col, how="left_semi"
+        )
+        if mat.parquet_exists(s, table_path):
+            mat.merge_upsert(s, table_path, accepted, id_col)
+        else:
+            mat.overwrite(s, table_path, accepted)
+        mat.merge_upsert(s, fp_path, surv, "fingerprint")
+
+    stream = read_bronze_stream(spark, src_dir, schema, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
