@@ -238,6 +238,29 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
             pre = "+" if t.startswith("+") else ""
             expanded.extend(pre + d for d in exposures[ename].depends_on)
         toks = expanded
+    if any("tag:" in t for t in toks):
+        # dbt tag selectors: tag:NAME = every model carrying the tag;
+        # graph operators compose (+tag:NAME = their ancestor cones,
+        # tag:NAME+ = their descendant cones)
+        from furchild_spark.models import registry as _reg
+
+        expanded = []
+        for t in toks:
+            core = t.removeprefix("+")
+            trail = "+" if core.endswith("+") else ""
+            core = core.removesuffix("+")
+            if not core.startswith("tag:"):
+                expanded.append(t)
+                continue
+            tag = core.removeprefix("tag:")
+            hits = [n for n in _reg.names() if tag in _reg[n].tags]
+            if not hits:
+                _usage_error(f"tag:{tag!r} matches no models (declared "
+                             "tags: "
+                             f"{sorted({x for n in _reg.names() for x in _reg[n].tags})})")
+            pre = "+" if t.startswith("+") else ""
+            expanded.extend(pre + h + trail for h in hits)
+        toks = expanded
     state_toks = [t for t in toks if t.startswith("state:")]
     result_toks = [t for t in toks if t.startswith("result:")]
     graph_toks = [

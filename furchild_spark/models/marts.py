@@ -788,7 +788,8 @@ def dim_address(ctx) -> DataFrame:
     )
 
 
-@model(materialized="table", unique_key="order_date_local")
+@model(materialized="table", unique_key="order_date_local",
+       tags=("nightly", "aggregate"))
 def agg_orders_daily(ctx) -> DataFrame:
     """(ref aggregates/agg_orders_daily.sql: empty) daily order rollup."""
     o = ctx.ref("fct_orders")
@@ -802,7 +803,7 @@ def agg_orders_daily(ctx) -> DataFrame:
     )
 
 
-@model(materialized="table")
+@model(materialized="table", tags=("nightly", "aggregate"))
 def agg_items_daily(ctx) -> DataFrame:
     """(ref aggregates/agg_items_daily.sql: empty) daily line rollup."""
     oi = ctx.ref("fct_order_items")

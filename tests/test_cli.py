@@ -763,3 +763,38 @@ def test_exposure_selector_rejects_unknown_and_descendants(bronze, spark):
     with pytest.raises(SystemExit):
         main(["run", "--bronze", bronze, "--models", "exposure:ltv_model+",
               "--now", FROZEN], spark=spark)
+
+
+def test_tag_selector_builds_tagged_models(bronze, spark, tmp_path, capsys):
+    """dbt tag selectors: `--models tag:nightly` expands to exactly the
+    models carrying the tag (the two daily aggregates), graph operators
+    compose (+tag:NAME pulls ancestors), unknown tags are usage errors."""
+    import os
+
+    wh = str(tmp_path / "wh_tag")
+    rc = main(["run", "--bronze", bronze, "--warehouse", wh, "--models",
+               "tag:nightly", "--now", FROZEN], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built agg_orders_daily" in out
+    assert "built agg_items_daily" in out
+    tables = {d for d in os.listdir(wh) if os.path.isdir(os.path.join(wh, d))}
+    # both tagged models (plus their ref()-materialized upstreams, which
+    # build as part of dependency resolution) — but nothing outside the
+    # tagged models' ancestor cones
+    assert {"agg_orders_daily", "agg_items_daily"} <= tables
+    assert "cohort_revenue_ltv" not in tables
+    assert "dim_promo" not in tables
+
+    # +tag: pulls ancestor cones
+    wh2 = str(tmp_path / "wh_tagplus")
+    rc = main(["run", "--bronze", bronze, "--warehouse", wh2, "--models",
+               "+tag:nightly", "--now", FROZEN], spark=spark)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built agg_orders_daily" in out
+    assert "built fct_order_items" in out  # upstream of both aggregates
+
+    with pytest.raises(SystemExit):
+        main(["run", "--bronze", bronze, "--models", "tag:nope",
+              "--now", FROZEN], spark=spark)
