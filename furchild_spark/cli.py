@@ -424,6 +424,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                  "full_refresh=False config opts it out",
         )
         sp.add_argument(
+            "--warn-error", action="store_true", dest="warn_error",
+            help="dbt --warn-error: treat warn-severity check/freshness "
+                 "results as failures (exit 1) — the strict-CI switch",
+        )
+        sp.add_argument(
             "--empty", action="store_true",
             help="dbt 1.8 --empty: schema-only dry run — every source() "
                  "and deferred ref() is limited to ZERO rows, so the DAG "
@@ -998,7 +1003,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"{r.name:56s} {status}"
                   + ("" if r.status == "pass" else f" ({r.failures} rows)")
                   + stored)
-            if r.status == "error":
+            if r.status == "error" or (
+                getattr(args, "warn_error", False) and r.status == "warn"
+            ):
                 failed += 1
         # dbt 1.8: `dbt test` runs UNIT tests (mocked-input logic tests)
         # alongside the data checks; unit tests belong to their model, so
@@ -1053,6 +1060,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         path = _write_state_manifest(args, spark)
         if path:
             print(f"wrote manifest: {path}")
+        if getattr(args, "warn_error", False) and result.warnings:
+            print("WARN-AS-ERROR: "
+                  + ", ".join(w.name if hasattr(w, "name") else w.source
+                              for w in result.warnings))
+            return 1
         return 0
 
     if args.cmd == "show":

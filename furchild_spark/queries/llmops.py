@@ -3238,3 +3238,76 @@ def tokenize_pack_pipeline(spark, sf_dir):
     from furchild_spark.operators.batching import pack_sequences
 
     return pack_sequences(applied, "doc_id", "n_tokens", budget=_TPP_BUDGET)
+
+
+@query(
+    "training_shards_e2e",
+    section=(
+        "LLM-batching final mile: packed 512-token sequences assigned "
+        "round-robin to 8 training shards and WRITTEN as a "
+        "shard-partitioned parquet layout (one dir per shard = one "
+        "reader stream per data-loader rank); returns the per-shard "
+        "manifest read back from the files on disk, proving layout and "
+        "token accounting survive the write path"
+    ),
+    oracle="""
+WITH tok AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n,
+    md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents WHERE length(text) > 0
+),
+cum AS (
+  SELECT doc_id, n,
+    CAST(COALESCE(SUM(n) OVER (ORDER BY h ASC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS g0
+  FROM tok
+),
+seg AS (
+  SELECT doc_id, g0, g0 + n AS g1,
+    unnest(range(g0 // 512, (g0 + n - 1) // 512 + 1)) AS p
+  FROM cum
+)
+SELECT CAST(p % 8 AS BIGINT) AS shard,
+  CAST(COUNT(DISTINCT p) AS BIGINT) AS n_packs,
+  CAST(COUNT(*) AS BIGINT) AS n_segments,
+  CAST(SUM(least(g1, (p + 1) * 512) - greatest(g0, p * 512)) AS BIGINT)
+    AS n_tokens
+FROM seg GROUP BY 1
+""",
+)
+def training_shards_e2e(spark, sf_dir):
+    """The step after packing: distribute packs across 8 shards by
+    ``pack_id % 8`` (round-robin over CONSECUTIVE pack ids — each shard
+    gets an equal share of every corpus region, and a data-loader rank
+    streams exactly one dir), write the layout with a real partitioned
+    parquet write, and rebuild the manifest FROM DISK. Round-robin, not
+    hash: pack ids are already a dense deterministic sequence, so the
+    modulus is free, perfectly balanced (max-min ≤ 1 pack), and
+    preserves within-shard pack order for sequential reads. At 100 TB
+    the same write is ``partitionBy(shard)`` into object storage; the
+    manifest agg reads footers' worth of data, not the corpus."""
+    import tempfile as _tf
+
+    from furchild_spark.operators.batching import pack_sequences
+
+    d = table(spark, sf_dir, "documents").withColumn(
+        "doc_len", F.length("text").cast("long")
+    )
+    packs = pack_sequences(d, "doc_id", "doc_len", budget=512)
+    sharded = packs.withColumn(
+        "shard", (F.col("pack_id") % F.lit(8)).cast("long")
+    )
+    out = _tf.mkdtemp(prefix="furchild_shards_e2e_") + "/shards"
+    sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+    return (
+        spark.read.parquet(out)
+        .groupBy("shard")
+        .agg(
+            F.countDistinct("pack_id").cast("long").alias("n_packs"),
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.sum("seg_len").cast("long").alias("n_tokens"),
+        )
+        .select(F.col("shard").cast("long").alias("shard"),
+                "n_packs", "n_segments", "n_tokens")
+    )

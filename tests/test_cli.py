@@ -798,3 +798,31 @@ def test_tag_selector_builds_tagged_models(bronze, spark, tmp_path, capsys):
     with pytest.raises(SystemExit):
         main(["run", "--bronze", bronze, "--models", "tag:nope",
               "--now", FROZEN], spark=spark)
+
+
+def test_warn_error_flag_promotes_warns(bronze, spark, tmp_path, capsys):
+    """dbt --warn-error: the fixtures carry warn-severity check failures
+    (email shape, country length) that a default `test` reports but
+    passes; under --warn-error they fail the suite — and `build
+    --warn-error` exits 1 on the same warnings."""
+    wh = str(tmp_path / "wh_we")
+    assert main(["run", "--bronze", bronze, "--warehouse", wh,
+                 "--now", FROZEN], spark=spark) == 0
+    capsys.readouterr()
+    assert main(["test", "--bronze", bronze, "--warehouse", wh,
+                 "--now", FROZEN], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert " WARN (" in out and "0 error-severity failures" in out
+
+    rc = main(["test", "--bronze", bronze, "--warehouse", wh,
+               "--now", FROZEN, "--warn-error"], spark=spark)
+    assert rc == 1
+    out = capsys.readouterr().out
+    n_warn = out.count(" WARN (")
+    assert f"{n_warn} error-severity failures" in out
+
+    wh2 = str(tmp_path / "wh_we2")
+    rc = main(["build", "--bronze", bronze, "--warehouse", wh2,
+               "--now", FROZEN, "--warn-error"], spark=spark)
+    assert rc == 1
+    assert "WARN-AS-ERROR:" in capsys.readouterr().out
