@@ -501,7 +501,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--columns", metavar="MODEL.COLUMN",
         help="column-level lineage: print the source columns feeding one "
              "output column (resolved from the analyzed plan; no Spark "
-             "action)",
+             "action); MODEL.* walks every output column",
     )
     dc = sub.add_parser(
         "docs",
@@ -704,15 +704,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # the composed VIEW-mode plan, so lineage crosses model
             # boundaries all the way to the bronze scans
             df = _probe_runner(args, spark).ref(model)
-            try:
-                srcs = column_lineage(df, col)
-            except KeyError as e:
-                p.error(str(e))
-            for s in sorted(srcs, key=str):
-                print(f"{args.columns} <- {s}")
-            if not srcs:
-                print(f"{args.columns} <- (no source columns: literal "
-                      "or generated)")
+            # MODEL.* walks every output column — the full column map a
+            # docs UI renders (same analyzed plan, one probe)
+            cols = (
+                [f.name for f in df.schema.fields] if col == "*" else [col]
+            )
+            for c in cols:
+                try:
+                    srcs = column_lineage(df, c)
+                except KeyError as e:
+                    p.error(str(e))
+                for s in sorted(srcs, key=str):
+                    print(f"{model}.{c} <- {s}")
+                if not srcs:
+                    print(f"{model}.{c} <- (no source columns: literal "
+                          "or generated)")
             return 0
         # Lineage is OBSERVED, not declared (the dbt-manifest equivalent):
         # a view-only probe resolves every model through ref(), building

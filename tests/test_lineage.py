@@ -118,3 +118,20 @@ def test_cli_dag_columns_bad_input_is_usage_error(bronze, spark):
             main(["dag", "--bronze", bronze, "--columns", bad,
                   "--now", FROZEN], spark=spark)
         assert e.value.code == 2
+
+
+def test_cli_dag_columns_wildcard_walks_every_output(bronze, spark, capsys):
+    """MODEL.* prints one lineage block per output column — the full
+    column map, resolved from ONE analyzed plan probe."""
+    rc = main(
+        ["dag", "--bronze", bronze, "--columns", "dim_orders.*",
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    from furchild_spark.models import registry
+
+    cols = set(registry["dim_orders"].contract["columns"])
+    for c in cols:
+        assert f"dim_orders.{c} <-" in out, c
