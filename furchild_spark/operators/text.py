@@ -570,3 +570,123 @@ def bpe_apply_by_vocab(
             .alias("n_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece-style tokenizer: frequency vocabulary + greedy longest-match
+# ---------------------------------------------------------------------------
+
+def wordpiece_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_frac: float = 1.0 / 500.0,
+) -> DataFrame:
+    """Corpus-derived piece vocabulary for greedy longest-match
+    segmentation (the WordPiece/BERT tokenizer family, Wu et al. 2016
+    arXiv:1609.08144 §4.1 — vocabulary induction here is frequency
+    thresholding rather than the likelihood criterion, which keeps the
+    construction fully relational and oracle-replayable; the APPLY side
+    is exactly WordPiece's greedy longest-match-first).
+
+    A piece is any word substring of length ≤ ``max_piece_len`` whose
+    occurrence-weighted corpus count reaches ``min_frac`` of total word
+    occurrences — plus EVERY observed single character unconditionally,
+    so segmentation can never get stuck. Overlapping occurrences count
+    (each (position, length) slot of each word occurrence), making the
+    count a pure sum over the word-type table.
+
+    Shape at 100 TB: one token shuffle builds the word-type table
+    (map-side combined; types ≪ occurrences), the substring explode is
+    bounded at ``len(word) × max_piece_len`` rows PER TYPE, and the
+    relative threshold caps the vocabulary at ``max_piece_len/min_frac``
+    pieces by construction (a piece needs min_frac of all occurrence
+    mass) — so the vocab always broadcasts, at any corpus size.
+
+    Output: ``(piece, cnt)`` rows.
+    """
+    wc = (
+        fanout(docs)
+        .select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    # expr(): Spark's substring() Column API wants literal pos/len; the
+    # SQL form keeps the (i, l) slot enumeration in one in-row
+    # comprehension over the word type
+    sub = wc.select(
+        "wc",
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(1, length(word)), i -> "
+                "  filter(transform(sequence(1, {L}), l -> "
+                "    case when i + l - 1 <= length(word) "
+                "         then substring(word, i, l) end), "
+                "    p -> p is not null)))".format(L=max_piece_len)
+            )
+        ).alias("piece"),
+    )
+    cnt = sub.groupBy("piece").agg(F.sum("wc").alias("cnt"))
+    total = wc.agg(F.sum("wc").alias("total"))
+    return (
+        cnt.crossJoin(F.broadcast(total))
+        .filter(
+            (F.length("piece") == 1)
+            | (F.col("cnt") * F.lit(int(round(1 / min_frac))) >= F.col("total"))
+        )
+        .select("piece", "cnt")
+    )
+
+
+def wordpiece_apply(
+    words: DataFrame,
+    vocab: DataFrame,
+    word_col: str = "word",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Greedy longest-match-first segmentation (the WordPiece serving
+    algorithm): at each position take the LONGEST vocab piece starting
+    there, falling back to the single character (always in vocab by
+    construction). No tie-break is ever needed — at one position there
+    is exactly ONE candidate substring per length.
+
+    Map-only: the vocabulary rides as per-length sorted arrays in one
+    broadcast row (bounded by construction, see
+    :func:`wordpiece_vocab`), and the walk is an in-row ``aggregate``
+    fold over at most ``len(word)`` steps — no shuffle, no UDF, fuses
+    into the scan. Adds ``pieces array<string>`` and ``n_pieces``.
+    """
+    by_len = vocab.groupBy(F.length("piece").alias("__l")).agg(
+        F.sort_array(F.collect_list("piece")).alias("__ps")
+    )
+    packed = by_len.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("__l", "__ps")))
+        ).alias("__v")
+    )
+
+    # expr() formulation: one in-row aggregate fold; `__v` is the
+    # per-length vocab map column, and the candidate cascade tries the
+    # longest length first (single chars always hit, so the ELSE arm is
+    # the guaranteed fallback)
+    casc = " ".join(
+        f"WHEN array_contains(__v[{L}], substring({word_col}, acc.pos + 1, {L})) "
+        f"THEN substring({word_col}, acc.pos + 1, {L})"
+        for L in range(max_piece_len, 1, -1)
+    )
+    seg = (
+        "aggregate(sequence(1, length({w})), "
+        "  named_struct('pos', 0, 'ps', cast(array() as array<string>)), "
+        "  (acc, x) -> case when acc.pos >= length({w}) then acc else "
+        "    named_struct("
+        "      'pos', acc.pos + length(case {casc} else substring({w}, acc.pos + 1, 1) end), "
+        "      'ps', array_append(acc.ps, case {casc} else substring({w}, acc.pos + 1, 1) end)) "
+        "  end, "
+        "  acc -> acc.ps)"
+    ).format(w=word_col, casc=casc)
+    return (
+        words.crossJoin(F.broadcast(packed))
+        .withColumn("pieces", F.expr(seg))
+        .withColumn("n_pieces", F.size("pieces").cast("long"))
+        .drop("__v")
+    )

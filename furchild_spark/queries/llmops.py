@@ -3311,3 +3311,91 @@ def training_shards_e2e(spark, sf_dir):
         .select(F.col("shard").cast("long").alias("shard"),
                 "n_packs", "n_segments", "n_tokens")
     )
+
+
+@query(
+    "wordpiece_tokenize",
+    section=(
+        "LLM-tokenizer WordPiece family (Wu et al. 2016, "
+        "arXiv:1609.08144 §4.1): frequency-thresholded piece vocabulary "
+        "+ greedy longest-match-first segmentation — the BERT-style "
+        "counterpart to the BPE pair-merge family; vocab bounded by "
+        "construction (a piece needs 1/500 of occurrence mass), apply "
+        "map-only via an in-row fold against per-length broadcast "
+        "arrays"
+    ),
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT unnest({_TOKS}) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS wc FROM tok GROUP BY word),
+tot AS (SELECT SUM(wc) AS total FROM wc),
+pos AS (
+  SELECT word, wc, unnest(range(1, length(word) + 1)) AS i FROM wc
+),
+sub AS (
+  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         SUM(wc) AS cnt
+  FROM pos, (VALUES (1), (2), (3), (4)) ll(l)
+  WHERE i + l - 1 <= length(word)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT piece FROM sub CROSS JOIN tot
+  WHERE length(piece) = 1 OR cnt * 500 >= total
+),
+words AS (SELECT word, wc FROM wc ORDER BY wc DESC, word ASC LIMIT 100),
+seg(word, pos, ps) AS (
+  SELECT word, 0, CAST([] AS VARCHAR[]) FROM words
+  UNION ALL
+  SELECT word, pos + length(pc), list_append(ps, pc) FROM (
+    SELECT word, pos, ps,
+      CASE WHEN substr(word, pos + 1, 4) IN
+             (SELECT piece FROM vocab WHERE length(piece) = 4)
+           THEN substr(word, pos + 1, 4)
+           WHEN substr(word, pos + 1, 3) IN
+             (SELECT piece FROM vocab WHERE length(piece) = 3)
+           THEN substr(word, pos + 1, 3)
+           WHEN substr(word, pos + 1, 2) IN
+             (SELECT piece FROM vocab WHERE length(piece) = 2)
+           THEN substr(word, pos + 1, 2)
+           ELSE substr(word, pos + 1, 1) END AS pc
+    FROM seg WHERE pos < length(word)
+  ) s
+)
+SELECT w.word, CAST(w.wc AS BIGINT) AS wc,
+  CAST(len(s.ps) AS BIGINT) AS n_pieces,
+  array_to_string(s.ps, '+') AS seg
+FROM words w JOIN seg s ON s.word = w.word AND s.pos = length(w.word)
+""",
+)
+def wordpiece_tokenize(spark, sf_dir):
+    """Tokenize the 100 most frequent word types with a corpus-derived
+    WordPiece vocabulary (operators/text.wordpiece_vocab + _apply):
+    vocabulary = every substring of length ≤ 4 holding ≥ 1/500 of total
+    word-occurrence mass, plus all single characters (segmentation can
+    never get stuck — no tie-break is needed anywhere because each
+    (position, length) has exactly ONE candidate substring). The Spark
+    walk is an in-row aggregate fold per word type against per-length
+    broadcast vocab arrays; the oracle replays vocabulary induction
+    relationally and the greedy walk as a recursive CTE, one step per
+    emitted piece."""
+    from furchild_spark.operators.text import (
+        tokens, wordpiece_apply, wordpiece_vocab,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    vocab = wordpiece_vocab(d, "text", max_piece_len=4, min_frac=1 / 500)
+    wc = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    top = wc.orderBy(F.desc("wc"), F.asc("word")).limit(100)
+    out = wordpiece_apply(top, vocab.select("piece"), "word")
+    return out.select(
+        "word",
+        F.col("wc").cast("long").alias("wc"),
+        "n_pieces",
+        F.array_join("pieces", "+").alias("seg"),
+    )

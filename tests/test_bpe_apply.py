@@ -56,3 +56,58 @@ def test_vocab_factored_apply_is_bit_identical(spark):
         assert a[k].bpe_tokens == b[k].bpe_tokens
         assert a[k].n_tokens == b[k].n_tokens
     assert b[4].bpe_tokens == [] and b[4].n_tokens == 0
+
+
+# ---------------------------------------------------------------------------
+# WordPiece family (greedy longest-match over a frequency vocab)
+# ---------------------------------------------------------------------------
+
+def test_wordpiece_greedy_longest_match_and_roundtrip(spark):
+    """Greedy takes the LONGEST piece at each position (even when a
+    shorter match would yield fewer total pieces — the defining WordPiece
+    behavior), unknown regions fall back to single chars, and the pieces
+    always concatenate back to the word."""
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.text import wordpiece_apply
+
+    vocab = spark.createDataFrame(
+        [("abcd",), ("ab",), ("cd",), ("abc",), ("a",), ("b",), ("c",),
+         ("d",), ("x",)],
+        ["piece"],
+    )
+    words = spark.createDataFrame(
+        [("abcd",), ("abcx",), ("xxab",), ("dcba",)], ["word"]
+    )
+    out = {
+        r.word: list(r.pieces)
+        for r in wordpiece_apply(words, vocab, "word").collect()
+    }
+    assert out["abcd"] == ["abcd"]          # length-4 wins outright
+    # greedy: 'abc' first → leftover 'x' (3+1), never 'ab'+'cx'
+    assert out["abcx"] == ["abc", "x"]
+    assert out["xxab"] == ["x", "x", "ab"]
+    assert out["dcba"] == ["d", "c", "b", "a"]  # char fallback everywhere
+    for w, ps in out.items():
+        assert "".join(ps) == w
+
+
+def test_wordpiece_vocab_threshold_and_char_floor(spark):
+    """Every observed single char is in the vocab unconditionally;
+    longer pieces need min_frac of occurrence mass (weighted by word
+    occurrences, overlaps counted)."""
+    from furchild_spark.operators.text import wordpiece_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "aaab aaab aaab zq")], ["doc_id", "text"]
+    )
+    v = {r.piece for r in wordpiece_vocab(
+        docs, "text", min_frac=0.5
+    ).collect()}
+    # chars always present
+    assert {"a", "b", "z", "q"} <= v
+    # total word occurrences = 4, so the 0.5 threshold is mass >= 2:
+    # 'aa' holds 2 overlapping slots x3 'aaab' occurrences = 6 -> in;
+    # 'zq' holds 1 -> out
+    assert "aa" in v
+    assert "zq" not in v
