@@ -237,20 +237,47 @@ def main() -> None:
     extra_budget = float(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_SEC", "120"))
     rescue_deadline = t_start + budget + extra_budget
     rescue_cap = max_runs + 4
+
+    # Regression-suspect rescue: the _spread_bad witness can't see a
+    # session whose runs BOTH hit the same transient — they agree with
+    # each other at 10× the entry's real cost and "converge" there
+    # (observed: ann_cosine_topk pairing at 3.64 s vs the committed
+    # 0.36 s minimum under phase-1 budget starvation). The committed
+    # baseline is the second witness: an entry whose current min sits
+    # > 3× its prior clean minimum earns rescue sessions too. A true 3×
+    # plan regression just spends a few bounded extra runs and then
+    # records its honest slower minimum.
+    prior_min: dict[str, float] = {}
+    try:
+        with open(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        )) as fh:
+            prior_min = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        pass
+
+    def _suspect(name: str, runs: list[float]) -> bool:
+        prior = prior_min.get(name)
+        return bool(prior) and min(runs) > 3.0 * prior
+
     for name in sorted(history, key=lambda n: min(history[n]), reverse=True):
         runs = history[name]
         rescued = False
         while (
-            _spread_bad(runs)
+            (_spread_bad(runs) or _suspect(name, runs))
             and len(runs) < rescue_cap
             and time.monotonic() + 1.2 * min(runs) < rescue_deadline
         ):
             runs.append(run_once(name))
             rescued = True
         if rescued:
+            state = (
+                "still noisy" if _spread_bad(runs)
+                else "above prior" if _suspect(name, runs)
+                else "converged"
+            )
             print(
-                f"# rescue {name}: {min(runs):.3f}s (n={len(runs)}, "
-                f"{'converged' if not _spread_bad(runs) else 'still noisy'})",
+                f"# rescue {name}: {min(runs):.3f}s (n={len(runs)}, {state})",
                 file=sys.stderr,
             )
     timings = {name: min(runs) for name, runs in history.items()}
