@@ -690,3 +690,111 @@ def wordpiece_apply(
         .withColumn("n_pieces", F.size("pieces").cast("long"))
         .drop("__v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer: Viterbi segmentation under piece log-probabilities
+# ---------------------------------------------------------------------------
+
+def unigram_scores(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_frac: float = 1.0 / 500.0,
+) -> DataFrame:
+    """Piece log-probabilities for Unigram-LM segmentation (Kudo 2018,
+    arXiv:1804.10959 — SentencePiece's unigram model; vocabulary here is
+    the same frequency-thresholded substring inventory as
+    :func:`wordpiece_vocab`, standing in for the paper's EM-pruned one
+    so the whole model stays relational and oracle-replayable; the APPLY
+    side is the paper's exact Viterbi decode).
+
+    ``score(p) = round(ln(cnt(p) / Σ cnt over vocab), 6)`` — one ln of a
+    bigint/bigint quotient, so both engines compute the identical
+    decimal. Output: ``(piece, score decimal(18,6))``.
+    """
+    v = wordpiece_vocab(docs, text_col, max_piece_len, min_frac)
+    tm = v.agg(F.sum("cnt").alias("__tm"))
+    return v.crossJoin(F.broadcast(tm)).select(
+        "piece",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("__tm").cast("double")),
+            6,
+        ).cast("decimal(18,6)").alias("score"),
+    )
+
+
+def unigram_apply(
+    words: DataFrame,
+    scores: DataFrame,
+    word_col: str = "word",
+    max_piece_len: int = 4,
+) -> DataFrame:
+    """Viterbi segmentation: the piece sequence maximizing the summed
+    log-probability (unlike WordPiece's greedy walk, a shorter piece now
+    wins when the whole-word likelihood says so). Exact-decimal DP, so
+    the argmax is engine-portable; ties between equal-likelihood paths
+    break to the LONGER last piece — deterministic on both sides.
+
+    Map-only shape: the (piece → score) table rides as one broadcast map
+    (bounded by the vocab construction), and the DP is an in-row fold
+    carrying a ROLLING window of the last ``max_piece_len`` (dp, path)
+    states — no per-position table, no shuffle, no UDF. The same rolling
+    trick is what makes the oracle a single-row-per-word recursive CTE.
+
+    Adds ``pieces array<string>``, ``n_pieces``, ``logp double``.
+    """
+    packed = scores.agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("piece", "score")))
+        ).alias("__m")
+    )
+    w = word_col
+    # candidate for length L at target position x: dp[x-L] + score(piece);
+    # acc.d[0] is dp[x-1], d[1] dp[x-2], ... (0-based Spark [] access)
+    # decimal addition widens (18,6)+(18,6) → (19,6); aggregate() needs
+    # the merge's struct type to EXACTLY match the zero's, so every dp
+    # sum is cast back down (|logp| is bounded by word_len × |min score|
+    # ≪ 10^12, so the narrow cast is lossless)
+    cands = ", ".join(
+        f"case when {('acc.d[' + str(L - 1) + ']')} is not null "
+        f"  and __m[substring({w}, x - {L} + 1, {L})] is not null "
+        f"then named_struct("
+        f"  'dp', cast({('acc.d[' + str(L - 1) + ']')} "
+        f"        + __m[substring({w}, x - {L} + 1, {L})] "
+        f"        as decimal(18,6)), "
+        f"  'L', {L}, "
+        f"  'sg', case when {('acc.s[' + str(L - 1) + ']')} = '' "
+        f"        then substring({w}, x - {L} + 1, {L}) "
+        f"        else concat({('acc.s[' + str(L - 1) + ']')}, '+', "
+        f"                    substring({w}, x - {L} + 1, {L})) end) end"
+        for L in range(1, max_piece_len + 1)
+    )
+    state_t = "struct<d: array<decimal(18,6)>, s: array<string>>"
+    seg = (
+        "aggregate(sequence(1, length({w})), "
+        "  cast(named_struct("
+        "    'd', array(cast(0.0 as decimal(18,6)), "
+        "               cast(null as decimal(18,6)), "
+        "               cast(null as decimal(18,6)), "
+        "               cast(null as decimal(18,6))), "
+        "    's', array('', cast(null as string), "
+        "               cast(null as string), cast(null as string))) "
+        "   as {state_t}), "
+        "  (acc, x) -> cast("
+        "    named_struct("
+        "      'd', array(array_max(filter(array({cands}), c -> c is not null)).dp, "
+        "                 acc.d[0], acc.d[1], acc.d[2]), "
+        "      's', array(array_max(filter(array({cands}), c -> c is not null)).sg, "
+        "                 acc.s[0], acc.s[1], acc.s[2])) as {state_t}), "
+        "  acc -> named_struct('logp', acc.d[0], 'sg', acc.s[0]))"
+    ).format(w=w, cands=cands, state_t=state_t)
+    out = (
+        words.crossJoin(F.broadcast(packed))
+        .withColumn("__r", F.expr(seg))
+        .withColumn("pieces", F.split(F.col("__r.sg"), r"\+"))
+        .withColumn("n_pieces", F.size("pieces").cast("long"))
+        .withColumn("logp", F.col("__r.logp").cast("double"))
+        .drop("__m", "__r")
+    )
+    return out

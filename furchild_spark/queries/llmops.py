@@ -3399,3 +3399,124 @@ def wordpiece_tokenize(spark, sf_dir):
         "n_pieces",
         F.array_join("pieces", "+").alias("seg"),
     )
+
+
+@query(
+    "unigram_tokenize",
+    section=(
+        "LLM-tokenizer Unigram-LM family (Kudo 2018, arXiv:1804.10959 / "
+        "SentencePiece): exact Viterbi segmentation under piece "
+        "log-probabilities — completes the tokenizer trio with BPE "
+        "(merge rules) and WordPiece (greedy longest-match); the DP "
+        "carries a ROLLING window of the last 4 (dp, path) states, so "
+        "Spark runs it as one in-row fold and the oracle as a "
+        "single-row-per-word recursive CTE"
+    ),
+    oracle=f"""
+WITH RECURSIVE tok AS (
+  SELECT unnest({_TOKS}) AS word FROM documents
+),
+wc AS (SELECT word, COUNT(*) AS wc FROM tok GROUP BY word),
+tot AS (SELECT SUM(wc) AS total FROM wc),
+pos AS (
+  SELECT word, wc, unnest(range(1, length(word) + 1)) AS i FROM wc
+),
+sub AS (
+  SELECT substr(word, CAST(i AS INT), CAST(l AS INT)) AS piece,
+         SUM(wc) AS cnt
+  FROM pos, (VALUES (1), (2), (3), (4)) ll(l)
+  WHERE i + l - 1 <= length(word)
+  GROUP BY 1
+),
+vocab AS (
+  SELECT piece, cnt FROM sub CROSS JOIN tot
+  WHERE length(piece) = 1 OR cnt * 500 >= total
+),
+tm AS (SELECT SUM(cnt) AS tm FROM vocab),
+vp AS (
+  SELECT piece,
+    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(tm AS DOUBLE)), 6)
+         AS DECIMAL(18,6)) AS score
+  FROM vocab CROSS JOIN tm
+),
+words AS (SELECT word, wc FROM wc ORDER BY wc DESC, word ASC LIMIT 100),
+seg(word, i, d1, d2, d3, d4, s1, s2, s3, s4) AS (
+  SELECT word, 0,
+    CAST(0 AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
+    CAST(NULL AS DECIMAL(18,6)), CAST(NULL AS DECIMAL(18,6)),
+    '', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+    CAST(NULL AS VARCHAR)
+  FROM words
+  UNION ALL
+  SELECT word, i + 1,
+    CAST(CASE lbest WHEN 4 THEN c4 WHEN 3 THEN c3 WHEN 2 THEN c2
+         ELSE c1 END AS DECIMAL(18,6)),
+    d1, d2, d3,
+    CASE lbest WHEN 4 THEN g4 WHEN 3 THEN g3 WHEN 2 THEN g2 ELSE g1 END,
+    s1, s2, s3
+  FROM (
+    SELECT *,
+      CASE WHEN c4 IS NOT NULL AND (c3 IS NULL OR c4 >= c3)
+                AND (c2 IS NULL OR c4 >= c2) AND c4 >= c1 THEN 4
+           WHEN c3 IS NOT NULL AND (c2 IS NULL OR c3 >= c2)
+                AND c3 >= c1 THEN 3
+           WHEN c2 IS NOT NULL AND c2 >= c1 THEN 2
+           ELSE 1 END AS lbest
+    FROM (
+      SELECT word, i, d1, d2, d3, d4, s1, s2, s3, s4,
+        d1 + (SELECT score FROM vp
+              WHERE piece = substr(word, i + 1, 1)) AS c1,
+        CASE WHEN d2 IS NOT NULL THEN d2 + (SELECT score FROM vp
+             WHERE piece = substr(word, i, 2)) END AS c2,
+        CASE WHEN d3 IS NOT NULL THEN d3 + (SELECT score FROM vp
+             WHERE piece = substr(word, i - 1, 3)) END AS c3,
+        CASE WHEN d4 IS NOT NULL THEN d4 + (SELECT score FROM vp
+             WHERE piece = substr(word, i - 2, 4)) END AS c4,
+        CASE WHEN s1 = '' THEN substr(word, i + 1, 1)
+             ELSE s1 || '+' || substr(word, i + 1, 1) END AS g1,
+        CASE WHEN s2 = '' THEN substr(word, i, 2)
+             ELSE s2 || '+' || substr(word, i, 2) END AS g2,
+        CASE WHEN s3 = '' THEN substr(word, i - 1, 3)
+             ELSE s3 || '+' || substr(word, i - 1, 3) END AS g3,
+        CASE WHEN s4 = '' THEN substr(word, i - 2, 4)
+             ELSE s4 || '+' || substr(word, i - 2, 4) END AS g4
+      FROM seg WHERE i < length(word)
+    ) x
+  ) y
+)
+SELECT w.word, CAST(w.wc AS BIGINT) AS wc,
+  CAST(len(string_split(s.s1, '+')) AS BIGINT) AS n_pieces,
+  s.s1 AS seg,
+  CAST(s.d1 AS DOUBLE) AS logp
+FROM words w JOIN seg s ON s.word = w.word AND s.i = length(w.word)
+""",
+)
+def unigram_tokenize(spark, sf_dir):
+    """Viterbi-tokenize the 100 most frequent word types under the
+    corpus-derived unigram piece model (operators/text.unigram_scores +
+    unigram_apply): the piece sequence maximizing summed exact-decimal
+    log-probability, ties to the longer last piece. Same vocabulary
+    inventory as wordpiece_tokenize, so the two entries together show
+    where likelihood decoding and greedy decoding disagree. The oracle
+    carries the DP's rolling 4-state window as recursive-CTE columns —
+    one row per (word, position), no per-cell table."""
+    from furchild_spark.operators.text import (
+        tokens, unigram_apply, unigram_scores,
+    )
+
+    d = table(spark, sf_dir, "documents")
+    sc = unigram_scores(d, "text", max_piece_len=4, min_frac=1 / 500)
+    wc = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    top = wc.orderBy(F.desc("wc"), F.asc("word")).limit(100)
+    out = unigram_apply(top, sc, "word")
+    return out.select(
+        "word",
+        F.col("wc").cast("long").alias("wc"),
+        "n_pieces",
+        F.array_join("pieces", "+").alias("seg"),
+        "logp",
+    )

@@ -111,3 +111,26 @@ def test_wordpiece_vocab_threshold_and_char_floor(spark):
     # 'zq' holds 1 -> out
     assert "aa" in v
     assert "zq" not in v
+
+
+def test_unigram_viterbi_beats_greedy_and_breaks_ties_long(spark):
+    """The defining Unigram-LM behavior: a SHORTER first piece wins when
+    whole-word likelihood says so (greedy WordPiece would take 'abc' and
+    strand 'd'); exact-likelihood ties break to the longer last piece."""
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.text import unigram_apply
+
+    scores = spark.createDataFrame(
+        [("ab", "-1.0"), ("abc", "-10.0"), ("cd", "-1.0"),
+         ("c", "-3.0"), ("d", "-3.0"), ("a", "-5.0"), ("b", "-5.0"),
+         ("x", "-2.0"), ("xx", "-4.0")],
+        ["piece", "s"],
+    ).select("piece", F.col("s").cast("decimal(18,6)").alias("score"))
+    words = spark.createDataFrame([("abcd",), ("xx",)], ["word"])
+    out = {r.word: r for r in unigram_apply(words, scores, "word").collect()}
+    assert list(out["abcd"].pieces) == ["ab", "cd"]
+    assert out["abcd"].logp == -2.0
+    # 'x'+'x' = -4.0 exactly ties 'xx' = -4.0 -> longer last piece wins
+    assert list(out["xx"].pieces) == ["xx"]
+    assert out["xx"].logp == -4.0
