@@ -387,3 +387,187 @@ def streaming_dedup_e2e(spark, sf_dir):
     return mat.read_table(spark, f"{base}/accepted").select(
         "doc_id", "source"
     )
+
+
+def _mh_side(side: str, src: str) -> str:
+    """MinHash band/shingle CTE chain for one doc set ``src`` (a CTE
+    exposing (doc_id, text)) — the cross-corpus instantiation of the
+    _MINHASH_CTES fragment (16 perms, 4 rows/band, 3-token shingles,
+    md5), aliased so several sides coexist in one oracle."""
+    toks = ("list_filter(string_split(lower(trim(regexp_replace("
+            "text, '\\s+', ' ', 'g'))), ' '), x -> x <> '')")
+    return f"""
+{side}_tok AS (SELECT doc_id, {toks} AS t FROM {src}),
+{side}_sh0 AS (
+  SELECT doc_id,
+    unnest(list_transform(range(1, CASE WHEN len(t) >= 3 THEN len(t) - 1 ELSE 1 END),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+  FROM {side}_tok
+),
+{side}_sh AS (SELECT DISTINCT doc_id, shingle FROM {side}_sh0),
+{side}_mh AS (
+  SELECT doc_id, p, MIN(md5(CAST(p AS VARCHAR) || ':' || shingle)) AS minhash
+  FROM {side}_sh CROSS JOIN perms GROUP BY doc_id, p
+),
+{side}_bands AS (
+  SELECT doc_id, CAST(p // 4 AS INT) AS band,
+         md5(string_agg(minhash, ',' ORDER BY p)) AS band_sig
+  FROM {side}_mh GROUP BY doc_id, CAST(p // 4 AS INT)
+),
+{side}_sz AS (SELECT doc_id, COUNT(*) AS sz FROM {side}_sh GROUP BY doc_id)"""
+
+
+def _neardup_round(k: int, batch: str, state: str) -> str:
+    """One state-vs-batch near-dup round: banded candidates, exact
+    Jaccard ≥ 0.5 verify, survivors = batch docs with no verified match."""
+    return f"""
+cand{k} AS (
+  SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+  FROM {batch}_bands n JOIN {state}_bands o
+    ON n.band = o.band AND n.band_sig = o.band_sig
+),
+inter{k} AS (
+  SELECT c.id_new, c.id_old, COUNT(*) AS n_inter
+  FROM cand{k} c
+  JOIN {batch}_sh a ON a.doc_id = c.id_new
+  JOIN {state}_sh b ON b.doc_id = c.id_old AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+near{k} AS (
+  SELECT DISTINCT i.id_new
+  FROM inter{k} i
+  JOIN {batch}_sz za ON za.doc_id = i.id_new
+  JOIN {state}_sz zb ON zb.doc_id = i.id_old
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(za.sz + zb.sz - i.n_inter AS DOUBLE) >= 0.5
+),
+surv{k} AS (
+  SELECT doc_id FROM {batch}_tok
+  WHERE doc_id NOT IN (SELECT id_new FROM near{k})
+)"""
+
+
+_FPX = ("md5(COALESCE(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), "
+        "''))")
+
+_STREAM_NEARDUP_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE source IN ('src0','src1','src2','src3','src4')
+),
+b1r AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE source IN ('src5','src6','src7','src8','src9')
+  UNION ALL
+  SELECT doc_id + 100000, text || ' zz', source FROM documents
+  WHERE source = 'src0'
+),
+b2r AS (
+  SELECT doc_id, text, source FROM documents
+  WHERE source IN ('src10','src11','src12','src13','src14')
+  UNION ALL
+  SELECT doc_id + 200000, text || ' zz', source FROM documents
+  WHERE source = 'src5'
+),
+b1i AS (SELECT {_FPX} AS fp, MIN(doc_id) AS doc_id FROM b1r GROUP BY 1),
+b1 AS (SELECT b1r.* FROM b1r JOIN b1i USING (doc_id)),
+b2i AS (SELECT {_FPX} AS fp, MIN(doc_id) AS doc_id FROM b2r GROUP BY 1),
+b2 AS (SELECT b2r.* FROM b2r JOIN b2i USING (doc_id)),
+perms AS (SELECT unnest(range(0, 16)) AS p),
+{_mh_side('c1', 'corpus')},
+{_mh_side('n1', 'b1')},
+{_neardup_round(1, 'n1', 'c1')},
+st2 AS (
+  SELECT doc_id, text FROM corpus
+  UNION ALL
+  SELECT b1.doc_id, b1.text FROM b1 JOIN surv1 USING (doc_id)
+),
+{_mh_side('c2', 'st2')},
+{_mh_side('n2', 'b2')},
+{_neardup_round(2, 'n2', 'c2')}
+SELECT b1.doc_id, b1.source FROM b1 JOIN surv1 USING (doc_id)
+UNION ALL
+SELECT b2.doc_id, b2.source FROM b2 JOIN surv2 USING (doc_id)
+"""
+
+
+@query(
+    "streaming_neardup_e2e",
+    section="§2.8 + LLM-dedup streaming NEAR-dup: micro-batches MinHash-"
+    "band-matched and exact-Jaccard-verified against the ACCUMULATED "
+    "state (corpus + all accepted docs), survivors merged exactly-once; "
+    "the near-dup upgrade of streaming_dedup_e2e — batch 2's rejects "
+    "depend on state written by batch 1's trigger",
+    oracle=_STREAM_NEARDUP_ORACLE,
+)
+def streaming_neardup_e2e(spark, sf_dir):
+    """Corpus = src0-src4. Micro-batch b1 = src5-src9 plus a NEAR-dup
+    variant of every src0 doc (one appended token — Jaccard
+    (n-2)/(n-1) ≫ 0.5 against the original; re-keyed +100000): the
+    variants must reject against the CORPUS state. b2 = src10-src14
+    plus variants of src5 docs (+200000): those must reject against
+    state written by b1's OWN trigger. Then b1 is REDELIVERED — every
+    doc is an exact self-match in state (Jaccard 1), so the keyed merge
+    provably no-ops. The oracle replays both rounds: banded candidates,
+    exact-Jaccard verify at 0.5, survivor feedback into round-2 state."""
+    import glob as _glob
+    import os as _os
+
+    from furchild_spark.engine import materialize as mat
+    from furchild_spark.streaming.ingest import run_streaming_neardup_dedup
+
+    base = tempfile.mkdtemp(prefix="furchild_streamneardup_e2e_")
+    landing = f"{base}/landing"
+    d = table(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    corpus = d.filter(
+        F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    )
+
+    def variants(src):
+        return (
+            d.filter(F.col("source") == src)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" zz")))
+        )
+
+    b1 = d.filter(
+        F.col("source").isin("src5", "src6", "src7", "src8", "src9")
+    ).unionByName(
+        variants("src0").withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    )
+    b2 = d.filter(
+        F.col("source").isin("src10", "src11", "src12", "src13", "src14")
+    ).unionByName(
+        variants("src5").withColumn("doc_id", F.col("doc_id") + F.lit(200000))
+    )
+    for i, (name, df) in enumerate(
+        [("b1", b1), ("b2", b2), ("b1_redelivered", b1)]
+    ):
+        tmp = f"{base}/stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+        _os.makedirs(landing, exist_ok=True)
+        shutil.copy(part, f"{landing}/{name}.parquet")
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        q = run_streaming_neardup_dedup(
+            spark,
+            src_dir=landing,
+            schema=b1.schema,
+            corpus_df=corpus,
+            table_path=f"{base}/accepted",
+            id_col="doc_id",
+            text_col="text",
+            checkpoint_dir=f"{base}/ckpt",
+            threshold=0.5,
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return mat.read_table(spark, f"{base}/accepted").select(
+        "doc_id", "source"
+    )

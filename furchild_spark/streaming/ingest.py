@@ -389,3 +389,84 @@ def run_streaming_corpus_dedup(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def run_streaming_neardup_dedup(
+    spark: SparkSession,
+    src_dir: str,
+    schema,
+    corpus_df: DataFrame,
+    table_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    available_now: bool = True,
+    max_files_per_trigger: int | None = 1,
+):
+    """Streaming NEAR-duplicate dedup — the MinHash upgrade of
+    :func:`run_streaming_corpus_dedup`: each micro-batch is first
+    exact-deduped within itself (min-id per normalized fingerprint),
+    then its banded MinHash candidates against the accumulated state
+    (corpus + everything accepted so far) are exact-Jaccard verified;
+    docs with a verified near-dup at ``threshold`` are rejected,
+    survivors merge into the accepted table, which IS the state the next
+    micro-batch dedups against.
+
+    Scale shape: candidates come from the banded equi-join (never
+    batch×state all-pairs); at 100 TB the state side's band signatures
+    and shingle sets are maintained tables written at accept time — the
+    recompute here from state TEXT stands in for reading them (the
+    documented stance of minhash_neardup_incremental, which this wraps).
+    Only the batch shuffles.
+
+    Semantics note (deliberate): near-dups WITHIN one micro-batch both
+    survive (state-vs-batch is the contract; intra-batch is exact-only)
+    — they are both state afterwards, so every LATER delivery dedups
+    against both. Exactly-once: a redelivered file's docs are exact
+    self-matches in state (Jaccard 1 ≥ threshold), so they reject and
+    the keyed merge no-ops.
+    """
+    from furchild_spark.operators.dedup import minhash_neardup_incremental
+    from furchild_spark.operators.text import normalize_text
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        state = corpus_df.select(F.col(id_col), F.col(text_col))
+        if mat.parquet_exists(s, table_path):
+            state = state.unionByName(
+                mat.read_table(s, table_path).select(
+                    F.col(id_col), F.col(text_col)
+                )
+            )
+        fp = F.md5(
+            F.coalesce(normalize_text(text_col), F.lit(""))
+        ).alias("__fp")
+        intra = (
+            batch_df.select(F.col(id_col), fp)
+            .groupBy("__fp")
+            .agg(F.min(id_col).alias(id_col))
+        )
+        batchd = batch_df.join(
+            intra.select(id_col), on=id_col, how="left_semi"
+        ).localCheckpoint()  # two consumers (pair join + survivor select);
+        # and the pair plan re-reads the accepted table this sink writes
+        pairs = minhash_neardup_incremental(
+            batchd, state, id_col, text_col, threshold=threshold
+        )
+        near = pairs.select(F.col("id_new").alias(id_col)).distinct()
+        surv = batchd.join(near, on=id_col, how="left_anti")
+        if mat.parquet_exists(s, table_path):
+            mat.merge_upsert(s, table_path, surv, id_col)
+        else:
+            mat.overwrite(s, table_path, surv)
+
+    stream = read_bronze_stream(spark, src_dir, schema, max_files_per_trigger)
+    writer = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
