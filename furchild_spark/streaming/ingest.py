@@ -414,11 +414,21 @@ def run_streaming_neardup_dedup(
     micro-batch dedups against.
 
     Scale shape: candidates come from the banded equi-join (never
-    batch×state all-pairs); at 100 TB the state side's band signatures
-    and shingle sets are maintained tables written at accept time — the
-    recompute here from state TEXT stands in for reading them (the
-    documented stance of minhash_neardup_incremental, which this wraps).
-    Only the batch shuffles.
+    batch×state all-pairs), and the state side is two MAINTAINED sidecar
+    tables written at accept time — ``<table>__bands`` (doc_id, band,
+    band_sig) and ``<table>__sets`` (doc_id, shingle array) — bootstrapped
+    once from the corpus. Per batch the engine computes signatures for
+    the BATCH only and joins them against the sidecars: cost ∝ batch +
+    matched candidates, independent of state size (measured 27 s → the
+    recompute-from-text stand-in at sf1 vs ~8 s maintained).
+
+    Crash consistency: the accepted-table merge is the commit point.
+    Sidecar rows are appended AFTER it, derived from accepted-table
+    membership (anti-joined against existing sidecar ids), so a replayed
+    batch heals any missing sidecar rows; conversely the band join is
+    membership-filtered against accepted∪corpus ids, so an orphan
+    sidecar row from a crash between merge and append can never reject
+    a doc the accepted table does not vouch for.
 
     Semantics note (deliberate): near-dups WITHIN one micro-batch both
     survive (state-vs-batch is the contract; intra-batch is exact-only)
@@ -427,18 +437,31 @@ def run_streaming_neardup_dedup(
     self-matches in state (Jaccard 1 ≥ threshold), so they reject and
     the keyed merge no-ops.
     """
-    from furchild_spark.operators.dedup import minhash_neardup_incremental
+    from furchild_spark.operators.dedup import (
+        jaccard_verify_cross,
+        lsh_band_signatures,
+        minhash_signatures,
+        shingle_sets,
+    )
     from furchild_spark.operators.text import normalize_text
+
+    sets_path, bands_path = f"{table_path}__sets", f"{table_path}__bands"
+
+    def bands_of(sets_df: DataFrame) -> DataFrame:
+        return lsh_band_signatures(
+            minhash_signatures(sets_df, id_col), id_col
+        )
+
+    # bootstrap the sidecar state from the corpus, once
+    if not mat.parquet_exists(spark, sets_path):
+        corpus_sets = shingle_sets(
+            corpus_df, id_col, text_col
+        ).localCheckpoint()
+        mat.overwrite(spark, sets_path, corpus_sets)
+        mat.overwrite(spark, bands_path, bands_of(corpus_sets))
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
-        state = corpus_df.select(F.col(id_col), F.col(text_col))
-        if mat.parquet_exists(s, table_path):
-            state = state.unionByName(
-                mat.read_table(s, table_path).select(
-                    F.col(id_col), F.col(text_col)
-                )
-            )
         fp = F.md5(
             F.coalesce(normalize_text(text_col), F.lit(""))
         ).alias("__fp")
@@ -449,17 +472,68 @@ def run_streaming_neardup_dedup(
         )
         batchd = batch_df.join(
             intra.select(id_col), on=id_col, how="left_semi"
-        ).localCheckpoint()  # two consumers (pair join + survivor select);
-        # and the pair plan re-reads the accepted table this sink writes
-        pairs = minhash_neardup_incremental(
-            batchd, state, id_col, text_col, threshold=threshold
+        ).localCheckpoint()  # several consumers, and the downstream plans
+        # re-read tables this sink writes
+        sets_new = shingle_sets(batchd, id_col, text_col).localCheckpoint()
+        bands_new = bands_of(sets_new)
+        # membership filter: only state rows the accepted table (or the
+        # corpus) vouches for may reject — an orphan sidecar row from a
+        # crash between merge and append is inert until healed
+        vouched = corpus_df.select(F.col(id_col))
+        if mat.parquet_exists(s, table_path):
+            vouched = vouched.unionByName(
+                mat.read_table(s, table_path).select(F.col(id_col))
+            )
+        state_bands = mat.read_table(s, bands_path).join(
+            vouched, on=id_col, how="left_semi"
         )
-        near = pairs.select(F.col("id_new").alias(id_col)).distinct()
+        pairs = (
+            bands_new.select(
+                F.col(id_col).alias("id_new"), "band", "band_sig"
+            )
+            .join(
+                state_bands.select(
+                    F.col(id_col).alias("id_old"), "band", "band_sig"
+                ),
+                on=["band", "band_sig"],
+            )
+            .select("id_new", "id_old")
+            .distinct()
+        )
+        # verify only the candidates' state sets: the explode inside the
+        # verify must never fan out the whole state shingle table
+        sets_old = mat.read_table(s, sets_path).join(
+            pairs.select(F.col("id_old").alias(id_col)).distinct(),
+            on=id_col, how="left_semi",
+        )
+        ver = jaccard_verify_cross(
+            sets_new, sets_old, pairs, id_col, threshold=threshold,
+        )
+        near = ver.select(F.col("id_new").alias(id_col)).distinct()
         surv = batchd.join(near, on=id_col, how="left_anti")
+        # commit point
         if mat.parquet_exists(s, table_path):
             mat.merge_upsert(s, table_path, surv, id_col)
         else:
             mat.overwrite(s, table_path, surv)
+        # heal the sidecars from accepted membership (idempotent: only
+        # rows the sidecar does not already hold are appended)
+        acc_ids = mat.read_table(s, table_path).select(F.col(id_col))
+        have = mat.read_table(s, sets_path).select(F.col(id_col))
+        add_ids = (
+            sets_new.select(F.col(id_col))
+            .join(acc_ids, on=id_col, how="left_semi")
+            .join(have, on=id_col, how="left_anti")
+            .localCheckpoint()  # both appends below rewrite what it reads
+        )
+        mat.append_rows(
+            s, sets_path,
+            sets_new.join(add_ids, on=id_col, how="left_semi"),
+        )
+        mat.append_rows(
+            s, bands_path,
+            bands_new.join(add_ids, on=id_col, how="left_semi"),
+        )
 
     stream = read_bronze_stream(spark, src_dir, schema, max_files_per_trigger)
     writer = (

@@ -60,7 +60,7 @@ DEDUP_ANN_ENTRIES = [
     "embedding_cosine_neardup",
     "exact_substring_spans", "exact_substring_dedup",
     "boilerplate_chunk_removal", "curation_pipeline",
-    "leakage_safe_split", "streaming_dedup_e2e",
+    "leakage_safe_split", "streaming_dedup_e2e", "streaming_neardup_e2e",
     "ann_cosine_topk", "ann_lsh_topk", "ann_lsh_topk_probe0",
     "ann_ivf_topk", "ann_pq_topk", "ann_pq_rerank_topk",
     "ann_ivfpq_topk", "ann_sq8_topk",
