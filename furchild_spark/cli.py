@@ -482,9 +482,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                  "building, failures and skips are reported at the end",
         )
 
-    sub.add_parser("ls", help="list registered models")
-    for c in ("run", "build", "test", "seed", "retry", "snapshot"):
-        common(sub.add_parser(c))
+    for c in ("ls", "run", "build", "test", "seed", "retry", "snapshot"):
+        common(sub.add_parser(
+            c, help="list registered models (takes the same selectors "
+                    "as run; graph/state selectors need --bronze)"
+            if c == "ls" else None,
+        ))
     fr = sub.add_parser("freshness")
     common(fr)
     fr.add_argument(
@@ -572,14 +575,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.cmd == "ls":
         from furchild_spark.models import registry
 
+        selected = None
+        if getattr(args, "models", None) or getattr(args, "exclude", None):
+            toks = (args.models or "").split(",") if args.models else []
+            needs_graph = bool(getattr(args, "exclude", None)) or any(
+                t.startswith(("state:", "result:")) or "+" in t
+                for t in toks
+            )
+            if needs_graph:
+                # cone walks need the OBSERVED dag — a view-only probe,
+                # which needs the bronze schemas (dbt ls parses a project
+                # the same way before answering graph selectors)
+                if not args.bronze:
+                    p.error("ls with graph/state/exclude selectors needs "
+                            "--bronze")
+                if spark is None:
+                    from furchild_spark.engine.session import get_spark
+
+                    spark = get_spark(app_name="furchild_ls")
+                selected = set(_names(args, spark) or [])
+            else:
+                # plain names / tag: / exposure: expand without Spark
+                selected = set(_included_names(args, spark=None) or [])
         for name in registry.names():
+            if selected is not None and name not in selected:
+                continue
             m = registry[name]
             print(f"{name:40s} {m.materialized:12s} "
                   f"{'unique_key=' + str(m.unique_key) if m.unique_key else ''}")
-        for name, exp in registry.exposures().items():
-            print(f"{name:40s} {'exposure':12s} "
-                  f"type={exp.exposure_type} "
-                  f"depends_on={','.join(exp.depends_on)}")
+        if selected is None:
+            for name, exp in registry.exposures().items():
+                print(f"{name:40s} {'exposure':12s} "
+                      f"type={exp.exposure_type} "
+                      f"depends_on={','.join(exp.depends_on)}")
         return 0
 
     if args.cmd == "gen-fixtures":

@@ -826,3 +826,21 @@ def test_warn_error_flag_promotes_warns(bronze, spark, tmp_path, capsys):
                "--now", FROZEN, "--warn-error"], spark=spark)
     assert rc == 1
     assert "WARN-AS-ERROR:" in capsys.readouterr().out
+
+
+def test_ls_takes_selectors(bronze, spark, capsys):
+    """dbt ls: tag:/name selectors filter the listing without Spark;
+    graph selectors walk the observed DAG (needs --bronze)."""
+    assert main(["ls", "--models", "tag:nightly"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_orders_daily" in out and "agg_items_daily" in out
+    assert "fct_orders" not in out and "exposure" not in out
+
+    assert main(["ls", "--bronze", bronze, "--models", "+agg_orders_daily",
+                 "--now", FROZEN], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "agg_orders_daily" in out and "fct_order_items" in out
+    assert "dim_promo" not in out
+
+    with pytest.raises(SystemExit):
+        main(["ls", "--models", "+agg_orders_daily"])  # graph needs bronze
