@@ -1454,3 +1454,96 @@ def semdedup_incremental(
             F.col("__dup_id").isNotNull().alias("is_dup"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dominant embedding direction: power iteration (uncentered PCA)
+# ---------------------------------------------------------------------------
+
+def power_iteration_top_direction(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rounds: int = 8,
+) -> DataFrame:
+    """Dominant direction of the corpus second-moment matrix (uncentered
+    PCA) by power iteration — the spectral statistic embedding pipelines
+    use for anisotropy diagnostics and common-direction removal ("all
+    but the top" post-processing, Mu & Viswanath 2018 arXiv:1702.01417).
+
+    Exactness strategy (what makes a spectral op hash-checkable at all):
+    components quantize to scale-3 longs (q = round₃(x)·10³), the
+    direction vector is itself a scale-3 long array, so BOTH
+    mat-vec accumulations are exact integer sums (long-safe to ~10 M
+    rows at these scales); normalization is L∞ BY THE SIGNED PIVOT
+    (component of max |u|, ties to the lowest dim) — dividing by the
+    signed pivot pins that component to +1, canonicalizing the sign
+    with no branch, and the one division runs in doubles built from
+    exact longs (IEEE-identical everywhere). L∞ vs L2 changes only the
+    scaling of iterates, not the direction they converge to.
+
+    Shape at 100 TB: per round, ONE in-row dot (map-only) and one
+    64-group aggregate (map-side combined); the direction is a 64-long
+    driver artifact (the k-means-centroid pattern — the corpus is never
+    collected).
+
+    Output: ``(dim, loading)`` — dim 1-based, loading = round₆(u/u_pivot)
+    of the final iterate (pivot component exactly 1.0).
+    """
+    q3 = F.transform(
+        F.col(vec_col),
+        lambda x: (
+            x.cast("double").cast("decimal(18,3)") * F.lit(1000)
+        ).cast("long"),
+    )
+    base = fanout(corpus).select(
+        F.col(id_col), q3.alias("__q")
+    ).localCheckpoint()
+    dim = base.select(F.size("__q").alias("n")).first()["n"]
+    w = [1000] + [0] * (dim - 1)
+    u = None
+    for _ in range(rounds):
+        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        s = base.select(
+            F.col(id_col),
+            F.aggregate(
+                F.zip_with("__q", warr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("__s"),
+        )
+        u = (
+            base.join(s, on=id_col)
+            .select("__s", F.posexplode("__q").alias("d", "qd"))
+            .groupBy("d")
+            .agg(F.sum(F.col("qd") * F.col("__s")).alias("u"))
+        )
+        pivot = u.orderBy(
+            F.abs(F.col("u")).desc(), F.col("d").asc()
+        ).limit(1).select(F.col("u").alias("up"))
+        wrows = (
+            u.crossJoin(F.broadcast(pivot))
+            .select(
+                "d",
+                F.round(
+                    F.col("u").cast("double") / F.col("up").cast("double")
+                    * F.lit(1000.0),
+                    0,
+                ).cast("long").alias("w"),
+            )
+            .orderBy("d")
+            .collect()
+        )
+        w = [r["w"] for r in wrows]
+    pivot = u.orderBy(
+        F.abs(F.col("u")).desc(), F.col("d").asc()
+    ).limit(1).select(F.col("u").alias("up"))
+    return (
+        u.crossJoin(F.broadcast(pivot))
+        .select(
+            (F.col("d") + 1).cast("long").alias("dim"),
+            F.round(
+                F.col("u").cast("double") / F.col("up").cast("double"), 6
+            ).alias("loading"),
+        )
+    )

@@ -3520,3 +3520,83 @@ def unigram_tokenize(spark, sf_dir):
         F.array_join("pieces", "+").alias("seg"),
         "logp",
     )
+
+
+def _power_round(k: int) -> str:
+    """One power-iteration round: exact integer mat-vec twice, then the
+    signed-pivot L∞ renormalization at scale 3."""
+    # u{k} is referenced twice (pivot + renormalize) and w{k+1} feeds the
+    # whole next round: MATERIALIZED stops DuckDB's CTE inlining from
+    # re-evaluating the entire prefix chain per reference (2^rounds
+    # blowup without it)
+    return f"""
+s{k} AS MATERIALIZED (
+  SELECT e.vec_id, SUM(e.q[w.d] * w.w) AS s
+  FROM emb_q e CROSS JOIN w{k} w GROUP BY e.vec_id
+),
+u{k} AS MATERIALIZED (
+  SELECT dm.d, SUM(e.q[dm.d] * s.s) AS u
+  FROM s{k} s JOIN emb_q e USING (vec_id) CROSS JOIN dims dm
+  GROUP BY dm.d
+),
+p{k} AS MATERIALIZED (
+  SELECT u AS up FROM u{k} ORDER BY abs(u) DESC, d ASC LIMIT 1
+),
+w{k + 1} AS MATERIALIZED (
+  SELECT d, CAST(round(CAST(u AS DOUBLE) / CAST((SELECT up FROM p{k}) AS DOUBLE)
+                 * 1000.0, 0) AS BIGINT) AS w
+  FROM u{k}
+)"""
+
+
+_POWER_ROUNDS = 8
+_POWER_ORACLE = (
+    """
+WITH emb_q AS (
+  SELECT vec_id,
+    list_transform(embedding,
+      x -> CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,3)) * 1000 AS BIGINT)
+    ) AS q
+  FROM embeddings
+),
+dims AS (SELECT unnest(range(1, 65)) AS d),
+w0 AS (SELECT d, CASE WHEN d = 1 THEN 1000 ELSE 0 END AS w FROM dims),"""
+    + ",".join(_power_round(k) for k in range(_POWER_ROUNDS))
+    + f"""
+SELECT CAST(d AS BIGINT) AS dim,
+  round(CAST(u AS DOUBLE)
+        / CAST((SELECT up FROM p{_POWER_ROUNDS - 1}) AS DOUBLE), 6) AS loading
+FROM u{_POWER_ROUNDS - 1}
+"""
+)
+
+
+@query(
+    "embedding_pca_direction",
+    section=(
+        "LLM-embedding spectral diagnostics: dominant direction of the "
+        "corpus second-moment matrix (uncentered PCA) by 8 power-"
+        "iteration rounds — the anisotropy/common-direction statistic "
+        "of 'all-but-the-top' embedding post-processing "
+        "(arXiv:1702.01417); exact integer mat-vecs on scale-3 "
+        "quantized longs, signed-pivot L-inf renormalization, so a "
+        "SPECTRAL op survives the value-hash gate"
+    ),
+    oracle=_POWER_ORACLE,
+)
+def embedding_pca_direction(spark, sf_dir):
+    """8 rounds of power iteration over the embeddings table
+    (operators/similarity.power_iteration_top_direction): per round one
+    map-only in-row dot + one 64-group aggregate; the direction vector
+    is the 64-long driver artifact (k-means-centroid pattern). The
+    oracle unrolls all 8 rounds relationally — both mat-vec sums are
+    exact integers, the one division per round is doubles-from-exact-
+    longs, so every engine computes the identical iterate."""
+    from furchild_spark.operators.similarity import (
+        power_iteration_top_direction,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    return power_iteration_top_direction(
+        emb, "vec_id", "embedding", rounds=8
+    )

@@ -421,6 +421,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "quality_classifier",  # broadcast 1-row totals/fallback/prior scalars
         "wordpiece_tokenize",  # 1-row occurrence-total + packed-vocab-map broadcasts
         "unigram_tokenize",  # same 1-row total/piece-mass/score-map broadcasts
+        "embedding_pca_direction",  # 1-row signed-pivot broadcast per iterate
         "ccnet_buckets",  # broadcast 1-row percentile-thresholds scalar
         "bpe_merges",  # 1-row best-pair broadcast per round (checkpointed)
         "sq8_codec",   # 1-row min/max codec broadcast (train artifact)
