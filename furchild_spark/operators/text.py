@@ -766,10 +766,14 @@ def unigram_apply(
         f"  'L', {L}, "
         f"  'sg', case when {('acc.s[' + str(L - 1) + ']')} = '' "
         f"        then substring({w}, x - {L} + 1, {L}) "
-        f"        else concat({('acc.s[' + str(L - 1) + ']')}, '+', "
+        f"        else concat({('acc.s[' + str(L - 1) + ']')}, '\\u001f', "
         f"                    substring({w}, x - {L} + 1, {L})) end) end"
         for L in range(1, max_piece_len + 1)
     )
+    # paths join on the unit separator, not '+': tokens are whitespace-
+    # split, so '+' CAN occur inside a word and would corrupt the
+    # piece-count split; \\x1f cannot (control chars never survive
+    # tokenization of real text)
     state_t = "struct<d: array<decimal(18,6)>, s: array<string>>"
     seg = (
         "aggregate(sequence(1, length({w})), "
@@ -792,7 +796,7 @@ def unigram_apply(
     out = (
         words.crossJoin(F.broadcast(packed))
         .withColumn("__r", F.expr(seg))
-        .withColumn("pieces", F.split(F.col("__r.sg"), r"\+"))
+        .withColumn("pieces", F.split(F.col("__r.sg"), "\x1f"))
         .withColumn("n_pieces", F.size("pieces").cast("long"))
         .withColumn("logp", F.col("__r.logp").cast("double"))
         .drop("__m", "__r")

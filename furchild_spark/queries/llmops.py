@@ -3473,20 +3473,20 @@ seg(word, i, d1, d2, d3, d4, s1, s2, s3, s4) AS (
         CASE WHEN d4 IS NOT NULL THEN d4 + (SELECT score FROM vp
              WHERE piece = substr(word, i - 2, 4)) END AS c4,
         CASE WHEN s1 = '' THEN substr(word, i + 1, 1)
-             ELSE s1 || '+' || substr(word, i + 1, 1) END AS g1,
+             ELSE s1 || chr(31) || substr(word, i + 1, 1) END AS g1,
         CASE WHEN s2 = '' THEN substr(word, i, 2)
-             ELSE s2 || '+' || substr(word, i, 2) END AS g2,
+             ELSE s2 || chr(31) || substr(word, i, 2) END AS g2,
         CASE WHEN s3 = '' THEN substr(word, i - 1, 3)
-             ELSE s3 || '+' || substr(word, i - 1, 3) END AS g3,
+             ELSE s3 || chr(31) || substr(word, i - 1, 3) END AS g3,
         CASE WHEN s4 = '' THEN substr(word, i - 2, 4)
-             ELSE s4 || '+' || substr(word, i - 2, 4) END AS g4
+             ELSE s4 || chr(31) || substr(word, i - 2, 4) END AS g4
       FROM seg WHERE i < length(word)
     ) x
   ) y
 )
 SELECT w.word, CAST(w.wc AS BIGINT) AS wc,
-  CAST(len(string_split(s.s1, '+')) AS BIGINT) AS n_pieces,
-  s.s1 AS seg,
+  CAST(len(string_split(s.s1, chr(31))) AS BIGINT) AS n_pieces,
+  array_to_string(string_split(s.s1, chr(31)), '+') AS seg,
   CAST(s.d1 AS DOUBLE) AS logp
 FROM words w JOIN seg s ON s.word = w.word AND s.i = length(w.word)
 """,
