@@ -594,7 +594,10 @@ def wordpiece_vocab(
     occurrences — plus EVERY observed single character unconditionally,
     so segmentation can never get stuck. Overlapping occurrences count
     (each (position, length) slot of each word occurrence), making the
-    count a pure sum over the word-type table.
+    count a pure sum over the word-type table. ``min_frac`` is applied
+    as the exact integer test ``cnt · round(1/min_frac) ≥ total`` so
+    oracles can restate it without float thresholds — i.e. it is
+    effectively snapped to ``1/round(1/min_frac)``.
 
     Shape at 100 TB: one token shuffle builds the word-type table
     (map-side combined; types ≪ occurrences), the substring explode is
