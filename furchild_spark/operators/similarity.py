@@ -1547,3 +1547,59 @@ def power_iteration_top_direction(
             ).alias("loading"),
         )
     )
+
+
+def remove_top_direction_report(
+    corpus: DataFrame,
+    loadings: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Apply "all-but-the-top" common-direction removal (Mu & Viswanath
+    2018, arXiv:1702.01417) against a driver-held direction vector (the
+    64 rounded loadings of :func:`power_iteration_top_direction`) and
+    report, per vector, the projection coefficient and the energy
+    retained: ``x' = x − c·v`` with ``c = (x·v)/(v·v)``, retained
+    ``= ‖x'‖²/‖x‖² = 1 − c·(2(x·v) − c‖v‖²)/‖x‖²``.
+
+    Parity recipe: components quantize to scale-3 longs, loadings are
+    6-dp decimals, so x·v and ‖v‖² accumulate as EXACT decimals and ‖x‖²
+    as an exact long; the final two numbers are one fixed IEEE double
+    expression over those exact inputs, rounded to 6 dp. Map-only — the
+    direction rides as a literal array, nothing shuffles.
+
+    Output: ``(id, proj_coef, retained)``.
+    """
+    q3 = F.transform(
+        F.col(vec_col),
+        lambda x: (
+            x.cast("double").cast("decimal(18,3)") * F.lit(1000)
+        ).cast("long"),
+    )
+    varr = F.array(
+        *[F.lit(str(v)).cast("decimal(18,6)") for v in loadings]
+    )
+    a = F.aggregate(
+        F.zip_with(q3, varr, lambda q, v: q * v),
+        F.lit(0).cast("decimal(28,6)"),
+        lambda acc, x: (acc + x).cast("decimal(28,6)"),
+    )
+    g = F.aggregate(
+        F.transform(varr, lambda v: v * v),
+        F.lit(0).cast("decimal(28,12)"),
+        lambda acc, x: (acc + x).cast("decimal(28,12)"),
+    )
+    qq = F.aggregate(
+        F.transform(q3, lambda q: q * q),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    c = a.cast("double") / F.lit(1000.0) / g.cast("double")
+    r = F.lit(1.0) - c * (
+        F.lit(2.0) * a.cast("double") / F.lit(1000.0) - c * g.cast("double")
+    ) / (qq.cast("double") / F.lit(1000000.0))
+    return corpus.select(
+        F.col(id_col),
+        F.round(c, 6).alias("proj_coef"),
+        F.round(r, 6).alias("retained"),
+    )

@@ -3550,7 +3550,7 @@ w{k + 1} AS MATERIALIZED (
 
 
 _POWER_ROUNDS = 8
-_POWER_ORACLE = (
+_POWER_PREFIX = (
     """
 WITH emb_q AS (
   SELECT vec_id,
@@ -3562,13 +3562,13 @@ WITH emb_q AS (
 dims AS (SELECT unnest(range(1, 65)) AS d),
 w0 AS (SELECT d, CASE WHEN d = 1 THEN 1000 ELSE 0 END AS w FROM dims),"""
     + ",".join(_power_round(k) for k in range(_POWER_ROUNDS))
-    + f"""
+)
+_POWER_ORACLE = _POWER_PREFIX + f"""
 SELECT CAST(d AS BIGINT) AS dim,
   round(CAST(u AS DOUBLE)
         / CAST((SELECT up FROM p{_POWER_ROUNDS - 1}) AS DOUBLE), 6) AS loading
 FROM u{_POWER_ROUNDS - 1}
 """
-)
 
 
 @query(
@@ -3600,3 +3600,62 @@ def embedding_pca_direction(spark, sf_dir):
     return power_iteration_top_direction(
         emb, "vec_id", "embedding", rounds=8
     )
+
+
+_DEBIAS_ORACLE = _POWER_PREFIX + f"""
+, v AS MATERIALIZED (
+  SELECT d,
+    CAST(round(CAST(u AS DOUBLE)
+               / CAST((SELECT up FROM p{_POWER_ROUNDS - 1}) AS DOUBLE), 6)
+         AS DECIMAL(18,6)) AS vd
+  FROM u{_POWER_ROUNDS - 1}
+),
+gsum AS MATERIALIZED (SELECT SUM(vd * vd) AS g FROM v),
+pv AS (
+  SELECT e.vec_id,
+    SUM(e.q[v.d] * v.vd) AS a,
+    SUM(e.q[v.d] * e.q[v.d]) AS qq
+  FROM emb_q e CROSS JOIN v GROUP BY e.vec_id
+)
+SELECT vec_id,
+  round(CAST(a AS DOUBLE) / 1000.0 / CAST(g AS DOUBLE), 6) AS proj_coef,
+  round(1.0 - (CAST(a AS DOUBLE) / 1000.0 / CAST(g AS DOUBLE))
+              * (2.0 * CAST(a AS DOUBLE) / 1000.0
+                 - (CAST(a AS DOUBLE) / 1000.0 / CAST(g AS DOUBLE))
+                   * CAST(g AS DOUBLE))
+              / (CAST(qq AS DOUBLE) / 1000000.0), 6) AS retained
+FROM pv CROSS JOIN gsum
+"""
+
+
+@query(
+    "embedding_debias_report",
+    section=(
+        "LLM-embedding 'all-but-the-top' common-direction removal "
+        "(arXiv:1702.01417) APPLIED: per-vector projection coefficient "
+        "onto the power-iteration dominant direction and the energy "
+        "retained after removal — map-only against a driver-held "
+        "direction (the centroid pattern), exact decimal/long "
+        "accumulations under one fixed IEEE expression"
+    ),
+    oracle=_DEBIAS_ORACLE,
+)
+def embedding_debias_report(spark, sf_dir):
+    """Compute the dominant direction (8 power rounds, the
+    embedding_pca_direction artifact), then report x' = x − c·v per
+    vector: ``proj_coef = (x·v)/(v·v)`` and ``retained = ‖x'‖²/‖x‖²``.
+    An anisotropic corpus shows mean retained ≪ 1 — the diagnostic that
+    motivates removing the common direction before cosine retrieval.
+    The oracle replays the full iteration chain and the report's exact
+    accumulations in one statement."""
+    from furchild_spark.operators.similarity import (
+        power_iteration_top_direction,
+        remove_top_direction_report,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    v = power_iteration_top_direction(
+        emb, "vec_id", "embedding", rounds=8
+    ).orderBy("dim").collect()
+    loadings = [r["loading"] for r in v]
+    return remove_top_direction_report(emb, loadings, "vec_id", "embedding")
