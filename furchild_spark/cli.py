@@ -540,6 +540,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     help="drop data unreferenced by the retained newest "
                          "versions plus aged-out temp manifests")
     mt.add_argument("--retain-last", type=int, default=2)
+    mt.add_argument("--restore", type=int, metavar="VERSION",
+                    help="roll the table back to VERSION as a NEW commit "
+                         "(Delta RESTORE semantics: history intact, "
+                         "nothing deleted); requires --models naming the "
+                         "target tables explicitly")
     mt.add_argument("--min-age-seconds", type=float, default=3600.0,
                     help="in-flight-writer guard: younger files survive")
     cl = sub.add_parser(
@@ -659,9 +664,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from furchild_spark.engine.txlog import TxTable
         from furchild_spark.models import registry
 
-        if not (args.compact or args.vacuum or args.history):
+        if args.restore is not None and not args.models:
+            p.error("--restore rolls tables BACK — name them explicitly "
+                    "with --models (a blanket warehouse rollback is "
+                    "never what you meant)")
+        if not (args.compact or args.vacuum or args.history
+                or args.restore is not None):
             p.error("maintain wants at least one of "
-                    "--history/--compact/--vacuum")
+                    "--history/--compact/--vacuum/--restore")
         names = (
             args.models.split(",")
             if args.models
@@ -674,6 +684,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from furchild_spark.engine.session import get_spark
 
             spark = get_spark(app_name="furchild_maintain")
+        rc = 0
         for name in names:
             path = os.path.join(args.warehouse, name)
             if not os.path.isdir(os.path.join(path, "_txlog")):
@@ -686,6 +697,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 if name in registry else ()
             )
             tx = TxTable(spark, path, cluster_by=cluster)
+            if args.restore is not None:
+                try:
+                    v = tx.restore(args.restore)
+                except Exception as e:
+                    print(f"{name}: restore failed: {e}")
+                    rc = 1
+                    continue
+                print(f"{name}: restored to v{args.restore} "
+                      f"(new commit v{v}, history intact)")
             if args.history:
                 for h in tx.history():
                     print(f"{name} v{h['version']} {h['op']} "
@@ -702,7 +722,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     min_age_seconds=args.min_age_seconds,
                 )
                 print(f"{name}: vacuum removed {len(removed)} commit dirs")
-        return 0
+        return rc
 
     if not args.bronze and args.cmd != "seed":
         p.error(f"--bronze is required for {args.cmd}")

@@ -844,3 +844,46 @@ def test_ls_takes_selectors(bronze, spark, capsys):
 
     with pytest.raises(SystemExit):
         main(["ls", "--models", "+agg_orders_daily"])  # graph needs bronze
+
+
+def test_maintain_restore_rolls_back_as_new_commit(bronze, spark, tmp_path,
+                                                   capsys):
+    """`maintain --restore N --models m`: Delta RESTORE semantics — the
+    table's contents return to version N as a NEW commit, history
+    intact; a blanket restore without --models is a usage error, and an
+    unknown version exits 1."""
+    wh = str(tmp_path / "wh_restore")
+    for extra in ([], ["--incremental"]):
+        assert main(
+            ["run", "--bronze", bronze, "--warehouse", wh,
+             "--table-format", "txlog", "--models", "fct_orders",
+             "--now", FROZEN] + extra,
+            spark=spark,
+        ) == 0
+    capsys.readouterr()
+    from furchild_spark.engine.txlog import TxTable
+
+    tx = TxTable(spark, f"{wh}/fct_orders")
+    v1_rows = tx.snapshot(version=1).count()
+    head = tx.current_version()
+    assert head >= 2
+    rc = main(
+        ["maintain", "--warehouse", wh, "--models", "fct_orders",
+         "--restore", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "restored to v1" in out
+    tx2 = TxTable(spark, f"{wh}/fct_orders")
+    assert tx2.current_version() == head + 1           # new commit
+    assert tx2.snapshot().count() == v1_rows           # v1 contents
+    assert tx2.snapshot(version=head).count() >= 0     # history intact
+
+    with pytest.raises(SystemExit):
+        main(["maintain", "--warehouse", wh, "--restore", "1"])
+    assert main(
+        ["maintain", "--warehouse", wh, "--models", "fct_orders",
+         "--restore", "99"],
+        spark=spark,
+    ) == 1
