@@ -1460,6 +1460,30 @@ def semdedup_incremental(
 # dominant embedding direction: power iteration (uncentered PCA)
 # ---------------------------------------------------------------------------
 
+def _power_matvec_round(base: DataFrame, w: list) -> DataFrame:
+    """One fused power-iteration mat-vec: ``u_d = Σ_i q_id · (q_i · w)``.
+
+    The per-row dot ``__s = q_i · w`` and the ``posexplode`` fan-out are
+    ONE projection over the quantized corpus — no self-join (an earlier
+    formulation computed ``__s`` in a separate plan and joined it back on
+    the id, shuffling the corpus once per round). The only exchange left
+    is the 64-group final aggregate, map-side combined.
+    """
+    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+    return (
+        base.select(
+            F.aggregate(
+                F.zip_with("__q", warr, lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("__s"),
+            F.posexplode("__q").alias("d", "qd"),
+        )
+        .groupBy("d")
+        .agg(F.sum(F.col("qd") * F.col("__s")).alias("u"))
+    )
+
+
 def power_iteration_top_direction(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -1490,6 +1514,8 @@ def power_iteration_top_direction(
     Output: ``(dim, loading)`` — dim 1-based, loading = round₆(u/u_pivot)
     of the final iterate (pivot component exactly 1.0).
     """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
     q3 = F.transform(
         F.col(vec_col),
         lambda x: (
@@ -1499,41 +1525,43 @@ def power_iteration_top_direction(
     base = fanout(corpus).select(
         F.col(id_col), q3.alias("__q")
     ).localCheckpoint()
-    dim = base.select(F.size("__q").alias("n")).first()["n"]
+    first = base.select(F.size("__q").alias("n")).first()
+    if first is None:
+        raise ValueError("power_iteration_top_direction: empty corpus")
+    dim = first["n"]
     w = [1000] + [0] * (dim - 1)
     u = None
     for _ in range(rounds):
-        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-        s = base.select(
-            F.col(id_col),
-            F.aggregate(
-                F.zip_with("__q", warr, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("__s"),
-        )
-        u = (
-            base.join(s, on=id_col)
-            .select("__s", F.posexplode("__q").alias("d", "qd"))
-            .groupBy("d")
-            .agg(F.sum(F.col("qd") * F.col("__s")).alias("u"))
-        )
+        u = _power_matvec_round(base, w)
         pivot = u.orderBy(
             F.abs(F.col("u")).desc(), F.col("d").asc()
         ).limit(1).select(F.col("u").alias("up"))
+        # the when() guard keeps the division expression byte-identical
+        # for a nonzero pivot while making the degenerate case (u ≡ 0 for
+        # an all-zero quantized corpus → 0/0 → NaN, which ANSI refuses to
+        # cast to long) detectable instead of throwing mid-plan
         wrows = (
             u.crossJoin(F.broadcast(pivot))
             .select(
                 "d",
-                F.round(
-                    F.col("u").cast("double") / F.col("up").cast("double")
-                    * F.lit(1000.0),
-                    0,
+                "up",
+                F.when(
+                    F.col("up") != 0,
+                    F.round(
+                        F.col("u").cast("double") / F.col("up").cast("double")
+                        * F.lit(1000.0),
+                        0,
+                    ),
                 ).cast("long").alias("w"),
             )
             .orderBy("d")
             .collect()
         )
+        if not wrows or wrows[0]["up"] == 0:
+            raise ValueError(
+                "power_iteration_top_direction: zero pivot (all-zero "
+                "quantized corpus?) — no dominant direction exists"
+            )
         w = [r["w"] for r in wrows]
     pivot = u.orderBy(
         F.abs(F.col("u")).desc(), F.col("d").asc()

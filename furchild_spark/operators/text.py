@@ -747,6 +747,8 @@ def unigram_apply(
 
     Adds ``pieces array<string>``, ``n_pieces``, ``logp double``.
     """
+    if max_piece_len < 1:
+        raise ValueError(f"max_piece_len must be >= 1, got {max_piece_len}")
     packed = scores.agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("piece", "score")))
@@ -778,28 +780,50 @@ def unigram_apply(
     # piece-count split; \\x1f cannot (control chars never survive
     # tokenization of real text)
     state_t = "struct<d: array<decimal(18,6)>, s: array<string>>"
+    # the rolling window carries exactly max_piece_len (dp, path) slots;
+    # both the zero state and the shift are GENERATED from max_piece_len
+    # (a hardcoded 4-slot window would silently drop length-5+ candidates
+    # via out-of-bounds array access, which returns NULL under non-ANSI
+    # Spark instead of erroring)
+    init_d = ", ".join(
+        ["cast(0.0 as decimal(18,6))"]
+        + ["cast(null as decimal(18,6))"] * (max_piece_len - 1)
+    )
+    init_s = ", ".join(["''"] + ["cast(null as string)"] * (max_piece_len - 1))
+    shift_d = ", ".join(f"acc.d[{i}]" for i in range(max_piece_len - 1))
+    shift_s = ", ".join(f"acc.s[{i}]" for i in range(max_piece_len - 1))
+    # zero-length words: sequence(1, 0) is the DESCENDING [1, 0] (step
+    # defaults to -1 when start > stop), which would walk the fold with
+    # all-NULL candidates; slice to the word length so an empty word
+    # folds over an empty array and keeps the zero state
     seg = (
-        "aggregate(sequence(1, length({w})), "
+        "aggregate(slice(sequence(1, greatest(length({w}), 1)), 1, length({w})), "
         "  cast(named_struct("
-        "    'd', array(cast(0.0 as decimal(18,6)), "
-        "               cast(null as decimal(18,6)), "
-        "               cast(null as decimal(18,6)), "
-        "               cast(null as decimal(18,6))), "
-        "    's', array('', cast(null as string), "
-        "               cast(null as string), cast(null as string))) "
+        "    'd', array({init_d}), "
+        "    's', array({init_s})) "
         "   as {state_t}), "
         "  (acc, x) -> cast("
         "    named_struct("
-        "      'd', array(array_max(filter(array({cands}), c -> c is not null)).dp, "
-        "                 acc.d[0], acc.d[1], acc.d[2]), "
-        "      's', array(array_max(filter(array({cands}), c -> c is not null)).sg, "
-        "                 acc.s[0], acc.s[1], acc.s[2])) as {state_t}), "
+        "      'd', array(array_max(filter(array({cands}), c -> c is not null)).dp{shift_d}, "
+        "      's', array(array_max(filter(array({cands}), c -> c is not null)).sg{shift_s}) as {state_t}), "
         "  acc -> named_struct('logp', acc.d[0], 'sg', acc.s[0]))"
-    ).format(w=w, cands=cands, state_t=state_t)
+    ).format(
+        w=w,
+        cands=cands,
+        state_t=state_t,
+        init_d=init_d,
+        init_s=init_s,
+        shift_d=(", " + shift_d + ")") if shift_d else ")",
+        shift_s=(", " + shift_s + ")") if shift_s else ")",
+    )
     out = (
         words.crossJoin(F.broadcast(packed))
         .withColumn("__r", F.expr(seg))
-        .withColumn("pieces", F.split(F.col("__r.sg"), "\x1f"))
+        .withColumn(
+            "pieces",
+            F.when(F.length(F.col(w)) == 0, F.array().cast("array<string>"))
+            .otherwise(F.split(F.col("__r.sg"), "\x1f")),
+        )
         .withColumn("n_pieces", F.size("pieces").cast("long"))
         .withColumn("logp", F.col("__r.logp").cast("double"))
         .drop("__m", "__r")

@@ -517,22 +517,32 @@ def run_streaming_neardup_dedup(
         else:
             mat.overwrite(s, table_path, surv)
         # heal the sidecars from accepted membership (idempotent: only
-        # rows the sidecar does not already hold are appended)
+        # rows the sidecar does not already hold are appended). Each
+        # sidecar computes its OWN add-set against its OWN membership: a
+        # crash between the sets append and the bands append leaves ids
+        # present in __sets but absent from __bands, and a shared
+        # sets-derived add-set would skip those ids forever — their bands
+        # rows would never be written and future near-dups of accepted
+        # docs would silently pass.
         acc_ids = mat.read_table(s, table_path).select(F.col(id_col))
-        have = mat.read_table(s, sets_path).select(F.col(id_col))
-        add_ids = (
-            sets_new.select(F.col(id_col))
-            .join(acc_ids, on=id_col, how="left_semi")
-            .join(have, on=id_col, how="left_anti")
-            .localCheckpoint()  # both appends below rewrite what it reads
+        accepted_new = sets_new.select(F.col(id_col)).join(
+            acc_ids, on=id_col, how="left_semi"
         )
+        have_sets = mat.read_table(s, sets_path).select(F.col(id_col)).distinct()
+        have_bands = mat.read_table(s, bands_path).select(F.col(id_col)).distinct()
+        add_sets = accepted_new.join(
+            have_sets, on=id_col, how="left_anti"
+        ).localCheckpoint()  # the appends below rewrite what these read
+        add_bands = accepted_new.join(
+            have_bands, on=id_col, how="left_anti"
+        ).localCheckpoint()
         mat.append_rows(
             s, sets_path,
-            sets_new.join(add_ids, on=id_col, how="left_semi"),
+            sets_new.join(add_sets, on=id_col, how="left_semi"),
         )
         mat.append_rows(
             s, bands_path,
-            bands_new.join(add_ids, on=id_col, how="left_semi"),
+            bands_new.join(add_bands, on=id_col, how="left_semi"),
         )
 
     stream = read_bronze_stream(spark, src_dir, schema, max_files_per_trigger)

@@ -134,3 +134,48 @@ def test_unigram_viterbi_beats_greedy_and_breaks_ties_long(spark):
     # 'x'+'x' = -4.0 exactly ties 'xx' = -4.0 -> longer last piece wins
     assert list(out["xx"].pieces) == ["xx"]
     assert out["xx"].logp == -4.0
+
+
+def test_unigram_apply_max_piece_len_over_four(spark):
+    """The rolling DP window is generated from max_piece_len: a length-5
+    vocab piece must be considered (a hardcoded 4-slot window would
+    silently index out of bounds -> NULL -> never pick it)."""
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.text import unigram_apply
+
+    scores = spark.createDataFrame(
+        [("abcde", "-1.0"), ("a", "-3.0"), ("b", "-3.0"), ("c", "-3.0"),
+         ("d", "-3.0"), ("e", "-3.0")],
+        ["piece", "s"],
+    ).select("piece", F.col("s").cast("decimal(18,6)").alias("score"))
+    words = spark.createDataFrame([("abcde",)], ["word"])
+    out = unigram_apply(words, scores, "word", max_piece_len=5).collect()[0]
+    assert list(out.pieces) == ["abcde"]
+    assert out.logp == -1.0
+    # and with the default window the same word falls back to chars
+    out4 = unigram_apply(words, scores, "word", max_piece_len=4).collect()[0]
+    assert list(out4.pieces) == ["a", "b", "c", "d", "e"]
+    assert out4.logp == -15.0
+
+
+def test_unigram_apply_empty_word_and_bad_window(spark):
+    """A zero-length word segments to an EMPTY piece array (not NULL):
+    sequence(1, 0) is descending in Spark, so the fold is sliced to the
+    word length. max_piece_len < 1 raises up front."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.text import unigram_apply
+
+    scores = spark.createDataFrame(
+        [("a", "-1.0")], ["piece", "s"]
+    ).select("piece", F.col("s").cast("decimal(18,6)").alias("score"))
+    words = spark.createDataFrame([("",), ("a",)], ["word"])
+    out = {r.word: r for r in unigram_apply(words, scores, "word").collect()}
+    assert list(out[""].pieces) == []
+    assert out[""].n_pieces == 0
+    assert out[""].logp == 0.0
+    assert list(out["a"].pieces) == ["a"]
+    with pytest.raises(ValueError, match="max_piece_len"):
+        unigram_apply(words, scores, "word", max_piece_len=0)

@@ -741,3 +741,26 @@ def test_tokenize_pack_pipeline_single_checkpoint_feeds_both_legs(spark):
     ids = re.findall(r"(MapPartitionsRDD\[\d+\]) at localCheckpoint", p)
     assert len(set(ids)) == 1, f"expected one checkpoint RDD, got {set(ids)}"
     assert len(ids) >= 2, "both legs must read the checkpointed subtree"
+
+
+def test_power_iteration_matvec_is_join_free(spark):
+    """The per-round power-iteration mat-vec is ONE projection over the
+    quantized corpus (row dot + posexplode fused) feeding a 64-group
+    aggregate — no self-join. A join here costs a corpus shuffle per
+    round (8 per call)."""
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.similarity import _power_matvec_round
+
+    base = spark.range(4).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<long>").alias("__q"),
+    )
+    u = _power_matvec_round(base, [1000, 0, 0])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        u.explain("formatted")
+    plan = buf.getvalue()
+    assert "Join" not in plan, plan
+    # exactly the one aggregate exchange survives (tree section)
+    assert plan.count("Exchange (") == 1, plan

@@ -62,3 +62,36 @@ def test_dsir_selects_target_like_raw_docs(spark):
     )
     out = curate.dsir_select(docs, "doc_id", "text", F.col("tgt"), k=1).collect()
     assert [r["doc_id"] for r in out] == [2]
+
+
+def test_power_iteration_guards(spark):
+    """Empty corpus and rounds<1 raise clear ValueErrors; an all-zero
+    quantized corpus raises on the degenerate pivot instead of emitting
+    NULL loadings."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.similarity import (
+        power_iteration_top_direction,
+    )
+
+    empty = spark.range(0).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="empty corpus"):
+        power_iteration_top_direction(empty)
+
+    some = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="rounds"):
+        power_iteration_top_direction(some, rounds=0)
+
+    zeros = spark.range(3).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(0.0), F.lit(0.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="zero pivot"):
+        power_iteration_top_direction(zeros, rounds=1)

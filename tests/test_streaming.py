@@ -277,3 +277,60 @@ def test_stateful_running_totals_across_microbatches(spark, dirs):
     _land(spark, src, [Row(k="a", v=4.0), Row(k="c", v=7.0)], "b2")
     # batch 2 emits updates only for the touched keys, with CUMULATIVE totals
     assert drain("rt2") == {"a": (3, 7.0), "c": (1, 7.0)}
+
+
+def test_neardup_sidecar_heal_is_per_sidecar(spark, tmp_path):
+    """Crash-consistency regression: a crash BETWEEN the __sets append
+    and the __bands append leaves an accepted doc with shingle rows but
+    no band rows. A replayed batch must heal the bands sidecar even
+    though the sets sidecar already holds the id (each sidecar computes
+    its own add-set) — otherwise future near-dups of that accepted doc
+    are never band candidates and silently pass."""
+    from furchild_spark.engine import materialize as mat
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    accepted = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+
+    corpus_rows = [Row(doc_id=1, text="alpha beta gamma delta epsilon zeta eta")]
+    x = Row(doc_id=2, text="one two three four five six seven eight nine")
+    x_var = Row(doc_id=3, text="one two three four five six seven eight nine zz")
+    corpus = spark.createDataFrame(corpus_rows)
+    schema = corpus.schema
+
+    def run():
+        q = ingest.run_streaming_neardup_dedup(
+            spark, src_dir=src, schema=schema, corpus_df=corpus,
+            table_path=accepted, id_col="doc_id", text_col="text",
+            checkpoint_dir=ckpt, threshold=0.5, available_now=True,
+        )
+        q.awaitTermination()
+
+    # batch 1: X is novel -> accepted, sets+bands written
+    _land(spark, src, [x], "b1")
+    run()
+    assert {r.doc_id for r in mat.read_table(spark, accepted).collect()} == {2}
+
+    # simulate the crash: drop X's band rows (sets keep them)
+    bands_path = f"{accepted}__bands"
+    healthy = (
+        mat.read_table(spark, bands_path)
+        .filter(F.col("doc_id") != 2)
+        .localCheckpoint()
+    )
+    mat.overwrite(spark, bands_path, healthy)
+
+    # replay batch 1 under a new file name: exact self-match via sets is
+    # NOT visible through bands (they're gone), so X re-merges (no-op);
+    # the heal must restore X's band rows from bands' OWN membership
+    _land(spark, src, [x], "b1_redelivered")
+    run()
+    healed = mat.read_table(spark, bands_path).filter(F.col("doc_id") == 2)
+    assert healed.count() > 0, "bands sidecar was not healed"
+
+    # batch 2: the near-dup variant of X must now be rejected
+    _land(spark, src, [x_var], "b2")
+    run()
+    ids = {r.doc_id for r in mat.read_table(spark, accepted).collect()}
+    assert ids == {2}, f"variant should reject against healed bands, got {ids}"
