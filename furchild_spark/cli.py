@@ -1042,7 +1042,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
         results = C.run_checks(
             runner.ref, suite, threads=args.threads,
-            store_failures_dir=sf_dir,
+            store_failures_dir=sf_dir, source=runner.source,
         )
         failed = 0
         for r in results:

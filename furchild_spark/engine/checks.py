@@ -39,7 +39,15 @@ def unique(df: DataFrame, col: str) -> DataFrame:
 
 
 def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
-    return df.filter(~F.col(col).isin(values) | F.col(col).isNull())
+    """dbt `accepted_values`. The comparison is STRING-typed on both
+    sides: dbt's `quote: false` tests (e.g. HAS_VAT in [0, 1],
+    schema.yml:80-83) declare numeric literals against columns that may
+    arrive as strings in bronze, and a typed `isin` under ANSI mode would
+    ERROR on a malformed row ('true' → BIGINT) instead of counting it as
+    the violation it is."""
+    accepted = [str(v) for v in values]
+    c = F.col(col).cast("string")
+    return df.filter(~c.isin(accepted) | c.isNull())
 
 
 def relationships(df: DataFrame, col: str, to_df: DataFrame, to_col: str) -> DataFrame:
@@ -108,6 +116,10 @@ class Check:
     # a threshold only changes behavior when declared.
     warn_if: str = "!=0"
     error_if: str = "!=0"
+    # dbt relationships-to-source (schema.yml:113-117): (child_column,
+    # source_table, parent_field). Resolved at run time via run_checks'
+    # ``source`` resolver — a static suite can't hold a bronze DataFrame.
+    fk_source: tuple | None = None
 
 
 def _count_cond(failures: int, cond: str) -> bool:
@@ -129,7 +141,11 @@ def _count_cond(failures: int, cond: str) -> bool:
 
 
 def _generic(builder, *args):
-    return lambda df: builder(df, *args)
+    fn = lambda df: builder(df, *args)  # noqa: E731
+    # machine-readable spec so tests/test_dbt_yaml.py can prove this
+    # hand-declared suite ≡ the reference's schema.yml test declarations
+    fn.spec = (builder.__name__, *args)
+    return fn
 
 
 CHECKS: list[Check] = [
@@ -143,7 +159,15 @@ CHECKS: list[Check] = [
     Check("stg_transactions_order_id_not_null", "stg_transactions", _generic(not_null, "order_id")),
     Check("stg_transactions_order_id_unique", "stg_transactions", _generic(unique, "order_id")),
     Check("stg_transactions_order_date_not_null", "stg_transactions", _generic(not_null, "order_date")),
-    Check("stg_transactions_customer_id_not_null", "stg_transactions", _generic(not_null, "customer_id"), severity="warn"),
+    Check("stg_transactions_customer_id_not_null", "stg_transactions", _generic(not_null, "customer_id")),
+    # relationships-to-source (schema.yml:113-117): stg_items children
+    # must exist in BRONZE.transactions.ID; severity warn in the
+    # reference (raw-vs-normalized id spaces make orphans expected)
+    Check(
+        "stg_items_transaction_id_fk_bronze_transactions", "stg_items",
+        None, severity="warn",
+        fk_source=("transaction_id", "transactions", "ID"),
+    ),
     Check("stg_orders_order_id_not_null", "stg_orders", _generic(not_null, "order_id")),
     Check("stg_orders_order_id_unique", "stg_orders", _generic(unique, "order_id")),
     Check("stg_orders_created_at_utc_not_null", "stg_orders", _generic(not_null, "created_at_utc")),
@@ -153,7 +177,7 @@ CHECKS: list[Check] = [
     Check("stg_order_items_product_id_not_null", "stg_order_items", _generic(not_null, "product_id")),
     Check("stg_customers_customer_id_not_null", "stg_customers", _generic(not_null, "customer_id")),
     Check("stg_customers_customer_id_unique", "stg_customers", _generic(unique, "customer_id")),
-    Check("stg_customers_email_primary_not_null", "stg_customers", _generic(not_null, "email_primary"), severity="warn"),
+    Check("stg_customers_email_primary_not_null", "stg_customers", _generic(not_null, "email_primary")),
     Check("stg_invoice_payments_payment_id_not_null", "stg_invoice_payments", _generic(not_null, "payment_id")),
     Check("stg_invoice_payments_payment_id_unique", "stg_invoice_payments", _generic(unique, "payment_id")),
     Check("stg_invoice_payments_amount_paid_not_null", "stg_invoice_payments", _generic(not_null, "amount_paid")),
@@ -164,6 +188,9 @@ CHECKS: list[Check] = [
     Check("stg_invoices_ar_invoice_id_unique", "stg_invoices_ar", _generic(unique, "invoice_id")),
     Check("stg_invoices_ar_invoice_number_not_null", "stg_invoices_ar", _generic(not_null, "invoice_number")),
     Check("stg_invoices_ar_customer_id_not_null", "stg_invoices_ar", _generic(not_null, "customer_id")),
+    Check("stg_invoices_ar_total_not_null", "stg_invoices_ar", _generic(not_null, "total_amount")),
+    Check("stg_invoices_ar_balance_not_null", "stg_invoices_ar", _generic(not_null, "balance")),
+    Check("stg_invoices_ar_paid_not_null", "stg_invoices_ar", _generic(not_null, "amount_paid")),
     Check("stg_invoices_ar_total_nonneg", "stg_invoices_ar", _generic(expression_is_true, "total_amount >= 0")),
     Check("stg_invoices_ar_balance_nonneg", "stg_invoices_ar", _generic(expression_is_true, "balance >= 0")),
     Check("stg_invoices_ar_paid_nonneg", "stg_invoices_ar", _generic(expression_is_true, "amount_paid >= 0")),
@@ -175,6 +202,42 @@ CHECKS: list[Check] = [
     # dim_orders.yml:36-43
     Check("dim_orders_first_order_invariant", "dim_orders", _generic(expression_is_true, "is_first_order = (order_rank_for_customer = 1)")),
     Check("dim_orders_rank_unique_per_customer", "dim_orders", _generic(unique_combination_of_columns, ["customer_id", "order_rank_for_customer"])),
+    # ---- marts generics (per-model yml files under models/marts/) ----
+    # dim_customer.yml
+    Check("dim_customer_customer_key_not_null", "dim_customer", _generic(not_null, "customer_key")),
+    Check("dim_customer_customer_key_unique", "dim_customer", _generic(unique, "customer_key")),
+    Check("dim_customer_customer_id_not_null", "dim_customer", _generic(not_null, "customer_id")),
+    # dim_orders.yml column tests
+    Check("dim_orders_order_sk_not_null", "dim_orders", _generic(not_null, "order_sk")),
+    Check("dim_orders_order_sk_unique", "dim_orders", _generic(unique, "order_sk")),
+    Check("dim_orders_order_id_not_null", "dim_orders", _generic(not_null, "order_id")),
+    Check("dim_orders_order_id_unique", "dim_orders", _generic(unique, "order_id")),
+    # fct_customer.yml
+    Check("fct_customers_customer_id_not_null", "fct_customers", _generic(not_null, "customer_id")),
+    Check("fct_customers_customer_id_unique", "fct_customers", _generic(unique, "customer_id")),
+    # fct_order_items.yml
+    Check("fct_order_items_order_item_sk_not_null", "fct_order_items", _generic(not_null, "order_item_sk")),
+    Check("fct_order_items_order_item_sk_unique", "fct_order_items", _generic(unique, "order_item_sk")),
+    Check("fct_order_items_order_id_not_null", "fct_order_items", _generic(not_null, "order_id")),
+    Check("fct_order_items_product_id_not_null", "fct_order_items", _generic(not_null, "product_id")),
+    # fct_orders.yml
+    Check("fct_orders_order_sk_not_null", "fct_orders", _generic(not_null, "order_sk")),
+    Check("fct_orders_order_sk_unique", "fct_orders", _generic(unique, "order_sk")),
+    Check("fct_orders_order_id_not_null", "fct_orders", _generic(not_null, "order_id")),
+    Check("fct_orders_order_id_unique", "fct_orders", _generic(unique, "order_id")),
+    # revenue_ltv.yml
+    Check("fct_orders_revenue_order_id_not_null", "fct_orders_revenue", _generic(not_null, "order_id")),
+    Check("fct_orders_revenue_order_id_unique", "fct_orders_revenue", _generic(unique, "order_id")),
+    Check("fct_orders_revenue_customer_id_not_null", "fct_orders_revenue", _generic(not_null, "customer_id")),
+    Check("fct_orders_revenue_order_date_not_null", "fct_orders_revenue", _generic(not_null, "order_date")),
+    Check("fct_orders_revenue_revenue_not_null", "fct_orders_revenue", _generic(not_null, "order_revenue_ex_vat")),
+    Check("fct_customer_monthly_revenue_customer_id_not_null", "fct_customer_monthly_revenue", _generic(not_null, "customer_id")),
+    Check("fct_customer_monthly_revenue_first_order_date_not_null", "fct_customer_monthly_revenue", _generic(not_null, "first_order_date")),
+    Check("fct_customer_monthly_revenue_month_start_not_null", "fct_customer_monthly_revenue", _generic(not_null, "month_start")),
+    Check("fct_customer_monthly_revenue_months_since_acq_not_null", "fct_customer_monthly_revenue", _generic(not_null, "months_since_acq")),
+    Check("customer_revenue_ltv_customer_id_not_null", "customer_revenue_ltv", _generic(not_null, "customer_id")),
+    Check("customer_revenue_ltv_first_order_date_not_null", "customer_revenue_ltv", _generic(not_null, "first_order_date")),
+    Check("cohort_revenue_ltv_cohort_month_not_null", "cohort_revenue_ltv", _generic(not_null, "cohort_month")),
     # ---- singular tests (tests/*.sql, all severity warn) ----
     Check(
         "stg_addresses_country_len", "stg_addresses",
@@ -243,6 +306,53 @@ CHECKS: list[Check] = [
 ]
 
 
+# ---------------------------------------------------------------------------
+# source tests (schema.yml sources: block — dbt runs these too)
+# ---------------------------------------------------------------------------
+
+# (source_table, column, kind, params, severity) — declarative so the YAML
+# agreement test can compare, runnable via run_source_checks. Mirrors
+# models/staging/schema.yml:28-92 (bronze transactions/transaction_items).
+SOURCE_CHECKS: list[tuple] = [
+    ("transactions", "ID", "not_null", (), "error"),
+    ("transactions", "ID", "unique", (), "error"),
+    ("transactions", "USER_ID", "not_null", (), "error"),
+    ("transactions", "TRANSACTION_DATE", "not_null", (), "error"),
+    ("transaction_items", "ID", "not_null", (), "error"),
+    ("transaction_items", "TRANSACTION_ID", "not_null", (), "error"),
+    ("transaction_items", "QUANTITY", "not_null", (), "error"),
+    ("transaction_items", "PRICE", "not_null", (), "error"),
+    ("transaction_items", "HAS_VAT", "accepted_values", ((0, 1),), "error"),
+]
+
+
+def run_source_checks(
+    source: Callable[[str], DataFrame],
+    specs: list[tuple] | None = None,
+) -> list["CheckResult"]:
+    """Execute the source-table test suite against a bronze resolver —
+    dbt tests sources exactly like models (one count per test)."""
+    builders = {
+        "not_null": not_null,
+        "unique": unique,
+        "accepted_values": lambda df, col, vals: accepted_values(
+            df, col, list(vals)
+        ),
+    }
+    out = []
+    for tbl, col, kind, params, severity in (
+        SOURCE_CHECKS if specs is None else specs
+    ):
+        fails = builders[kind](source(tbl), col, *params)
+        out.append(
+            CheckResult(
+                f"source_{tbl}_{col}_{kind}".lower(),
+                f"source:{tbl}", severity, fails.count(),
+            )
+        )
+    return out
+
+
 @dataclass(frozen=True)
 class CheckResult:
     name: str
@@ -276,6 +386,7 @@ def run_checks(
     models: set[str] | None = None,
     threads: int = 1,
     store_failures_dir: str | None = None,
+    source: Callable[[str], DataFrame] | None = None,
 ) -> list[CheckResult]:
     """Execute the suite against a ``ref`` resolver (e.g. ``runner.ref``).
     ``models`` restricts to checks attached to those models (dbt's node
@@ -307,6 +418,14 @@ def run_checks(
             fails = relationships(
                 df, "shipment_id", ref(c.extra_model), "shipment_id"
             )
+        elif c.fk_source is not None:
+            if source is None:
+                raise ValueError(
+                    f"check {c.name} is a relationships-to-source test and "
+                    "needs run_checks(..., source=<bronze resolver>)"
+                )
+            col, tbl, fld = c.fk_source
+            fails = relationships(df, col, source(tbl), fld)
         else:
             fails = c.fn(df)
         if store_failures_dir is not None:

@@ -1166,6 +1166,7 @@ class Runner:
                 models=set(models) if names is not None else None,
                 threads=threads,
                 store_failures_dir=store_failures_dir,
+                source=self.source,
             )
         )
         result = BuildResult(models=models, checks=check_results, freshness=fresh)

@@ -28,10 +28,12 @@ model = registry.model
 # users / transactions
 # ---------------------------------------------------------------------------
 
-@model(materialized="view")
+@model(materialized="table")
 def stg_users(ctx) -> DataFrame:
     """users bridge: app user id → canonical customer id
-    (reference models/staging/stg_users.sql:1-4)."""
+    (reference models/staging/stg_users.sql:1-4; no config() header, so
+    it inherits ``staging: +materialized: table`` from
+    dbt_project.yml:18-20 — the YAML agreement test pins this)."""
     return ctx.source("users").select(
         F.col("ID").cast("string").alias("user_id"),
         F.col("CUSTOMER_ACCOUNT_ID").cast("string").alias("customer_id"),

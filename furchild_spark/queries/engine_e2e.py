@@ -710,3 +710,68 @@ def incremental_predicates_e2e(spark, sf_dir):
     return tx.snapshot().select(
         *_ORDER_COLS, F.lit(carried).alias("files_carried")
     )
+
+
+@query(
+    "dbt_yaml_model_e2e",
+    section="S2+S6 dbt_project.yml/schema.yml loader: stg_invoice_payments "
+    "registered from the REFERENCE's own YAML-derived config (incremental "
+    "+ merge + unique_key=payment_id from stg_invoice_payments.sql's "
+    "config() header, ref dbt_project.yml:12-20) and materialized through "
+    "a Runner twice (initial + incremental no-op merge) — the oracle is "
+    "the same DuckDB port the decorator-declared model is checked against, "
+    "so YAML-driven and decorator-driven configs provably agree end-to-end",
+    oracle=None,  # set below: shared with model__stg_invoice_payments
+)
+def dbt_yaml_model_e2e(spark, sf_dir):
+    import datetime as dt
+    import os
+
+    from furchild_spark.engine import dbt_yaml as D
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+    from furchild_spark.models import staging
+
+    reference = "/root/reference"
+    dm = D.scan_models(reference)["stg_invoice_payments"]
+    reg = ModelRegistry()
+    reg.model(name="stg_invoice_payments", **D.engine_model_kwargs(dm))(
+        staging.stg_invoice_payments
+    )
+
+    fixture_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__)))),
+        "fixtures", "bronze",
+    )
+    base = tempfile.mkdtemp(prefix="dbt_yaml_e2e_")
+    sources = lambda n: spark.read.parquet(  # noqa: E731
+        os.path.join(fixture_dir, f"{n}.parquet")
+    )
+    now = dt.datetime(2024, 6, 2, 0, 0, 0)
+    kw = dict(sources=sources, warehouse_dir=f"{base}/wh", now=now)
+    Runner(spark, reg, incremental=False, **kw).ref("stg_invoice_payments")
+    # second pass: YAML-derived merge on payment_id must be a no-op
+    df = Runner(spark, reg, incremental=True, **kw).ref(
+        "stg_invoice_payments"
+    )
+    return df.select(
+        "payment_id", "invoice_id", "invoice_number", "customer_id",
+        "customer_name", "invoice_date", "due_date", "payment_date",
+        "status_canonical",
+        F.col("total_amount").cast("double").alias("total_amount"),
+        F.col("amount_paid").cast("double").alias("amount_paid"),
+        F.col("balance").cast("double").alias("balance"),
+        "currency_code", "reference_number",
+    )
+
+
+# the YAML-driven run must hash-match the decorator-driven model's oracle
+# (a frozen dataclass: rebuild the entry with the shared SQL)
+import dataclasses as _dc  # noqa: E402
+
+from .catalog import QUERIES as _Q  # noqa: E402
+
+_Q["dbt_yaml_model_e2e"] = _dc.replace(
+    _Q["dbt_yaml_model_e2e"],
+    oracle=_Q["model__stg_invoice_payments"].oracle,
+)

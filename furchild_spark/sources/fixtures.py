@@ -62,7 +62,11 @@ def bronze_fixtures() -> dict[str, pd.DataFrame]:
             "_AIRBYTE_EXTRACTED_AT": INGEST,
             "ID": cid,
             "ACCOUNT_NAME": name,
-            "ACCOUNT_EMAIL_ADDRESS": f"owner{i}@example.com" if i % 7 else None,
+            # never null: the reference declares error-severity not_null on
+            # stg_customers.email_primary (schema.yml), so bronze fixtures
+            # must honor the source contract (coalesce fallbacks are unit-
+            # tested, not fixture-exercised)
+            "ACCOUNT_EMAIL_ADDRESS": f"owner{i}@example.com",
             "OTHER_EMAIL_ADDRESSES": f"alt{i}@example.com" if i % 3 == 0 else None,
             "T_PHONE_NUMBER": f"+9715000{i:04d}" if i % 4 else None,
             "T_SECONDARY_PHONE_NUMBER": f"050{i:07d}" if i % 6 == 0 else None,

@@ -30,7 +30,7 @@ def runner(spark, tmp_path_factory):
 
 
 def test_suite_runs_and_errors_pass(runner):
-    results = C.run_checks(runner.ref)
+    results = C.run_checks(runner.ref, source=runner.source)
     assert len(results) == len(C.CHECKS)
     hard_failures = [
         r for r in results if r.severity == "error" and r.failures > 0
@@ -179,8 +179,8 @@ def test_run_checks_threaded_matches_serial(runner):
     """threads=4 must return the SAME results in the SAME order as the
     serial suite — counts are independent jobs, order is the contract
     (dbt prints tests in manifest order regardless of completion)."""
-    serial = C.run_checks(runner.ref)
-    threaded = C.run_checks(runner.ref, threads=4)
+    serial = C.run_checks(runner.ref, source=runner.source)
+    threaded = C.run_checks(runner.ref, threads=4, source=runner.source)
     assert [(r.name, r.failures) for r in serial] == [
         (r.name, r.failures) for r in threaded
     ]

@@ -61,8 +61,8 @@ def test_all_core_models_nonempty(runner):
 def test_views_not_materialized(runner):
     warehouse = runner.warehouse_dir
     on_disk = set(os.listdir(warehouse))
-    assert "stg_users" not in on_disk  # view (ref stg_transactions.sql:1 analog)
-    assert "stg_transactions" not in on_disk
+    assert "stg_transactions" not in on_disk  # view (ref stg_transactions.sql:1)
+    assert "stg_users" in on_disk  # table (inherits staging +materialized)
     assert "stg_orders" in on_disk  # table
     assert "fct_orders" in on_disk
 
