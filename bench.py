@@ -173,6 +173,13 @@ def main() -> None:
     names = sorted(QUERIES)
     first_times: list[float] = []
     for i, name in enumerate(names):
+        if QUERIES[name].prewarm:
+            # deterministic artifact warmth (r9 ask 4): entries whose plan
+            # CONSTRUCTION trains a memoized artifact (PQ/IVF-PQ codebooks,
+            # BPE rules) construct once UNTIMED, so their timed runs always
+            # measure serving with a hot artifact — not sweep-order luck.
+            # Train-once/serve-many is the honest 100 TB accounting.
+            QUERIES[name].fn(spark, sf_dir)
         runs = [run_once(name)]
         first_times.append(runs[0])
         mean_first = sum(first_times) / len(first_times)

@@ -111,18 +111,32 @@ def _usage_error(msg: str):
     raise SystemExit(2)
 
 
-def _parse_graph_tokens(toks, known, flag):
-    """Validate ``name`` / ``+name`` / ``name+`` / ``+name+`` selector
-    tokens against the registry; returns [(name, up, down)]."""
+def _parse_graph_tokens(toks, known, flag, allow_at=False):
+    """Validate ``name`` / ``+name`` / ``name+`` / ``+name+`` /
+    ``@name`` selector tokens against the registry; returns
+    [(name, up, down, at)]. dbt's at-operator (``@model`` = the model,
+    its descendants, AND the ancestors of those descendants — "everything
+    needed to build and consume it") is select-only, like dbt."""
     parsed = []
     for t in toks:
-        up, down = t.startswith("+"), t.endswith("+")
-        name = t.removeprefix("+").removesuffix("+")
-        if not name or "+" in name:
+        at = t.startswith("@")
+        if at and not allow_at:
+            _usage_error(
+                f"the @ operator is select-only (dbt semantics): {t!r}"
+            )
+        core = t.removeprefix("@")
+        up, down = core.startswith("+"), core.endswith("+")
+        if at and (up or down):
+            _usage_error(
+                f"@ does not compose with +/trailing + (it already "
+                f"selects both cones): {t!r}"
+            )
+        name = core.removeprefix("+").removesuffix("+")
+        if not name or "+" in name or "@" in name:
             _usage_error(f"malformed {flag} selector: {t!r}")
         if name not in known:
             _usage_error(f"unknown model in {flag} selector: {name!r}")
-        parsed.append((name, up, down))
+        parsed.append((name, up, down, at))
     return parsed
 
 
@@ -146,12 +160,17 @@ def _expand_graph(parsed, lineage, order) -> set:
         return seen
 
     selected: set = set()
-    for name, up, down in parsed:
+    for name, up, down, at in parsed:
         selected.add(name)
         if up:
             selected |= closure(name, parents)
         if down:
             selected |= closure(name, children)
+        if at:
+            desc = closure(name, children)
+            selected |= desc
+            for d in desc:
+                selected |= closure(d, parents)
     return selected
 
 
@@ -186,7 +205,7 @@ def _names(args, spark=None) -> list[str] | None:
             f"{bad[0]!r}"
         )
     parsed = _parse_graph_tokens(toks, set(order), "--exclude")
-    if any(up or down for _, up, down in parsed):
+    if any(up or down for _, up, down, _at in parsed):
         # exclusion cones need the observed DAG — but reuse the full
         # probe the --models expansion already paid for when it did,
         # and keep ancestor-only exclusions on the named-cone probe
@@ -194,15 +213,15 @@ def _names(args, spark=None) -> list[str] | None:
         # an unrelated broken model can't abort the run
         if "full" in cache:
             lineage, order, _ = cache["full"]
-        elif not any(down for _, _, down in parsed):
+        elif not any(down for _, _, down, _at in parsed):
             lineage, order, _ = _observed_lineage(
-                args, spark, roots=[n for n, _, _ in parsed]
+                args, spark, roots=[n for n, _, _, _ in parsed]
             )
         else:
             lineage, order, _ = _observed_lineage(args, spark)
         excluded = _expand_graph(parsed, lineage, order)
     else:
-        excluded = {n for n, _, _ in parsed}
+        excluded = {n for n, _, _, _ in parsed}
     base = included if included is not None else order
     return [n for n in base if n not in excluded]
 
@@ -212,9 +231,22 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
     a dict, receives the full-registry lineage probe under ``"full"`` if
     this expansion performed one — _names reuses it for --exclude cones
     instead of re-probing."""
+    if getattr(args, "selector", None):
+        if args.models:
+            _usage_error(
+                "--selector and --models/--select are mutually exclusive "
+                "(dbt semantics: a named selector IS the selection)"
+            )
+        return _selector_names(args, spark, _cache=_cache)
     if not args.models:
         return None
-    toks = args.models.split(",")
+    return _expand_token_list(args, spark, args.models.split(","), _cache)
+
+
+def _expand_token_list(args, spark, toks, _cache=None) -> list[str]:
+    """Expand one comma-free token LIST through the full selector
+    grammar (graph operators, @, tag:, exposure:, state:, result:) —
+    the shared engine behind --models and named YAML selectors."""
     if any("exposure:" in t for t in toks):
         # dbt exposure selectors: exposure:NAME = the exposure's direct
         # dependencies; +exposure:NAME = their full ancestor cones. An
@@ -268,14 +300,14 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
         if not t.startswith("state:") and not t.startswith("result:")
     ]
     if not state_toks and not result_toks and not any(
-        t.startswith("+") or t.endswith("+") for t in graph_toks
+        t.startswith(("+", "@")) or t.endswith("+") for t in graph_toks
     ):
         return graph_toks
 
     from furchild_spark.models import registry
 
     known = set(registry.names())
-    parsed = _parse_graph_tokens(graph_toks, known, "--models")
+    parsed = _parse_graph_tokens(graph_toks, known, "--models", allow_at=True)
     for t in state_toks:
         if t not in ("state:modified", "state:modified+"):
             _usage_error(f"unknown state selector: {t!r} "
@@ -300,8 +332,9 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
     # unrelated broken model can't abort the run
     roots = (
         None
-        if state_toks or result_toks or any(d for _, _, d in parsed)
-        else [n for n, _, _ in parsed]
+        if state_toks or result_toks
+        or any(d or a for _, _, d, a in parsed)
+        else [n for n, _, _, _ in parsed]
     )
     lineage, order, probe = _observed_lineage(args, spark, roots=roots)
     if _cache is not None and roots is None:
@@ -323,12 +356,17 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
         return seen
 
     selected: set = set()
-    for name, up, down in parsed:
+    for name, up, down, at in parsed:
         selected.add(name)
         if up:
             selected |= closure(name, parents)
         if down:
             selected |= closure(name, children)
+        if at:
+            desc = closure(name, children)
+            selected |= desc
+            for d in desc:
+                selected |= closure(d, parents)
     if state_toks:
         from furchild_spark.engine import state as ST
 
@@ -355,6 +393,111 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
                 for m in matched:
                     selected |= closure(m, children)
     return [n for n in order if n in selected]
+
+
+def _load_selectors_file(path: str) -> dict:
+    """Parse a dbt ``selectors.yml``: returns name -> selector entry."""
+    import os
+
+    import yaml
+
+    if not os.path.exists(path):
+        _usage_error(f"selectors file not found: {path!r}")
+    try:
+        data = yaml.safe_load(open(path)) or {}
+    except yaml.YAMLError as e:
+        _usage_error(f"malformed selectors file {path!r}: {e}")
+    entries = data.get("selectors")
+    if not isinstance(entries, list) or not entries:
+        _usage_error(f"{path!r} has no 'selectors:' list")
+    out = {}
+    for s in entries:
+        if not isinstance(s, dict) or "name" not in s or "definition" not in s:
+            _usage_error(
+                f"every selector needs 'name' and 'definition': got {s!r}"
+            )
+        out[s["name"]] = s
+    return out
+
+
+def _eval_selector_definition(args, spark, defn, _cache) -> set:
+    """Recursively evaluate a dbt selector ``definition``:
+
+    - a STRING is a comma-separated token list in the CLI grammar
+      (``tag:nightly,+fct_orders,@stg_items`` — commas are union)
+    - ``{method: M, value: V}`` is the token ``M:V`` (method ``fqn``
+      means a plain model name); optional ``children``/``parents`` bools
+      and ``children_of_parents`` map to the +/@ operators
+    - ``{union: [...]}`` / ``{intersection: [...]}`` combine arms;
+      ``{exclude: [...]}`` arms subtract from their enclosing
+      union/intersection (dbt's rule)
+    """
+    if isinstance(defn, str):
+        toks = [x for x in defn.split(",") if x]
+        return set(_expand_token_list(args, spark, toks, _cache))
+    if not isinstance(defn, dict):
+        _usage_error(f"unsupported selector definition: {defn!r}")
+    if "method" in defn:
+        method, value = str(defn["method"]), str(defn.get("value", ""))
+        tok = value if method in ("fqn", "path") else f"{method}:{value}"
+        if defn.get("children_of_parents"):
+            tok = "@" + tok
+        else:
+            if defn.get("parents"):
+                tok = "+" + tok
+            if defn.get("children"):
+                tok = tok + "+"
+        return set(_expand_token_list(args, spark, [tok], _cache))
+    for op in ("union", "intersection"):
+        if op not in defn:
+            continue
+        arms = defn[op]
+        if not isinstance(arms, list) or not arms:
+            _usage_error(f"selector {op}: needs a non-empty list")
+        include_sets, exclude_sets = [], []
+        for arm in arms:
+            if isinstance(arm, dict) and "exclude" in arm:
+                for ex in arm["exclude"]:
+                    exclude_sets.append(
+                        _eval_selector_definition(args, spark, ex, _cache)
+                    )
+                continue
+            include_sets.append(
+                _eval_selector_definition(args, spark, arm, _cache)
+            )
+        if not include_sets:
+            _usage_error(f"selector {op}: needs at least one non-exclude arm")
+        acc = set(include_sets[0])
+        for s in include_sets[1:]:
+            acc = acc | s if op == "union" else acc & s
+        for s in exclude_sets:
+            acc -= s
+        return acc
+    _usage_error(
+        f"unsupported selector definition keys: {sorted(defn)!r} "
+        "(supported: a token string, method/value, union, intersection, "
+        "exclude)"
+    )
+
+
+def _selector_names(args, spark, _cache=None) -> list[str]:
+    """Resolve ``--selector NAME`` against ``--selectors-file`` (default
+    ./selectors.yml) — dbt's named YAML selectors, evaluated through the
+    same token grammar as --models."""
+    from furchild_spark.models import registry
+
+    path = getattr(args, "selectors_file", None) or "selectors.yml"
+    selectors = _load_selectors_file(path)
+    name = args.selector
+    if name not in selectors:
+        _usage_error(
+            f"unknown selector {name!r} (defined in {path!r}: "
+            f"{sorted(selectors)})"
+        )
+    sel = _eval_selector_definition(
+        args, spark, selectors[name]["definition"], _cache
+    )
+    return [n for n in registry.names() if n in sel]
 
 
 def _write_state_manifest(args, spark) -> str | None:
@@ -409,6 +552,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             help="comma-separated models to EXCLUDE from the selection "
                  "(dbt --exclude: exclusion wins over --models; graph "
                  "selectors +name/name+ exclude whole cones)",
+        )
+        sp.add_argument(
+            "--selector",
+            help="named selector from the selectors file (dbt "
+                 "selectors.yml); mutually exclusive with --models",
+        )
+        sp.add_argument(
+            "--selectors-file", dest="selectors_file",
+            default="selectors.yml",
+            help="path to the selectors YAML (default: ./selectors.yml)",
         )
         sp.add_argument(
             "--threads", type=int, default=1,

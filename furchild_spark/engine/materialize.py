@@ -59,6 +59,30 @@ def recover(spark: SparkSession, path: str) -> bool:
     return False
 
 
+# Ceiling on driver-collected distinct scope/partition values in scoped
+# merges. The collect is bounded BY CONSTRUCTION in healthy pipelines (a
+# batch touches few partitions); a key-granular column silently degrades
+# to an O(table) rewrite AND an unbounded driver collect — fail loudly
+# instead. limit(cap+1) keeps the probe itself driver-safe.
+MAX_SCOPE_VALUES = 100_000
+
+
+def collect_scope_values(df: DataFrame, cols, what: str) -> list:
+    """Distinct values/tuples of ``cols`` in ``df``, capped at
+    :data:`MAX_SCOPE_VALUES` — raises a clear error above the cap."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    rows = df.select(*cols).distinct().limit(MAX_SCOPE_VALUES + 1).collect()
+    if len(rows) > MAX_SCOPE_VALUES:
+        raise ValueError(
+            f"{what}: over {MAX_SCOPE_VALUES:,} distinct values of "
+            f"{cols} in one batch — a scope/partition column this "
+            "granular degenerates the scoped merge to a full rewrite and "
+            "an unbounded driver collect; cluster on a coarser column or "
+            "use an unscoped merge"
+        )
+    return rows
+
+
 def parquet_exists(spark: SparkSession, path: str) -> bool:
     recover(spark, path)
     fs, jvm = _fs(spark, path)
@@ -303,7 +327,10 @@ def _merge_partition_scoped(
     """
     # updates may be consumed twice (values + write) — tiny driver-side
     # collect of distinct partition tuples, bounded by partition count
-    touched = updates.select(*partition_by).distinct().collect()
+    # (and capped: see collect_scope_values)
+    touched = collect_scope_values(
+        updates, partition_by, "partitioned merge"
+    )
     if not touched:
         return read_table(spark, path)
 

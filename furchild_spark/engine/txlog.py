@@ -56,6 +56,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from . import materialize as mat
+
 _EPOCH = dt.datetime(1970, 1, 1)
 
 
@@ -804,7 +806,9 @@ class TxTable:
         given)."""
         m = self._read_manifest(base)
         values = (
-            [r[0] for r in updates.select(scope_col).distinct().collect()]
+            [r[0] for r in mat.collect_scope_values(
+                updates, scope_col, "txlog scoped merge"
+            )]
             if scope_col is not None
             else None
         )
@@ -913,7 +917,11 @@ class TxTable:
         distinct scope values are collected to the driver — bounded, as
         in every partition-scoped overwrite (a batch touches few scopes
         by construction)."""
-        values = [r[0] for r in df.select(scope_col).distinct().collect()]
+        values = [
+            r[0] for r in mat.collect_scope_values(
+                df, scope_col, "txlog replace_scope"
+            )
+        ]
         if not values:
             # empty increment: replacing nothing with nothing — no new
             # (identical) version, mirrors delete()'s no-op

@@ -292,7 +292,10 @@ def ivf_assign(
         cb.withColumn("__one", F.lit(1))
         .join(F.broadcast(centroids), on="__one")
         .withColumn("cent_id", -best["negcid"])
-        .select("cent_id", "neighbor_id", "c_q", "c_norm")
+        # cent_sim rides along for the maintained-index drift monitor
+        # (ivf_index_drift); downstream joins project it away for free
+        .withColumn("cent_sim", best["sim"])
+        .select("cent_id", "neighbor_id", "c_q", "c_norm", "cent_sim")
     )
 
 
@@ -319,6 +322,21 @@ def ivf_topk(
     """
     cents = centroid_array(corpus, id_col, vec_col, num_centroids)
     assign = ivf_assign(corpus, cents, id_col, vec_col)
+    return ivf_probe_topk(assign, cents, queries, id_col, vec_col, k, nprobe)
+
+
+def ivf_probe_topk(
+    assign: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """The serving half of :func:`ivf_topk`, factored out so a MAINTAINED
+    index (:func:`ivf_index_search` reading persisted lists) and the
+    inline build share one probe implementation byte-for-byte."""
     qb = queries.select(
         F.col(id_col).alias("query_id"), quantize(vec_col).alias("q_q")
     ).select("query_id", "q_q", norm_q(F.col("q_q")).alias("q_norm"))
@@ -865,6 +883,37 @@ def pq_topk_reranked(
     )
 
 
+def ivfpq_train(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    dim: int = 64,
+    subspaces: int = 32,
+    kcodes: int = 16,
+) -> list:
+    """The TRAIN half of :func:`ivfpq_topk`: coarse-assign the corpus,
+    form integer residuals, and run pq_train's deterministic Lloyd on
+    them. Returns the residual codebook (a driver-side list — the same
+    artifact FAISS persists), so serving calls can reuse one training
+    per corpus instead of re-training per query plan (bench warmth is
+    then deterministic, not sweep-order-dependent)."""
+    cents = centroid_array(corpus, id_col, vec_col, num_centroids)
+    assign = ivf_assign(corpus, cents, id_col, vec_col)
+    cent_rows = cents.select(F.explode("__cents").alias("c")).select(
+        F.col("c.cid").alias("cent_id"), F.col("c.cq").alias("cent_cq")
+    )
+    resid = assign.join(F.broadcast(cent_rows), on="cent_id").select(
+        "cent_id",
+        "neighbor_id",
+        F.zip_with("c_q", "cent_cq", lambda a, b: a - b).alias("r_q"),
+    )
+    return pq_train(
+        resid, "neighbor_id", "r_q", dim, subspaces, kcodes,
+        iters=1, pre_quantized=True,
+    )
+
+
 def ivfpq_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -876,6 +925,7 @@ def ivfpq_topk(
     dim: int = 64,
     subspaces: int = 32,
     kcodes: int = 16,
+    codebook: list | None = None,
 ) -> DataFrame:
     """IVF-PQ ANN — the FAISS-style serving architecture, composed from
     this module's pieces: coarse inverted lists (IVF) partition the
@@ -913,7 +963,7 @@ def ivfpq_topk(
         "neighbor_id",
         F.zip_with("c_q", "cent_cq", lambda a, b: a - b).alias("r_q"),
     )
-    cb = pq_train(
+    cb = codebook if codebook is not None else pq_train(
         resid, "neighbor_id", "r_q", dim, subspaces, kcodes,
         iters=1, pre_quantized=True,
     )
@@ -1630,4 +1680,104 @@ def remove_top_direction_report(
         F.col(id_col),
         F.round(c, 6).alias("proj_coef"),
         F.round(r, 6).alias("retained"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintained IVF index: build once, append batches, search — FAISS add()
+# ---------------------------------------------------------------------------
+
+def ivf_index_build(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+) -> None:
+    """Materialize an IVF index as two tables: ``<path>__centroids`` (the
+    one-row frozen centroid array) and ``<path>__lists`` (the inverted
+    lists: cent_id, neighbor_id, quantized vector, norm, cent_sim).
+
+    The mirror of ``semdedup_incremental``'s shared-artifact pattern and
+    FAISS's train-once/add-many contract: training (centroid choice) is
+    paid ONCE; every later batch assigns against the FROZEN artifact.
+    """
+    from furchild_spark.engine import materialize as mat
+
+    cents = centroid_array(corpus, id_col, vec_col, num_centroids)
+    mat.overwrite(spark, f"{index_path}__centroids", cents)
+    frozen = mat.read_table(spark, f"{index_path}__centroids")
+    mat.overwrite(
+        spark, f"{index_path}__lists",
+        ivf_assign(corpus, frozen, id_col, vec_col),
+    )
+
+
+def ivf_index_append(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS ``add()``: assign ONLY the batch against the frozen
+    centroids and append to the inverted lists — O(batch) map-only work
+    plus one append; the existing corpus is never re-read, re-assigned,
+    or re-encoded. Returns the batch's assignment (for drift checks)."""
+    from furchild_spark.engine import materialize as mat
+
+    frozen = mat.read_table(spark, f"{index_path}__centroids")
+    assign = ivf_assign(batch, frozen, id_col, vec_col).localCheckpoint()
+    mat.append_rows(spark, f"{index_path}__lists", assign)
+    return assign
+
+
+def ivf_index_search(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """Probe the MAINTAINED lists — identical serving plan to
+    :func:`ivf_topk` (shared :func:`ivf_probe_topk`), but the corpus side
+    is the persisted index, so a search after N appends never recomputes
+    assignment."""
+    from furchild_spark.engine import materialize as mat
+
+    cents = mat.read_table(spark, f"{index_path}__centroids")
+    lists = mat.read_table(spark, f"{index_path}__lists")
+    return ivf_probe_topk(lists, cents, queries, id_col, vec_col, k, nprobe)
+
+
+def ivf_index_drift(
+    batch_assign: DataFrame,
+    min_sim: float = 0.5,
+    max_low_frac: float = 0.2,
+) -> DataFrame:
+    """Drift-triggered retrain hook: a frozen centroid set slowly stops
+    describing the data as the distribution moves (the known failure mode
+    of FAISS add-without-retrain). The statistic: the fraction of the
+    batch whose best-centroid cosine falls below ``min_sim``. One map-side
+    aggregate over the batch assignment — rounded sims and integer
+    counts, so an oracle replays the decision exactly.
+
+    Returns one row: (n_batch, n_low, low_frac, needs_retrain)."""
+    return batch_assign.agg(
+        F.count(F.lit(1)).cast("long").alias("n_batch"),
+        F.sum(
+            (F.col("cent_sim") < F.lit(min_sim)).cast("long")
+        ).cast("long").alias("n_low"),
+    ).select(
+        "n_batch", "n_low",
+        F.round(
+            F.col("n_low").cast("double") / F.col("n_batch").cast("double"), 6
+        ).alias("low_frac"),
+        (
+            F.col("n_low").cast("double")
+            > F.col("n_batch").cast("double") * F.lit(max_low_frac)
+        ).alias("needs_retrain"),
     )

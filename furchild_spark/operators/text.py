@@ -829,3 +829,81 @@ def unigram_apply(
         .drop("__m", "__r")
     )
     return out
+
+
+def unigram_em_round(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_frac: float = 1.0 / 500.0,
+    keep_frac: float = 0.8,
+) -> DataFrame:
+    """One hard-EM iteration over the frequency-seeded unigram vocab —
+    the pruning round of Kudo 2018 (arXiv:1804.10959 §3.2; SentencePiece
+    seeds a large vocabulary, re-estimates piece probabilities from the
+    corpus segmentation, and drops the lowest-contribution pieces until
+    the target size). Hard EM (Viterbi counts, not forward-backward
+    expectations) keeps every quantity an exact decimal/bigint, so a
+    DuckDB oracle replays the round bit-for-bit.
+
+    - **E-step**: Viterbi-segment every word TYPE under the seed scores
+      (:func:`unigram_scores`); piece usage counts are weighted by the
+      type's corpus frequency. Map-only fold per word + one piece-level
+      aggregate.
+    - **M-step**: ``score'(p) = round₆(ln(cnt'(p) / Σ cnt'))`` over the
+      SURVIVING vocab, where multi-char pieces keep only the top
+      ``keep_frac`` by usage (``cnt DESC, piece ASC`` — deterministic;
+      unused multis prune implicitly via cnt=0) and single chars always
+      survive with usage floored at 1 (coverage: a char used only inside
+      longer pieces must not become ln(0)).
+
+    The prune rank runs one SinglePartition window — bounded BY
+    CONSTRUCTION, not by data: a multi-char piece needs ``min_frac`` of
+    the corpus occurrence mass to enter the seed vocab, so there are at
+    most ``max_piece_len / min_frac`` of them regardless of corpus size.
+
+    Returns ``(piece, score decimal(18,6))`` — drop-in for
+    :func:`unigram_apply`.
+    """
+    scores0 = unigram_scores(docs, text_col, max_piece_len, min_frac)
+    wc = (
+        docs.select(F.explode(tokens(text_col)).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg = unigram_apply(wc, scores0, "word", max_piece_len)
+    used = (
+        seg.select("wc", F.explode("pieces").alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wc").cast("long").alias("cnt"))
+    )
+    base = scores0.select("piece").join(used, on="piece", how="left").select(
+        "piece",
+        F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
+    )
+    singles = base.filter(F.length("piece") == 1).select(
+        "piece", F.greatest("cnt", F.lit(1)).cast("long").alias("cnt")
+    )
+    multis = base.filter((F.length("piece") > 1) & (F.col("cnt") > 0))
+    rank_w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
+    n_multi = multis.select(F.count(F.lit(1)).alias("__n"))
+    kept_multis = (
+        multis.withColumn("__rn", F.row_number().over(rank_w))
+        .crossJoin(F.broadcast(n_multi))
+        # integer keep budget: floor(n * keep_frac) via exact integer
+        # arithmetic (keep_frac quantized to percent so both engines
+        # compute the identical cutoff)
+        .filter(
+            F.col("__rn") * 100 <= F.col("__n") * int(round(keep_frac * 100))
+        )
+        .select("piece", "cnt")
+    )
+    vocab1 = singles.unionByName(kept_multis)
+    tm1 = vocab1.agg(F.sum("cnt").alias("__tm"))
+    return vocab1.crossJoin(F.broadcast(tm1)).select(
+        "piece",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("__tm").cast("double")),
+            6,
+        ).cast("decimal(18,6)").alias("score"),
+    )

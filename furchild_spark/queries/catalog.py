@@ -24,6 +24,11 @@ class Query:
       then records a weaker rows-only check).
     - ``headline`` — included in bench.py's timed set.
     - ``section`` — SURVEY.md §2 rows this demonstrates.
+    - ``prewarm`` — plan construction trains/loads a deterministic
+      artifact (PQ/SQ8 codebooks, BPE rules): bench.py constructs the
+      plan once UNTIMED before the entry's first timed run, so artifact
+      warmth is per-entry deterministic instead of sweep-order luck
+      (train-once/serve-many: training never belongs in per-query cost).
     """
 
     name: str
@@ -31,6 +36,7 @@ class Query:
     oracle: str | None
     headline: bool
     section: str
+    prewarm: bool = False
 
 
 def money(c):
@@ -88,7 +94,7 @@ def _tune_for_sf(spark: SparkSession, sf_dir: str) -> None:
 
 
 def query(name: str, *, oracle: str | None = None, headline: bool = False,
-          section: str = ""):
+          section: str = "", prewarm: bool = False):
     def deco(fn):
         @functools.wraps(fn)
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +102,8 @@ def query(name: str, *, oracle: str | None = None, headline: bool = False,
             return fn(spark, sf_dir)
 
         QUERIES[name] = Query(name=name, fn=wrapped, oracle=oracle,
-                              headline=headline, section=section)
+                              headline=headline, section=section,
+                              prewarm=prewarm)
         return wrapped
 
     return deco

@@ -183,3 +183,43 @@ def test_semdedup_ivf_agrees_with_flat_on_tight_twins(spark):
     ):
         out = {r.vec_id: r.is_dup for r in fn().collect()}
         assert {k for k, v in out.items() if v} == {100, 101, 102}
+
+
+def test_maintained_ivf_equals_rebuild_and_append_is_batch_only(spark, tmp_path):
+    """The maintained index (build + append) must return EXACTLY what a
+    from-scratch rebuild over base∪batch returns (frozen centroids =
+    rebuild centroids since both are the first 8 vectors), and the append
+    must be O(batch): the base's list files survive untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.similarity import (
+        ivf_index_append, ivf_index_build, ivf_index_drift,
+        ivf_index_search, ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf")
+
+    ivf_index_build(spark, base, path, "vec_id", "embedding", num_centroids=8)
+    files_before = set(os.listdir(f"{path}__lists"))
+    batch_assign = ivf_index_append(spark, batch, path, "vec_id", "embedding")
+    files_after = set(os.listdir(f"{path}__lists"))
+    assert files_before <= files_after  # base files carried, not rewritten
+    assert files_after - files_before   # batch landed as new files
+
+    got = ivf_index_search(spark, queries, path, "vec_id", "embedding",
+                           k=5, nprobe=2)
+    want = ivf_topk(emb, queries, "vec_id", "embedding", k=5,
+                    num_centroids=8, nprobe=2)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w  # recall tripwire: maintained ≡ rebuild, exactly
+
+    d = ivf_index_drift(batch_assign, min_sim=0.5, max_low_frac=0.2).first()
+    assert d["n_batch"] == batch.count()
+    assert 0.0 <= d["low_frac"] <= 1.0

@@ -887,3 +887,158 @@ def test_maintain_restore_rolls_back_as_new_commit(bronze, spark, tmp_path,
          "--restore", "99"],
         spark=spark,
     ) == 1
+
+
+def test_at_operator_selects_descendants_and_their_ancestors(
+    bronze, spark, capsys
+):
+    """dbt's @model: the model, its descendants, and the ancestors of
+    those descendants — e.g. @stg_items pulls the revenue chain
+    (descendants via fct_orders_revenue) AND first_channel_ltv's OTHER
+    parents stg_transactions/stg_orders, which neither stg_items+ nor
+    +stg_items would select."""
+    rc = main(
+        ["run", "--bronze", bronze, "--models", "@stg_items",
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_items" in out
+    assert "built fct_orders_revenue" in out  # descendant
+    assert "built stg_transactions" in out  # ancestor of a descendant
+    assert "built fct_order_items" not in out  # raw-id space, no edge
+    assert "built dim_date" not in out  # unrelated
+
+
+def test_at_operator_is_select_only(bronze, spark):
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--bronze", bronze, "--models", "stg_items",
+              "--exclude", "@stg_items", "--now", FROZEN], spark=spark)
+    assert e.value.code == 2
+
+
+def test_at_operator_does_not_compose_with_plus(bronze, spark):
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--bronze", bronze, "--models", "@stg_items+",
+              "--now", FROZEN], spark=spark)
+    assert e.value.code == 2
+
+
+@pytest.fixture()
+def selectors_yml(tmp_path):
+    p = tmp_path / "selectors.yml"
+    p.write_text(
+        """
+selectors:
+  - name: nightly_aggs
+    description: tagged nightly models plus the fct_orders cone
+    definition: "tag:nightly,+fct_orders"
+  - name: items_world
+    definition:
+      method: fqn
+      value: stg_items
+      children_of_parents: true
+  - name: orders_minus_marts
+    definition:
+      union:
+        - "+fct_orders"
+        - method: tag
+          value: nightly
+        - exclude:
+            - "fct_orders"
+            - "tag:aggregate"
+  - name: staging_facts_overlap
+    definition:
+      intersection:
+        - "+fct_order_items"
+        - "+fct_orders"
+"""
+    )
+    return str(p)
+
+
+def test_named_selector_string_definition(bronze, spark, selectors_yml,
+                                          capsys):
+    """A selectors.yml definition in the CLI token grammar: tag: + graph
+    operator union."""
+    rc = main(
+        ["run", "--bronze", bronze, "--selector", "nightly_aggs",
+         "--selectors-file", selectors_yml, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built agg_orders_daily" in out  # tag:nightly
+    assert "built fct_orders" in out
+    assert "built stg_orders" in out  # ancestor cone of fct_orders
+    assert "built dim_promo" not in out
+
+
+def test_named_selector_method_value_at(bronze, spark, selectors_yml,
+                                        capsys):
+    rc = main(
+        ["run", "--bronze", bronze, "--selector", "items_world",
+         "--selectors-file", selectors_yml, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built fct_orders_revenue" in out  # descendant
+    assert "built stg_transactions" in out  # ancestor of a descendant
+
+
+def test_named_selector_union_with_exclude_and_cli_exclude(
+    bronze, spark, selectors_yml, capsys
+):
+    """A union mixing tag:, +cone, and an exclude arm — plus CLI
+    --exclude composing on top (exclusion wins)."""
+    rc = main(
+        ["run", "--bronze", bronze, "--selector", "orders_minus_marts",
+         "--selectors-file", selectors_yml, "--exclude", "stg_users",
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_orders" in out  # from +fct_orders
+    assert "built fct_orders" not in out  # excluded by the selector arm
+    assert "built agg_orders_daily" not in out  # tag:aggregate excluded
+    assert "built stg_users" not in out  # CLI --exclude wins
+
+
+def test_named_selector_intersection(bronze, spark, selectors_yml,
+                                     capsys):
+    rc = main(
+        ["run", "--bronze", bronze, "--selector", "staging_facts_overlap",
+         "--selectors-file", selectors_yml, "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    # the overlap of the two ancestor cones: fct_order_items and the
+    # shared staging parents, but not fct_orders itself nor its extra
+    # ancestors (stg_addresses/stg_users)
+    assert "built fct_order_items" in out
+    assert "built stg_order_items" in out
+    assert "built fct_orders" not in out
+    assert "built stg_addresses" not in out
+
+
+def test_named_selector_errors(bronze, spark, selectors_yml):
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--bronze", bronze, "--selector", "nope",
+              "--selectors-file", selectors_yml, "--now", FROZEN],
+             spark=spark)
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--bronze", bronze, "--selector", "nightly_aggs",
+              "--models", "stg_items",
+              "--selectors-file", selectors_yml, "--now", FROZEN],
+             spark=spark)
+    assert e.value.code == 2
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--bronze", bronze, "--selector", "nightly_aggs",
+              "--selectors-file", "/nonexistent/selectors.yml",
+              "--now", FROZEN], spark=spark)
+    assert e.value.code == 2

@@ -376,6 +376,10 @@ def test_catalog_wide_no_singlepartition_windows(spark):
         "ann_ivf_topk", "epoch_shuffle", "model__dim_date",
         "sql_identical_text", "tfidf_top_terms", "sequence_packing",
         "tokenize_pack_pipeline",  # same 256-row shard-offset prefix sum
+        # prune rank over the seed vocab's multi-char pieces: bounded BY
+        # CONSTRUCTION at <= max_piece_len/min_frac (a multi piece needs
+        # min_frac of the corpus occurrence mass to exist), not by data
+        "unigram_tokenize_em",
     }
     for name in QUERIES:
         if name.endswith("_e2e") or name in bounded_ok:
@@ -417,10 +421,12 @@ def test_catalog_wide_no_cartesian_products(spark):
         "semdedup",  # 1-row centroid-array constant-key broadcast (ivf_assign)
         "semdedup_ivf",  # same 1-row broadcasts, coarse + fine arrays
         "semdedup_incremental",  # same 1-row centroid broadcast, batch+corpus
+        "ann_ivf_incremental",  # 1-row frozen-centroid + drift-scalar broadcasts; bf tripwire
         "dsir_select",  # broadcast 1-row (tp, tq) smoothed-totals scalar
         "quality_classifier",  # broadcast 1-row totals/fallback/prior scalars
         "wordpiece_tokenize",  # 1-row occurrence-total + packed-vocab-map broadcasts
         "unigram_tokenize",  # same 1-row total/piece-mass/score-map broadcasts
+        "unigram_tokenize_em",  # same 1-row broadcasts ×2 rounds + n_multi/n_vocab scalars
         "embedding_pca_direction",  # 1-row signed-pivot broadcast per iterate
         "ccnet_buckets",  # broadcast 1-row percentile-thresholds scalar
         "bpe_merges",  # 1-row best-pair broadcast per round (checkpointed)

@@ -506,3 +506,33 @@ def test_foreach_batch_sink_auto_compaction(spark):
         sink(spark.createDataFrame(_rows(2, start=10 * b)), b)
     assert [h["op"] for h in t.history()].count("compact") == 2
     assert t.snapshot().count() == 12
+
+
+def test_scoped_merge_caps_distinct_scope_values(spark, monkeypatch):
+    """A key-granular scope column must fail LOUDLY instead of silently
+    degenerating to an unbounded driver collect + full-table rewrite
+    (and the probe itself is bounded by limit(cap+1))."""
+    import pytest
+
+    from furchild_spark.engine import materialize as mat
+
+    base = tempfile.mkdtemp(prefix="txlog_scopecap_")
+    t = TxTable(spark, os.path.join(base, "t"), cluster_by=("bucket",))
+    df = spark.createDataFrame(
+        [Row(k=i, bucket=i, v="a") for i in range(20)]
+    )
+    t.overwrite(df)
+    monkeypatch.setattr(mat, "MAX_SCOPE_VALUES", 8)
+    upd = spark.createDataFrame(
+        [Row(k=i, bucket=i, v="b") for i in range(10)]
+    )
+    with pytest.raises(ValueError, match="distinct values"):
+        t.merge(upd, ["k"], scope_col="bucket")
+    with pytest.raises(ValueError, match="distinct values"):
+        t.replace_scope(upd, "bucket")
+    # under the cap both paths still work
+    small = spark.createDataFrame(
+        [Row(k=i, bucket=i, v="b") for i in range(5)]
+    )
+    t.merge(small, ["k"], scope_col="bucket")
+    assert {r["v"] for r in t.snapshot().filter("k < 5").collect()} == {"b"}
