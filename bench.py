@@ -182,8 +182,15 @@ def main() -> None:
             QUERIES[name].fn(spark, sf_dir)
         runs = [run_once(name)]
         first_times.append(runs[0])
-        mean_first = sum(first_times) / len(first_times)
-        reserve = mean_first * (len(names) - i - 1)
+        # MEDIAN, not mean: first runs are unconditional (the sweep always
+        # completes), the reserve only gates SECOND runs — and a mean is
+        # poisoned by one expensive early entry (observed: an 8.5 s e2e
+        # entry alphabetically second inflated the estimate 4× and starved
+        # the next ~25 entries, all of them the ANN family, to single
+        # compile-inflated runs). The median predicts the typical
+        # remaining first-run cost and is immune to the heavy head.
+        med_first = sorted(first_times)[len(first_times) // 2]
+        reserve = med_first * (len(names) - i - 1)
         if time.monotonic() - t_start + reserve + runs[0] <= budget:
             runs.append(run_once(name))
         history[name] = runs
@@ -207,7 +214,12 @@ def main() -> None:
     # pressure, so the cost is session debris, not the plans.)
     spark.sparkContext._jvm.System.gc()
     recompile_allowance = 5.0
-    for name in sorted(history, key=lambda n: min(history[n]), reverse=True):
+    # single-run entries first (their only run still carries codegen
+    # compile — both unverified AND inflated), then worst-first
+    for name in sorted(
+        history,
+        key=lambda n: (0 if len(history[n]) == 1 else 1, -min(history[n])),
+    ):
         runs = history[name]
         fresh_session = True
         while not converged(runs):

@@ -972,6 +972,33 @@ def ivfpq_topk(
         codebook=cb, pre_quantized=True,
     ).withColumnRenamed("vec_id", "neighbor_id")
     coded = resid.select("cent_id", "neighbor_id").join(codes, on="neighbor_id")
+    return ivfpq_serve(
+        coded, cents, queries, cb, id_col, vec_col,
+        k=k, nprobe=nprobe, dim=dim, subspaces=subspaces, kcodes=kcodes,
+    )
+
+
+def ivfpq_serve(
+    coded: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    cb: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = 64,
+    subspaces: int = 32,
+    kcodes: int = 16,
+) -> DataFrame:
+    """The SERVE half of :func:`ivfpq_topk` — probe + ADC over an
+    existing (cent_id, codes) table against a given codebook — factored
+    out so a MAINTAINED index (:func:`ivfpq_index_search`) and the
+    inline build share one plan byte-for-byte."""
+    sub = dim // subspaces
+    cent_rows = cents.select(F.explode("__cents").alias("c")).select(
+        F.col("c.cid").alias("cent_id"), F.col("c.cq").alias("cent_cq")
+    )
 
     # query side: nprobe nearest coarse lists (same in-row argsort as
     # ivf_topk), then the query residual PER PROBED LIST
@@ -1780,4 +1807,148 @@ def ivf_index_drift(
             F.col("n_low").cast("double")
             > F.col("n_batch").cast("double") * F.lit(max_low_frac)
         ).alias("needs_retrain"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintained IVF-PQ index: frozen centroids + frozen codebook + codes table
+# ---------------------------------------------------------------------------
+
+def _codebook_table(spark, cb: list):
+    rows = [
+        (m, c, [int(v) for v in cb[m][c]])
+        for m in range(len(cb)) for c in range(len(cb[m]))
+    ]
+    return spark.createDataFrame(rows, "m int, c int, cent array<long>")
+
+
+def _read_codebook(spark, path: str) -> list:
+    """Rehydrate the persisted codebook table into the driver-side list
+    shape pq_encode/ivfpq_serve take — bounded at subspaces×kcodes rows
+    (the FAISS index-file analog)."""
+    from furchild_spark.engine import materialize as mat
+
+    rows = mat.read_table(spark, path).collect()
+    subspaces = 1 + max(r["m"] for r in rows)
+    kcodes = 1 + max(r["c"] for r in rows)
+    cb = [[None] * kcodes for _ in range(subspaces)]
+    for r in rows:
+        cb[r["m"]][r["c"]] = list(r["cent"])
+    return cb
+
+
+def _ivfpq_encode_against(
+    df: DataFrame,
+    frozen_cents: DataFrame,
+    cb: list,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    subspaces: int,
+    kcodes: int,
+) -> DataFrame:
+    """Assign + residual + PQ-encode ``df`` against FROZEN artifacts —
+    the shared map-only path of build (whole corpus) and append (batch
+    only). Returns (cent_id, neighbor_id, codes, cent_sim)."""
+    cent_rows = frozen_cents.select(F.explode("__cents").alias("c")).select(
+        F.col("c.cid").alias("cent_id"), F.col("c.cq").alias("cent_cq")
+    )
+    assign = ivf_assign(df, frozen_cents, id_col, vec_col)
+    resid = assign.join(F.broadcast(cent_rows), on="cent_id").select(
+        "cent_id", "neighbor_id", "cent_sim",
+        F.zip_with("c_q", "cent_cq", lambda a, b: a - b).alias("r_q"),
+    )
+    codes = pq_encode(
+        resid, "neighbor_id", "r_q", dim, subspaces, kcodes,
+        codebook=cb, pre_quantized=True,
+    ).withColumnRenamed("vec_id", "neighbor_id")
+    return resid.select("cent_id", "neighbor_id", "cent_sim").join(
+        codes, on="neighbor_id"
+    )
+
+
+def ivfpq_index_build(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    dim: int = 64,
+    subspaces: int = 32,
+    kcodes: int = 16,
+) -> None:
+    """Materialize an IVF-PQ index as three tables — ``__centroids``
+    (one-row frozen coarse array), ``__codebook`` (m, c, cent — the
+    trained residual codebook, the artifact FAISS writes to its index
+    file), ``__codes`` (cent_id, neighbor_id, codes) — completing the
+    FAISS train-once/add-many lifecycle for the PQ family: training
+    (coarse choice + residual Lloyd) is paid ONCE at build; appends
+    encode only their batch against the frozen artifacts."""
+    from furchild_spark.engine import materialize as mat
+
+    cents = centroid_array(corpus, id_col, vec_col, num_centroids)
+    mat.overwrite(spark, f"{index_path}__centroids", cents)
+    frozen = mat.read_table(spark, f"{index_path}__centroids")
+    cb = ivfpq_train(
+        corpus, id_col, vec_col, num_centroids, dim, subspaces, kcodes
+    )
+    mat.overwrite(spark, f"{index_path}__codebook", _codebook_table(spark, cb))
+    mat.overwrite(
+        spark, f"{index_path}__codes",
+        _ivfpq_encode_against(
+            corpus, frozen, cb, id_col, vec_col, dim, subspaces, kcodes
+        ),
+    )
+
+
+def ivfpq_index_append(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    subspaces: int = 32,
+    kcodes: int = 16,
+) -> DataFrame:
+    """FAISS ``add()`` for the PQ index: assign + residual-encode ONLY
+    the batch against the frozen centroid/codebook artifacts and append
+    to ``__codes`` — O(batch) map-only work, no retrain, no re-encode of
+    the existing corpus. Returns the batch's coded rows (cent_sim rides
+    along for :func:`ivf_index_drift`)."""
+    from furchild_spark.engine import materialize as mat
+
+    frozen = mat.read_table(spark, f"{index_path}__centroids")
+    cb = _read_codebook(spark, f"{index_path}__codebook")
+    coded = _ivfpq_encode_against(
+        batch, frozen, cb, id_col, vec_col, dim, subspaces, kcodes
+    ).localCheckpoint()
+    mat.append_rows(spark, f"{index_path}__codes", coded)
+    return coded
+
+
+def ivfpq_index_search(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 2,
+    dim: int = 64,
+    subspaces: int = 32,
+    kcodes: int = 16,
+) -> DataFrame:
+    """ADC search over the MAINTAINED codes table — the identical serve
+    plan as :func:`ivfpq_topk` (shared :func:`ivfpq_serve`), reading the
+    persisted index instead of rebuilding it."""
+    from furchild_spark.engine import materialize as mat
+
+    frozen = mat.read_table(spark, f"{index_path}__centroids")
+    cb = _read_codebook(spark, f"{index_path}__codebook")
+    coded = mat.read_table(spark, f"{index_path}__codes")
+    return ivfpq_serve(
+        coded, frozen, queries, cb, id_col, vec_col,
+        k=k, nprobe=nprobe, dim=dim, subspaces=subspaces, kcodes=kcodes,
     )

@@ -707,10 +707,10 @@ def unigram_scores(
 ) -> DataFrame:
     """Piece log-probabilities for Unigram-LM segmentation (Kudo 2018,
     arXiv:1804.10959 — SentencePiece's unigram model; vocabulary here is
-    the same frequency-thresholded substring inventory as
-    :func:`wordpiece_vocab`, standing in for the paper's EM-pruned one
-    so the whole model stays relational and oracle-replayable; the APPLY
-    side is the paper's exact Viterbi decode).
+    the frequency-thresholded substring inventory of
+    :func:`wordpiece_vocab` — the paper's SEED vocabulary; the EM
+    pruning round the paper runs on top is :func:`unigram_em_round`.
+    The APPLY side is the paper's exact Viterbi decode).
 
     ``score(p) = round(ln(cnt(p) / Σ cnt over vocab), 6)`` — one ln of a
     bigint/bigint quotient, so both engines compute the identical

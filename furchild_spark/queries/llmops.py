@@ -3983,3 +3983,157 @@ def ann_ivf_incremental(spark, sf_dir):
             "needs_retrain",
         )
     )
+
+
+@query(
+    "ann_ivfpq_incremental",
+    section=(
+        "LLM-similarity MAINTAINED IVF-PQ index (FAISS train-once/"
+        "add-many for the PQ family): build on the first half persists "
+        "frozen coarse centroids + the trained residual codebook + the "
+        "codes table; APPEND residual-encodes ONLY the batch against the "
+        "frozen artifacts (O(batch), no retrain/re-encode); ADC search "
+        "over the maintained codes shares the serve plan with "
+        "ann_ivfpq_topk — the oracle replays coarse assign, the Lloyd "
+        "round on BASE residuals only, frozen-codebook batch encode, and "
+        "the ADC ranking"
+    ),
+    oracle=f"""
+WITH e AS ({_IVF_E}),
+q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+cent AS (
+  SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm FROM e WHERE vec_id < 8
+),
+centq AS (SELECT vec_id AS cent_id, qv AS ccq FROM q WHERE vec_id < 8),
+assign AS (
+  SELECT cent_id, neighbor_id FROM (
+    SELECT c.cent_id, x.vec_id AS neighbor_id,
+      row_number() OVER (
+        PARTITION BY x.vec_id
+        ORDER BY round(CAST({_DOT.format(a='x.embedding', b='c.cvec')} AS DOUBLE)
+                       / (x.nrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM e x CROSS JOIN cent c
+  ) WHERE rn = 1
+),
+resid AS (
+  SELECT a.cent_id, a.neighbor_id,
+    list_transform(range(0, 64), i -> nq.qv[i+1] - cq.ccq[i+1]) AS rq
+  FROM assign a
+  JOIN q nq ON nq.vec_id = a.neighbor_id
+  JOIN centq cq ON cq.cent_id = a.cent_id
+),
+sub AS (
+  SELECT neighbor_id, cent_id, mm.m AS m, rq[mm.m*2+1 : mm.m*2+2] AS subq
+  FROM resid, (SELECT unnest(range(0, 32)) AS m) mm
+),
+-- TRAINING sees only the BASE half (the maintained index's frozen
+-- codebook was fitted before the batch existed); ENCODE covers all rows
+sub_train AS (SELECT * FROM sub WHERE neighbor_id < 250),
+c0 AS (SELECT m, neighbor_id AS c, subq AS cent FROM sub_train WHERE neighbor_id < 16),
+a1 AS (
+  SELECT s.neighbor_id, s.m, cc.c,
+    row_number() OVER (PARTITION BY s.neighbor_id, s.m ORDER BY
+      (s.subq[1] - cc.cent[1]) * (s.subq[1] - cc.cent[1])
+      + (s.subq[2] - cc.cent[2]) * (s.subq[2] - cc.cent[2]) ASC,
+      cc.c ASC) AS rn
+  FROM sub_train s JOIN c0 cc ON s.m = cc.m
+),
+a1f AS (SELECT neighbor_id, m, c AS code FROM a1 WHERE rn = 1),
+u1 AS (
+  SELECT s.m, a.code, jj.j,
+    CAST(floor(CAST(SUM(s.subq[jj.j+1]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS v
+  FROM sub_train s JOIN a1f a ON s.neighbor_id = a.neighbor_id AND s.m = a.m,
+       (SELECT unnest(range(0, 2)) AS j) jj
+  GROUP BY s.m, a.code, jj.j
+),
+g1 AS (SELECT m, code AS c, list(v ORDER BY j) AS cent FROM u1 GROUP BY m, code),
+c1 AS (
+  SELECT c0.m, c0.c, coalesce(g1.cent, c0.cent) AS cent
+  FROM c0 LEFT JOIN g1 ON c0.m = g1.m AND c0.c = g1.c
+),
+acode AS (
+  SELECT neighbor_id, cent_id, m, c AS code FROM (
+    SELECT s.neighbor_id, s.cent_id, s.m, cc.c,
+      row_number() OVER (PARTITION BY s.neighbor_id, s.m ORDER BY
+        (s.subq[1] - cc.cent[1]) * (s.subq[1] - cc.cent[1])
+        + (s.subq[2] - cc.cent[2]) * (s.subq[2] - cc.cent[2]) ASC,
+        cc.c ASC) AS rn
+    FROM sub s JOIN c1 cc ON s.m = cc.m
+  ) WHERE rn = 1
+),
+qq AS (SELECT vec_id AS query_id, embedding AS qvec, nrm AS qnrm FROM e WHERE vec_id < 10),
+probes AS (
+  SELECT cent_id, query_id FROM (
+    SELECT c.cent_id, qq.query_id,
+      row_number() OVER (
+        PARTITION BY qq.query_id
+        ORDER BY round(CAST({_DOT.format(a='qq.qvec', b='c.cvec')} AS DOUBLE)
+                       / (qq.qnrm * c.cnrm), 6) DESC, c.cent_id ASC
+      ) AS rn
+    FROM qq CROSS JOIN cent c
+  ) WHERE rn <= 2
+),
+probe_res AS (
+  SELECT p.cent_id, p.query_id,
+    list_transform(range(0, 64), i -> pq.qv[i+1] - cq.ccq[i+1]) AS qrq
+  FROM probes p
+  JOIN q pq ON pq.vec_id = p.query_id
+  JOIN centq cq ON cq.cent_id = p.cent_id
+),
+adc AS (
+  SELECT pr.query_id, a.neighbor_id,
+    CAST(SUM(
+      (pr.qrq[a.m*2+1] - ct.cent[1]) * (pr.qrq[a.m*2+1] - ct.cent[1])
+      + (pr.qrq[a.m*2+2] - ct.cent[2]) * (pr.qrq[a.m*2+2] - ct.cent[2])
+    ) AS BIGINT) AS adc_dist
+  FROM probe_res pr
+  JOIN acode a ON pr.cent_id = a.cent_id
+  JOIN c1 ct ON ct.m = a.m AND ct.c = a.code
+  WHERE pr.query_id <> a.neighbor_id
+  GROUP BY pr.query_id, a.neighbor_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dist,
+  neighbor_id >= 250 AS from_batch
+FROM (
+  SELECT query_id, neighbor_id, adc_dist,
+    row_number() OVER (
+      PARTITION BY query_id ORDER BY adc_dist ASC, neighbor_id ASC) AS rank
+  FROM adc
+) WHERE rank <= 5
+""",
+)
+def ann_ivfpq_incremental(spark, sf_dir):
+    """Maintained-IVF-PQ lifecycle (operators/similarity.ivfpq_index_*):
+    build on vec_id < 250 (frozen coarse centroids + residual codebook
+    trained on BASE residuals only + base codes), ivfpq_index_append the
+    rest (batch-only assign + residual encode against the frozen on-disk
+    artifacts — FAISS add() for the PQ family), then ADC-search the
+    maintained codes with ann_ivfpq_topk's exact serve plan.
+    ``from_batch`` pins appended rows appearing in results into the
+    hash."""
+    import tempfile as _tf
+
+    from furchild_spark.operators.similarity import (
+        ivfpq_index_append, ivfpq_index_build, ivfpq_index_search,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = _tf.mkdtemp(prefix="ann_ivfpq_incr_") + "/ivfpq"
+
+    ivfpq_index_build(spark, base, path, "vec_id", "embedding",
+                      num_centroids=8, dim=64, subspaces=32, kcodes=16)
+    ivfpq_index_append(spark, batch, path, "vec_id", "embedding",
+                       dim=64, subspaces=32, kcodes=16)
+    res = ivfpq_index_search(spark, queries, path, "vec_id", "embedding",
+                             k=5, nprobe=2, dim=64, subspaces=32, kcodes=16)
+    return res.select(
+        "query_id",
+        F.col("rank").cast("long").alias("rank"),
+        "neighbor_id",
+        "adc_dist",
+        (F.col("neighbor_id") >= 250).alias("from_batch"),
+    )

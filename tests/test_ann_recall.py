@@ -223,3 +223,42 @@ def test_maintained_ivf_equals_rebuild_and_append_is_batch_only(spark, tmp_path)
     d = ivf_index_drift(batch_assign, min_sim=0.5, max_low_frac=0.2).first()
     assert d["n_batch"] == batch.count()
     assert 0.0 <= d["low_frac"] <= 1.0
+
+
+def test_maintained_ivfpq_equals_frozen_codebook_rebuild(spark, tmp_path):
+    """Maintained IVF-PQ (build on base + append batch) must return
+    EXACTLY what ivfpq_topk over the full corpus returns when given the
+    SAME frozen codebook (same artifact => same serving), and the append
+    must carry the base's code files untouched."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.similarity import (
+        ivfpq_index_append, ivfpq_index_build, ivfpq_index_search,
+        ivfpq_topk, ivfpq_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivfpq")
+
+    ivfpq_index_build(spark, base, path, "vec_id", "embedding",
+                      num_centroids=8, dim=64, subspaces=32, kcodes=16)
+    before = set(os.listdir(f"{path}__codes"))
+    ivfpq_index_append(spark, batch, path, "vec_id", "embedding",
+                       dim=64, subspaces=32, kcodes=16)
+    after = set(os.listdir(f"{path}__codes"))
+    assert before <= after and after - before
+
+    got = ivfpq_index_search(spark, queries, path, "vec_id", "embedding",
+                             k=5, nprobe=2, dim=64, subspaces=32, kcodes=16)
+    cb_base = ivfpq_train(base, "vec_id", "embedding", 8, 64, 32, 16)
+    want = ivfpq_topk(emb, queries, "vec_id", "embedding", k=5,
+                      num_centroids=8, nprobe=2, dim=64, subspaces=32,
+                      kcodes=16, codebook=cb_base)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w

@@ -332,3 +332,39 @@ def test_model_driven_from_yaml_config(project, spark):
     a = {tuple(row) for row in second.select(*cols).collect()}
     b = {tuple(row) for row in expected.select(*cols).collect()}
     assert a == b
+
+
+def test_full_registry_driven_from_yaml_config(project, spark):
+    """The strongest form of the agreement: register ALL 34 reference
+    models into a fresh registry using ONLY YAML-derived config (python
+    fns + engine_model_kwargs), run the full DAG on the fixtures, and
+    assert three marts (one per layer depth) are byte-equal to the
+    decorator-declared registry's output."""
+    import tempfile
+
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+    from furchild_spark.models import registry as main_registry
+    from furchild_spark.sources.fixtures import INGEST, write_fixture_parquet
+
+    fresh = ModelRegistry()
+    for name, dm in project.models.items():
+        py = main_registry[name]
+        fresh.model(name=name, **D.engine_model_kwargs(dm))(py.fn)
+
+    base = tempfile.mkdtemp(prefix="dbt_yaml_full_")
+    paths = write_fixture_parquet(os.path.join(base, "bronze"))
+    sources = lambda n: spark.read.parquet(paths[n])  # noqa: E731
+    now = INGEST + dt.timedelta(days=1)
+
+    yaml_runner = Runner(spark, fresh, sources=sources,
+                         warehouse_dir=os.path.join(base, "wh"), now=now)
+    ref_runner = Runner(spark, main_registry, sources=sources,
+                        warehouse_dir=None, now=now)
+    for model in ("stg_orders", "fct_orders", "cohort_revenue_ltv"):
+        got = yaml_runner.ref(model)
+        want = ref_runner.ref(model)
+        cols = sorted(got.columns)
+        assert sorted(want.columns) == cols, model
+        a = {tuple(r) for r in got.select(*cols).collect()}
+        b = {tuple(r) for r in want.select(*cols).collect()}
+        assert a == b, f"{model}: YAML-driven != decorator-driven"
