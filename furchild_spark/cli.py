@@ -239,6 +239,31 @@ def _included_names(args, spark=None, _cache=None) -> list[str] | None:
             )
         return _selector_names(args, spark, _cache=_cache)
     if not args.models:
+        # dbt's default selector: with no --select/--selector, a
+        # selectors.yml entry marked `default: true` IS the selection
+        import os as _os
+
+        path = getattr(args, "selectors_file", None) or "selectors.yml"
+        if _os.path.exists(path):
+            selectors = _load_selectors_file(path)
+            defaults = [s for s in selectors.values() if s.get("default")]
+            if len(defaults) > 1:
+                _usage_error(
+                    f"multiple selectors marked default in {path!r}: "
+                    f"{sorted(s['name'] for s in defaults)}"
+                )
+            if defaults:
+                print(
+                    f"# using default selector {defaults[0]['name']!r} "
+                    f"from {path}",
+                    file=sys.stderr,
+                )
+                sel = _eval_selector_definition(
+                    args, spark, defaults[0]["definition"], _cache
+                )
+                from furchild_spark.models import registry
+
+                return [n for n in registry.names() if n in sel]
         return None
     return _expand_token_list(args, spark, args.models.split(","), _cache)
 

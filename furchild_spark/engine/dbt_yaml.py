@@ -351,12 +351,14 @@ def engine_model_kwargs(dm: DerivedModel) -> dict:
     return kw
 
 
-def checks_from_tests(tests, source_ref=None):
+def checks_from_tests(tests, source_ref=None, model_ref=None):
     """Build runnable :class:`~furchild_spark.engine.checks.Check`
     objects from YAML test specs — names generated mechanically as
     ``<model>_<column>_<kind>``. ``source_ref(table_name)`` resolves
     bronze DataFrames for relationships-to-source tests and for
-    ``source:<table>`` owners; without it those checks are skipped."""
+    ``source:<table>`` owners; ``model_ref(model_name)`` resolves
+    relationships-to-``ref('model')`` parents (pass ``runner.ref``).
+    Without the matching resolver those checks are skipped."""
     from . import checks as C
 
     out = []
@@ -381,19 +383,20 @@ def checks_from_tests(tests, source_ref=None):
             )
         elif t.kind == "relationships":
             to_kind, to_name = params["to"]
-            if to_kind == "source":
-                if source_ref is None:
-                    continue
-                parent, fld = source_ref(to_name), params["field"]
-                col_ = t.column
-                fn = (lambda p, c_, f_: lambda df: C.relationships(df, c_, p, f_))(
-                    parent, col_, fld
+            resolver = source_ref if to_kind == "source" else model_ref
+            if to_kind not in ("source", "model"):
+                raise ValueError(
+                    f"relationships target {params['to']!r} is neither "
+                    "source('...','...') nor ref('...')"
                 )
-                fn.spec = ("relationships", col_, ("source", to_name), fld)
-            else:
-                raise NotImplementedError(
-                    f"relationships to {to_kind!r} not wired here"
-                )
+            if resolver is None:
+                continue
+            parent, fld = resolver(to_name), params["field"]
+            col_ = t.column
+            fn = (lambda p, c_, f_: lambda df: C.relationships(df, c_, p, f_))(
+                parent, col_, fld
+            )
+            fn.spec = ("relationships", col_, (to_kind, to_name), fld)
         else:
             raise ValueError(f"unknown generic test kind {t.kind!r}")
         model = t.model

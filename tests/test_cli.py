@@ -1042,3 +1042,46 @@ def test_named_selector_errors(bronze, spark, selectors_yml):
               "--selectors-file", "/nonexistent/selectors.yml",
               "--now", FROZEN], spark=spark)
     assert e.value.code == 2
+
+
+def test_default_selector_used_when_no_selection(bronze, spark, tmp_path,
+                                                 capsys):
+    """dbt's `default: true` selector: with no --models/--selector, the
+    selectors file's default entry IS the selection; an explicit
+    selection still wins."""
+    p = tmp_path / "selectors.yml"
+    p.write_text(
+        "selectors:\n"
+        "  - name: just_users\n"
+        "    default: true\n"
+        "    definition: \"stg_users\"\n"
+    )
+    rc = main(
+        ["run", "--bronze", bronze, "--selectors-file", str(p),
+         "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_users" in out
+    assert "built stg_orders" not in out
+    # explicit --models overrides the default selector
+    rc = main(
+        ["run", "--bronze", bronze, "--selectors-file", str(p),
+         "--models", "stg_items", "--now", FROZEN],
+        spark=spark,
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "built stg_items" in out
+    assert "built stg_users" not in out
+    # two defaults is a usage error
+    p.write_text(
+        "selectors:\n"
+        "  - name: a\n    default: true\n    definition: \"stg_users\"\n"
+        "  - name: b\n    default: true\n    definition: \"stg_items\"\n"
+    )
+    with pytest.raises(SystemExit) as e:
+        main(["run", "--bronze", bronze, "--selectors-file", str(p),
+              "--now", FROZEN], spark=spark)
+    assert e.value.code == 2

@@ -368,3 +368,24 @@ def test_full_registry_driven_from_yaml_config(project, spark):
         a = {tuple(r) for r in got.select(*cols).collect()}
         b = {tuple(r) for r in want.select(*cols).collect()}
         assert a == b, f"{model}: YAML-driven != decorator-driven"
+
+
+def test_checks_from_tests_relationships_to_ref(spark):
+    """relationships to ref('model') resolves through the model_ref
+    resolver (and is skipped, not an error, without one)."""
+    from furchild_spark.engine import checks as C
+
+    spec = D._one_test(
+        "child", "parent_id",
+        {"relationships": {"to": "ref('parent')", "field": "id"}},
+    )
+    assert dict(spec.params)["to"] == ("model", "parent")
+
+    child = spark.createDataFrame([(1, 10), (2, 99)], "k long, parent_id long")
+    parent = spark.createDataFrame([(10,)], "id long")
+    suite = D.checks_from_tests([spec], model_ref=lambda n: parent)
+    assert len(suite) == 1
+    res = C.run_checks(lambda n: child, suite)
+    assert res[0].failures == 1  # parent_id=99 is the orphan
+    # no resolver -> skipped
+    assert D.checks_from_tests([spec]) == []
