@@ -1222,6 +1222,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             runner.ref, suite, threads=args.threads,
             store_failures_dir=sf_dir, source=runner.source,
         )
+        # dbt tests SOURCES too (schema.yml sources: column tests).
+        # Source tests belong to SOURCE nodes, not models, so a --models
+        # selection never includes them (dbt node-selection semantics);
+        # the unselected full run covers them.
+        if selected is None:
+            results = list(results) + C.run_source_checks(runner.source)
         failed = 0
         for r in results:
             # dbt's status ladder (error_if -> warn_if -> pass): a

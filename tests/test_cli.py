@@ -64,8 +64,21 @@ def test_build_and_test_green(bronze, spark, tmp_path, capsys):
         ["test", "--bronze", bronze, "--warehouse", wh, "--now", FROZEN],
         spark=spark,
     )
-    assert rc == 0
-    assert "0 error-severity failures" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    # `test` now runs SOURCE tests too (dbt parity). Every model/unit
+    # check passes on the fixtures; the ONE honest failure is the
+    # HAS_VAT accepted_values source test — the fixtures deliberately
+    # carry 'true'/'false' string forms because the REFERENCE's own SQL
+    # defends against them (fct_order_items.sql:61), i.e. its declared
+    # source contract contradicts its observed data. dbt would report
+    # the same red test.
+    assert rc == 1
+    assert "1 error-severity failures" in out
+    failing = [
+        ln for ln in out.splitlines()
+        if "ERROR" in ln and "rows" in ln
+    ]
+    assert len(failing) == 1 and "has_vat" in failing[0], failing
 
 
 def test_show_prints_rows(bronze, spark, capsys):
