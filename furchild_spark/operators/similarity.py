@@ -1205,8 +1205,25 @@ def sq8_topk(
     reconstruct/fold; the only exchange is the per-query top-k window.
     Rank ties break by neighbor id."""
     codec = sq8_train(corpus, vec_col, dim)
+    return sq8_serve(
+        sq8_encode(corpus, codec, id_col, vec_col), codec,
+        sq8_encode(queries, codec, id_col, vec_col), id_col, k,
+    )
+
+
+def sq8_serve(
+    coded_corpus: DataFrame,
+    codec: DataFrame,
+    coded_queries: DataFrame,
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """The SERVE half of :func:`sq8_topk` — ADC over existing
+    (id, codes) tables against a given 1-row codec — factored out so a
+    MAINTAINED index (:func:`sq8_index_search`) and the inline build
+    share one plan byte-for-byte."""
     c = (
-        sq8_encode(corpus, codec, id_col, vec_col)
+        coded_corpus
         .withColumn("__one", F.lit(1))
         .join(F.broadcast(codec), on="__one")
         .select(
@@ -1217,7 +1234,7 @@ def sq8_topk(
         )
     )
     q = F.broadcast(
-        sq8_encode(queries, codec, id_col, vec_col)
+        coded_queries
         .withColumn("__one", F.lit(1))
         .join(F.broadcast(codec), on="__one")
         .select(
@@ -1951,4 +1968,125 @@ def ivfpq_index_search(
     return ivfpq_serve(
         coded, frozen, queries, cb, id_col, vec_col,
         k=k, nprobe=nprobe, dim=dim, subspaces=subspaces, kcodes=kcodes,
+    )
+
+
+# ---------------------------------------------------------------------------
+# maintained SQ8 index: frozen min/max codec + codes table
+# ---------------------------------------------------------------------------
+
+def sq8_index_build(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Materialize an SQ8 index as two tables — ``__codec`` (the 1-row
+    per-dimension min/max artifact) and ``__codes`` (id, int8 codes) —
+    completing the maintained-index family (IVF-flat, IVF-PQ, SQ8):
+    every ANN serving strategy now has a FAISS-style
+    train-once/add-many lifecycle."""
+    from furchild_spark.engine import materialize as mat
+
+    codec = sq8_train(corpus, vec_col, dim)
+    mat.overwrite(spark, f"{index_path}__codec", codec)
+    frozen = mat.read_table(spark, f"{index_path}__codec")
+    mat.overwrite(
+        spark, f"{index_path}__codes",
+        sq8_encode(corpus, frozen, id_col, vec_col),
+    )
+
+
+def sq8_index_append(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """FAISS ``add()`` for SQ8: encode ONLY the batch against the frozen
+    codec and append — O(batch) map-only. Out-of-range components CLAMP
+    to the rails (sq8_encode's documented saturation semantics); use
+    :func:`sq8_index_drift` to decide when the frozen codec has stopped
+    describing the data. Returns the batch's coded rows."""
+    from furchild_spark.engine import materialize as mat
+
+    frozen = mat.read_table(spark, f"{index_path}__codec")
+    coded = sq8_encode(batch, frozen, id_col, vec_col).localCheckpoint()
+    mat.append_rows(spark, f"{index_path}__codes", coded)
+    return coded
+
+
+def sq8_index_search(
+    spark,
+    queries: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """ADC search over the MAINTAINED codes — the identical serve plan
+    as :func:`sq8_topk` (shared :func:`sq8_serve`); queries are encoded
+    against the frozen codec at search time."""
+    from furchild_spark.engine import materialize as mat
+
+    frozen = mat.read_table(spark, f"{index_path}__codec")
+    coded = mat.read_table(spark, f"{index_path}__codes")
+    return sq8_serve(
+        coded, frozen, sq8_encode(queries, frozen, id_col, vec_col),
+        id_col, k,
+    )
+
+
+def sq8_index_drift(
+    spark,
+    batch: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_sat_frac: float = 0.2,
+) -> DataFrame:
+    """Drift monitor for the frozen SQ8 codec: the fraction of batch
+    vectors with at least one SATURATED dimension (raw quantized value
+    outside the trained [min, max]) — the distribution has escaped the
+    codec's range and reconstruction error is no longer bounded by the
+    training data. One map-side aggregate; exact integer comparisons, so
+    an oracle replays the decision.
+
+    Returns one row: (n_batch, n_saturated, sat_frac, needs_retrain)."""
+    from furchild_spark.engine import materialize as mat
+
+    frozen = mat.read_table(spark, f"{index_path}__codec")
+    zipped = F.zip_with(
+        F.zip_with(
+            quantize(vec_col), F.col("mins"),
+            lambda q, mn: F.struct(q.alias("q"), mn.alias("mn")),
+        ),
+        F.col("maxs"),
+        lambda s, mx: F.struct(
+            s["q"].alias("q"), s["mn"].alias("mn"), mx.alias("mx")
+        ),
+    )
+    sat = F.exists(zipped, lambda c: (c["q"] < c["mn"]) | (c["q"] > c["mx"]))
+    return (
+        batch.withColumn("__one", F.lit(1))
+        .join(F.broadcast(frozen), on="__one")
+        .select(sat.alias("__sat"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.sum(F.col("__sat").cast("long")).cast("long").alias("n_saturated"),
+        )
+        .select(
+            "n_batch", "n_saturated",
+            F.round(
+                F.col("n_saturated").cast("double")
+                / F.col("n_batch").cast("double"), 6,
+            ).alias("sat_frac"),
+            (
+                F.col("n_saturated").cast("double")
+                > F.col("n_batch").cast("double") * F.lit(max_sat_frac)
+            ).alias("needs_retrain"),
+        )
     )

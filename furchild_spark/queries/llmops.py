@@ -4137,3 +4137,107 @@ def ann_ivfpq_incremental(spark, sf_dir):
         "adc_dist",
         (F.col("neighbor_id") >= 250).alias("from_batch"),
     )
+
+
+@query(
+    "ann_sq8_incremental",
+    section=(
+        "LLM-similarity MAINTAINED SQ8 index: per-dimension min/max "
+        "codec trained on the first half and FROZEN on disk; APPEND "
+        "encodes only the batch (out-of-range components CLAMP — FAISS "
+        "SQ8 saturation); ADC search over the maintained codes shares "
+        "the serve plan with ann_sq8_topk; the saturation-drift decision "
+        "is pinned in the hash — completes the maintained-index family "
+        "(IVF-flat, IVF-PQ, SQ8)"
+    ),
+    oracle=f"""
+WITH q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+dims AS (
+  SELECT CAST(d.i AS BIGINT) AS dim, MIN(qv[d.i+1]) AS mn, MAX(qv[d.i+1]) AS mx
+  FROM q, (SELECT unnest(range(0, 64)) AS i) d
+  WHERE vec_id < 250
+  GROUP BY d.i
+),
+cdc AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM dims),
+codes AS (
+  SELECT vec_id,
+    list_transform(range(0, 64), i ->
+      CASE WHEN maxs[i+1] > mins[i+1] THEN
+        CAST(greatest(0.0, least(255.0,
+          round(CAST(qv[i+1] - mins[i+1] AS DOUBLE) * 255.0
+                / CAST(maxs[i+1] - mins[i+1] AS DOUBLE), 0))) AS BIGINT)
+      ELSE 0 END) AS codes
+  FROM q CROSS JOIN cdc
+),
+drift AS (
+  SELECT COUNT(*) AS n_batch,
+    SUM(CASE WHEN len(list_filter(range(0, 64),
+          i -> qv[i+1] < mins[i+1] OR qv[i+1] > maxs[i+1])) > 0
+        THEN 1 ELSE 0 END) AS n_saturated
+  FROM q CROSS JOIN cdc WHERE vec_id >= 250
+),
+rec AS (
+  SELECT c.vec_id,
+    list_transform(range(0, 64), i ->
+      255 * mins[i+1] + c.codes[i+1] * (maxs[i+1] - mins[i+1])) AS r
+  FROM codes c CROSS JOIN cdc
+),
+sel AS (SELECT vec_id AS query_id, r AS rq FROM rec WHERE vec_id IN {_SQ8_QUERY_IDS}),
+scored AS (
+  SELECT s.query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> CAST(s.rq[i] AS HUGEINT) * c.r[i])) AS BIGINT) AS adc_dot_scaled
+  FROM sel s CROSS JOIN rec c
+  WHERE c.vec_id <> s.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dot_scaled,
+  neighbor_id >= 250 AS from_batch,
+  round(CAST(d.n_saturated AS DOUBLE) / CAST(d.n_batch AS DOUBLE), 6) AS sat_frac,
+  CAST(d.n_saturated AS DOUBLE) > CAST(d.n_batch AS DOUBLE) * 0.2 AS needs_retrain
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dot_scaled DESC, neighbor_id ASC
+  ) AS rank FROM scored
+) CROSS JOIN drift d
+WHERE rank <= 5
+""",
+)
+def ann_sq8_incremental(spark, sf_dir):
+    """Maintained-SQ8 lifecycle (operators/similarity.sq8_index_*):
+    build on vec_id < 250 (frozen per-dimension min/max codec + base
+    codes), sq8_index_append the rest (batch-only encode against the
+    frozen on-disk codec, out-of-range components clamping to the
+    rails), ADC-search the maintained codes with ann_sq8_topk's exact
+    serve plan, and pin the saturation-drift decision
+    (sq8_index_drift) into the hash."""
+    import tempfile as _tf
+
+    from furchild_spark.operators.similarity import (
+        sq8_index_append, sq8_index_build, sq8_index_drift,
+        sq8_index_search,
+    )
+
+    e = table(spark, sf_dir, "embeddings")
+    base = e.filter(F.col("vec_id") < 250)
+    batch = e.filter(F.col("vec_id") >= 250)
+    queries = e.filter(F.col("vec_id").isin(*_SQ8_QUERY_IDS))
+    path = _tf.mkdtemp(prefix="ann_sq8_incr_") + "/sq8"
+
+    sq8_index_build(spark, base, path, "vec_id", "embedding", dim=64)
+    sq8_index_append(spark, batch, path, "vec_id", "embedding")
+    drift = sq8_index_drift(spark, batch, path, "vec_id", "embedding",
+                            max_sat_frac=0.2)
+    res = sq8_index_search(spark, queries, path, "vec_id", "embedding",
+                           k=5)
+    return (
+        res.crossJoin(F.broadcast(drift.select("sat_frac", "needs_retrain")))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "adc_dot_scaled",
+            (F.col("neighbor_id") >= 250).alias("from_batch"),
+            "sat_frac",
+            "needs_retrain",
+        )
+    )

@@ -262,3 +262,50 @@ def test_maintained_ivfpq_equals_frozen_codebook_rebuild(spark, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w
+
+
+def test_maintained_sq8_equals_frozen_codec_rebuild(spark, tmp_path):
+    """Maintained SQ8 (build on base + append batch) must equal sq8_serve
+    over the full corpus encoded with the SAME frozen codec; appends
+    carry the base's code files; the drift monitor counts saturated
+    batch rows exactly."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.similarity import (
+        quantize, sq8_encode, sq8_index_append, sq8_index_build,
+        sq8_index_drift, sq8_index_search, sq8_serve, sq8_train,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "sq8")
+
+    sq8_index_build(spark, base, path, "vec_id", "embedding", dim=64)
+    before = set(os.listdir(f"{path}__codes"))
+    sq8_index_append(spark, batch, path, "vec_id", "embedding")
+    after = set(os.listdir(f"{path}__codes"))
+    assert before <= after and after - before
+
+    got = sq8_index_search(spark, queries, path, "vec_id", "embedding", k=5)
+    codec = sq8_train(base, "embedding", 64)
+    want = sq8_serve(
+        sq8_encode(emb, codec, "vec_id", "embedding"), codec,
+        sq8_encode(queries, codec, "vec_id", "embedding"), "vec_id", 5,
+    )
+    assert {tuple(r) for r in got.collect()} == {tuple(r) for r in want.collect()}
+
+    d = sq8_index_drift(spark, batch, path, "vec_id", "embedding").first()
+    assert d["n_batch"] == batch.count()
+    # cross-check the saturation count against a direct computation
+    cdc = codec.first()
+    mins, maxs = list(cdc["mins"]), list(cdc["maxs"])
+    qb = batch.select(quantize("embedding").alias("q")).collect()
+    direct = sum(
+        1 for r in qb
+        if any(v < mins[i] or v > maxs[i] for i, v in enumerate(r["q"]))
+    )
+    assert d["n_saturated"] == direct

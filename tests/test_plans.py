@@ -423,6 +423,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "semdedup_incremental",  # same 1-row centroid broadcast, batch+corpus
         "ann_ivf_incremental",  # 1-row frozen-centroid + drift-scalar broadcasts; bf tripwire
         "ann_ivfpq_incremental",  # same frozen-centroid broadcast + constant-folded codebook ADC
+        "ann_sq8_incremental",  # 1-row frozen-codec + drift-scalar broadcasts (ADC serving)
         "dsir_select",  # broadcast 1-row (tp, tq) smoothed-totals scalar
         "quality_classifier",  # broadcast 1-row totals/fallback/prior scalars
         "wordpiece_tokenize",  # 1-row occurrence-total + packed-vocab-map broadcasts
