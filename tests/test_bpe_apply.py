@@ -179,3 +179,43 @@ def test_unigram_apply_empty_word_and_bad_window(spark):
     assert list(out["a"].pieces) == ["a"]
     with pytest.raises(ValueError, match="max_piece_len"):
         unigram_apply(words, scores, "word", max_piece_len=0)
+# to append into tests/test_bpe_apply.py after review
+
+
+def test_unigram_em_round_invariants(spark):
+    """EM-round invariants on a seeded corpus: (1) every single char of
+    the seed vocab survives with a finite score; (2) the surviving
+    multi-char set shrinks monotonically as keep_frac drops; (3) every
+    piece used by the post-EM segmentation is in the pruned vocab."""
+    from pyspark.sql import functions as F
+
+    from furchild_spark.operators.text import (
+        tokens, unigram_apply, unigram_em_round, unigram_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta alpha gamma alpha beta delta " * 3)],
+        ["doc_id", "text"],
+    )
+    seed = {r["piece"] for r in unigram_scores(docs, "text").collect()}
+    singles = {p for p in seed if len(p) == 1}
+
+    kept = {}
+    for frac in (0.8, 0.4, 0.1):
+        s1 = unigram_em_round(docs, "text", keep_frac=frac)
+        rows = s1.collect()
+        pieces = {r["piece"] for r in rows}
+        assert singles <= pieces  # chars always survive
+        assert all(r["score"] is not None for r in rows)
+        kept[frac] = {p for p in pieces if len(p) > 1}
+    assert kept[0.1] <= kept[0.4] <= kept[0.8]
+
+    s1 = unigram_em_round(docs, "text", keep_frac=0.8)
+    vocab1 = {r["piece"] for r in s1.collect()}
+    wc = (
+        docs.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("wc"))
+    )
+    seg = unigram_apply(wc, s1, "word")
+    used = {p for r in seg.collect() for p in r["pieces"]}
+    assert used <= vocab1
