@@ -822,17 +822,19 @@ def test_warn_error_flag_promotes_warns(bronze, spark, tmp_path, capsys):
     assert main(["run", "--bronze", bronze, "--warehouse", wh,
                  "--now", FROZEN], spark=spark) == 0
     capsys.readouterr()
+    # the default run carries exactly ONE error-severity failure — the
+    # honest HAS_VAT source-contract red (see test_build_and_test_green)
     assert main(["test", "--bronze", bronze, "--warehouse", wh,
-                 "--now", FROZEN], spark=spark) == 0
+                 "--now", FROZEN], spark=spark) == 1
     out = capsys.readouterr().out
-    assert " WARN (" in out and "0 error-severity failures" in out
+    assert " WARN (" in out and "1 error-severity failures" in out
 
     rc = main(["test", "--bronze", bronze, "--warehouse", wh,
                "--now", FROZEN, "--warn-error"], spark=spark)
     assert rc == 1
     out = capsys.readouterr().out
     n_warn = out.count(" WARN (")
-    assert f"{n_warn} error-severity failures" in out
+    assert f"{n_warn + 1} error-severity failures" in out
 
     wh2 = str(tmp_path / "wh_we2")
     rc = main(["build", "--bronze", bronze, "--warehouse", wh2,
