@@ -281,7 +281,10 @@ def _expand_token_list(args, spark, toks, _cache=None) -> list[str]:
         exposures = _reg.exposures()
         expanded = []
         for t in toks:
-            core = t.removeprefix("+")
+            # '@' composes with any selector method in dbt (dbt-core
+            # graph_selector: '@' is an operator, not part of the method)
+            at = "@" if t.startswith("@") else ""
+            core = t.removeprefix("@").removeprefix("+")
             if not core.startswith("exposure:"):
                 expanded.append(t)
                 continue
@@ -292,7 +295,7 @@ def _expand_token_list(args, spark, toks, _cache=None) -> list[str]:
             if ename not in exposures:
                 _usage_error(f"unknown exposure: {ename!r} "
                              f"(declared: {sorted(exposures)})")
-            pre = "+" if t.startswith("+") else ""
+            pre = at or ("+" if t.startswith("+") else "")
             expanded.extend(pre + d for d in exposures[ename].depends_on)
         toks = expanded
     if any("tag:" in t for t in toks):
@@ -303,19 +306,23 @@ def _expand_token_list(args, spark, toks, _cache=None) -> list[str]:
 
         expanded = []
         for t in toks:
-            core = t.removeprefix("+")
+            at = "@" if t.startswith("@") else ""
+            core = t.removeprefix("@").removeprefix("+")
             trail = "+" if core.endswith("+") else ""
             core = core.removesuffix("+")
             if not core.startswith("tag:"):
                 expanded.append(t)
                 continue
+            if at and trail:
+                _usage_error(f"{t!r}: '@' already selects descendants — "
+                             "use @tag:NAME or tag:NAME+")
             tag = core.removeprefix("tag:")
             hits = [n for n in _reg.names() if tag in _reg[n].tags]
             if not hits:
                 _usage_error(f"tag:{tag!r} matches no models (declared "
                              "tags: "
                              f"{sorted({x for n in _reg.names() for x in _reg[n].tags})})")
-            pre = "+" if t.startswith("+") else ""
+            pre = at or ("+" if t.startswith("+") else "")
             expanded.extend(pre + h + trail for h in hits)
         toks = expanded
     state_toks = [t for t in toks if t.startswith("state:")]
@@ -659,6 +666,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                  "default mirrors dbt: independent branches keep "
                  "building, failures and skips are reported at the end",
         )
+        sp.add_argument(
+            "--known-red", dest="known_red", metavar="CHECK[,CHECK...]",
+            help="comma-separated check names whose failures are expected "
+                 "(e.g. a declared source contract the observed data "
+                 "deliberately violates): they are still run and reported "
+                 "(KNOWN-RED), but do not fail the exit code — so CI can "
+                 "gate on UNEXPECTED failures only; a listed check that "
+                 "unexpectedly PASSES is flagged",
+        )
 
     for c in ("ls", "run", "build", "test", "seed", "retry", "snapshot"):
         common(sub.add_parser(
@@ -762,7 +778,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if getattr(args, "models", None) or getattr(args, "exclude", None):
             toks = (args.models or "").split(",") if args.models else []
             needs_graph = bool(getattr(args, "exclude", None)) or any(
-                t.startswith(("state:", "result:")) or "+" in t
+                t.startswith(("state:", "result:", "@")) or "+" in t
                 for t in toks
             )
             if needs_graph:
@@ -1228,12 +1244,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # the unselected full run covers them.
         if selected is None:
             results = list(results) + C.run_source_checks(runner.source)
+        known_red = {
+            n for n in (getattr(args, "known_red", None) or "").split(",")
+            if n
+        }
         failed = 0
         for r in results:
             # dbt's status ladder (error_if -> warn_if -> pass): a
             # thresholded check can WARN without failing the suite even
             # at severity=error
             status = "PASS" if r.status == "pass" else r.status.upper()
+            if r.name in known_red:
+                # an allowlisted red is reported but never gates the exit
+                # code; an allowlisted check that PASSES is itself news
+                status += " (known-red)" if r.status != "pass" else \
+                    " (known-red entry now passes — remove it)"
             stored = (
                 f" -> {r.failures_path}"
                 if r.failures_path and r.failures else ""
@@ -1241,6 +1266,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(f"{r.name:56s} {status}"
                   + ("" if r.status == "pass" else f" ({r.failures} rows)")
                   + stored)
+            if r.name in known_red:
+                continue
             if r.status == "error" or (
                 getattr(args, "warn_error", False) and r.status == "warn"
             ):

@@ -39,15 +39,25 @@ def unique(df: DataFrame, col: str) -> DataFrame:
 
 
 def accepted_values(df: DataFrame, col: str, values: list) -> DataFrame:
-    """dbt `accepted_values`. The comparison is STRING-typed on both
-    sides: dbt's `quote: false` tests (e.g. HAS_VAT in [0, 1],
-    schema.yml:80-83) declare numeric literals against columns that may
-    arrive as strings in bronze, and a typed `isin` under ANSI mode would
-    ERROR on a malformed row ('true' → BIGINT) instead of counting it as
-    the violation it is."""
-    accepted = [str(v) for v in values]
-    c = F.col(col).cast("string")
-    return df.filter(~c.isin(accepted) | c.isNull())
+    """dbt `accepted_values`. When every declared value is numeric (dbt's
+    `quote: false` tests, e.g. HAS_VAT in [0, 1], schema.yml:80-83) the
+    comparison is NUMERIC like dbt's compiled `NOT IN (0, 1)` — a DOUBLE
+    column's 1.0 matches the declared 1, and '01' matches 1 — with
+    ``try_cast`` so a malformed row ('true' → NULL-on-cast) still counts
+    as the violation it is instead of ERRORing under ANSI mode. String
+    declarations compare as strings. NULL column values PASS, matching
+    dbt's `NOT IN` three-valued logic (a NULL is never "not in" the list);
+    use a separate `not_null` test to reject NULLs."""
+    numeric = bool(values) and all(
+        isinstance(v, (int, float)) and not isinstance(v, bool)
+        for v in values
+    )
+    if numeric:
+        c = F.col(col).cast("string").try_cast("double")
+        bad = c.isNull() | ~c.isin([float(v) for v in values])
+    else:
+        bad = ~F.col(col).cast("string").isin([str(v) for v in values])
+    return df.filter(F.col(col).isNotNull() & bad)
 
 
 def relationships(df: DataFrame, col: str, to_df: DataFrame, to_col: str) -> DataFrame:

@@ -115,6 +115,19 @@ def _require_yaml():
         raise ImportError("PyYAML is required to parse dbt project files")
 
 
+def reference_dir() -> str | None:
+    """Path of the reference dbt-project checkout, or None when absent.
+
+    Resolved from ``$REFERENCE_DIR`` (default ``/root/reference``) so the
+    repo stays standalone: everything that PARSES the reference's own
+    files (the parity tests in tests/test_dbt_yaml.py and the
+    ``dbt_yaml_*`` catalog entries) keys its skip/registration off this
+    one helper instead of hardcoding a path that would crash the whole
+    catalog sweep on a checkout without the reference."""
+    d = os.environ.get("REFERENCE_DIR", "/root/reference")
+    return d if os.path.isdir(os.path.join(d, "models")) else None
+
+
 def _dir_config(models_cfg: dict, project: str, rel_dir: str) -> dict:
     """Effective +configs for a model directory, dbt-style: start at
     ``models.<project>`` and descend along the path segments, later

@@ -1809,21 +1809,29 @@ def ivf_index_drift(
     aggregate over the batch assignment — rounded sims and integer
     counts, so an oracle replays the decision exactly.
 
-    Returns one row: (n_batch, n_low, low_frac, needs_retrain)."""
+    Returns one row: (n_batch, n_low, low_frac, needs_retrain). An EMPTY
+    batch deterministically reports no drift (0/0.0/false), never a
+    three-valued NULL a caller's boolean gate would silently skip."""
     return batch_assign.agg(
         F.count(F.lit(1)).cast("long").alias("n_batch"),
-        F.sum(
-            (F.col("cent_sim") < F.lit(min_sim)).cast("long")
+        F.coalesce(
+            F.sum((F.col("cent_sim") < F.lit(min_sim)).cast("long")),
+            F.lit(0),
         ).cast("long").alias("n_low"),
     ).select(
         "n_batch", "n_low",
-        F.round(
-            F.col("n_low").cast("double") / F.col("n_batch").cast("double"), 6
-        ).alias("low_frac"),
-        (
+        F.when(
+            F.col("n_batch") > 0,
+            F.round(
+                F.col("n_low").cast("double")
+                / F.col("n_batch").cast("double"), 6,
+            ),
+        ).otherwise(F.lit(0.0)).alias("low_frac"),
+        F.when(
+            F.col("n_batch") > 0,
             F.col("n_low").cast("double")
-            > F.col("n_batch").cast("double") * F.lit(max_low_frac)
-        ).alias("needs_retrain"),
+            > F.col("n_batch").cast("double") * F.lit(max_low_frac),
+        ).otherwise(F.lit(False)).alias("needs_retrain"),
     )
 
 
@@ -2076,17 +2084,23 @@ def sq8_index_drift(
         .select(sat.alias("__sat"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_batch"),
-            F.sum(F.col("__sat").cast("long")).cast("long").alias("n_saturated"),
+            F.coalesce(
+                F.sum(F.col("__sat").cast("long")), F.lit(0)
+            ).cast("long").alias("n_saturated"),
         )
         .select(
             "n_batch", "n_saturated",
-            F.round(
+            F.when(
+                F.col("n_batch") > 0,
+                F.round(
+                    F.col("n_saturated").cast("double")
+                    / F.col("n_batch").cast("double"), 6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("sat_frac"),
+            F.when(
+                F.col("n_batch") > 0,
                 F.col("n_saturated").cast("double")
-                / F.col("n_batch").cast("double"), 6,
-            ).alias("sat_frac"),
-            (
-                F.col("n_saturated").cast("double")
-                > F.col("n_batch").cast("double") * F.lit(max_sat_frac)
-            ).alias("needs_retrain"),
+                > F.col("n_batch").cast("double") * F.lit(max_sat_frac),
+            ).otherwise(F.lit(False)).alias("needs_retrain"),
         )
     )

@@ -712,17 +712,6 @@ def incremental_predicates_e2e(spark, sf_dir):
     )
 
 
-@query(
-    "dbt_yaml_model_e2e",
-    section="S2+S6 dbt_project.yml/schema.yml loader: stg_invoice_payments "
-    "registered from the REFERENCE's own YAML-derived config (incremental "
-    "+ merge + unique_key=payment_id from stg_invoice_payments.sql's "
-    "config() header, ref dbt_project.yml:12-20) and materialized through "
-    "a Runner twice (initial + incremental no-op merge) — the oracle is "
-    "the same DuckDB port the decorator-declared model is checked against, "
-    "so YAML-driven and decorator-driven configs provably agree end-to-end",
-    oracle=None,  # set below: shared with model__stg_invoice_payments
-)
 def dbt_yaml_model_e2e(spark, sf_dir):
     import datetime as dt
     import os
@@ -731,7 +720,7 @@ def dbt_yaml_model_e2e(spark, sf_dir):
     from furchild_spark.engine.registry import ModelRegistry, Runner
     from furchild_spark.models import staging
 
-    reference = "/root/reference"
+    reference = D.reference_dir()
     dm = D.scan_models(reference)["stg_invoice_payments"]
     reg = ModelRegistry()
     reg.model(name="stg_invoice_payments", **D.engine_model_kwargs(dm))(
@@ -765,13 +754,26 @@ def dbt_yaml_model_e2e(spark, sf_dir):
     )
 
 
-# the YAML-driven run must hash-match the decorator-driven model's oracle
-# (a frozen dataclass: rebuild the entry with the shared SQL)
-import dataclasses as _dc  # noqa: E402
+# Registered ONLY when the reference checkout is present (ADVICE r10:
+# the sweep iterates ALL queries, so a hardcoded path would crash every
+# standalone checkout — mirror tests/test_dbt_yaml.py's skip guard).
+# The YAML-driven run must hash-match the decorator-driven model's
+# oracle, so the entry shares model__stg_invoice_payments' SQL verbatim.
+from furchild_spark.engine.dbt_yaml import reference_dir as _reference_dir  # noqa: E402
 
 from .catalog import QUERIES as _Q  # noqa: E402
 
-_Q["dbt_yaml_model_e2e"] = _dc.replace(
-    _Q["dbt_yaml_model_e2e"],
-    oracle=_Q["model__stg_invoice_payments"].oracle,
-)
+if _reference_dir() is not None:
+    query(
+        "dbt_yaml_model_e2e",
+        section="S2+S6 dbt_project.yml/schema.yml loader: "
+        "stg_invoice_payments registered from the REFERENCE's own "
+        "YAML-derived config (incremental + merge + unique_key=payment_id "
+        "from stg_invoice_payments.sql's config() header, ref "
+        "dbt_project.yml:12-20) and materialized through a Runner twice "
+        "(initial + incremental no-op merge) — the oracle is the same "
+        "DuckDB port the decorator-declared model is checked against, so "
+        "YAML-driven and decorator-driven configs provably agree "
+        "end-to-end",
+        oracle=_Q["model__stg_invoice_payments"].oracle,
+    )(dbt_yaml_model_e2e)

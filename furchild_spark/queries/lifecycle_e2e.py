@@ -179,7 +179,7 @@ def seed_ref_e2e(spark, sf_dir):
     oracle="""
 SELECT o_orderkey, o_orderstatus
 FROM orders
-WHERE o_orderstatus NOT IN ('F', 'O') OR o_orderstatus IS NULL
+WHERE o_orderstatus NOT IN ('F', 'O')
 """,
 )
 def store_failures_e2e(spark, sf_dir):

@@ -224,6 +224,12 @@ def test_maintained_ivf_equals_rebuild_and_append_is_batch_only(spark, tmp_path)
     assert d["n_batch"] == batch.count()
     assert 0.0 <= d["low_frac"] <= 1.0
 
+    # r10 ADVICE: an EMPTY append batch must deterministically report no
+    # drift — (0, 0, 0.0, False), never NULLs a boolean gate skips over
+    d0 = ivf_index_drift(batch_assign.limit(0)).first()
+    assert (d0["n_batch"], d0["n_low"]) == (0, 0)
+    assert d0["low_frac"] == 0.0 and d0["needs_retrain"] is False
+
 
 def test_maintained_ivfpq_equals_frozen_codebook_rebuild(spark, tmp_path):
     """Maintained IVF-PQ (build on base + append batch) must return
@@ -309,3 +315,9 @@ def test_maintained_sq8_equals_frozen_codec_rebuild(spark, tmp_path):
         if any(v < mins[i] or v > maxs[i] for i, v in enumerate(r["q"]))
     )
     assert d["n_saturated"] == direct
+
+    # r10 ADVICE: empty batch → deterministic no-drift row, not NULLs
+    d0 = sq8_index_drift(spark, batch.limit(0), path, "vec_id",
+                         "embedding").first()
+    assert (d0["n_batch"], d0["n_saturated"]) == (0, 0)
+    assert d0["sat_frac"] == 0.0 and d0["needs_retrain"] is False

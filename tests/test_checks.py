@@ -54,6 +54,23 @@ def test_generic_builders_detect_seeded_violations(spark):
     assert C.unique_combination_of_columns(df, ["k", "v"]).count() == 0
 
 
+def test_accepted_values_numeric_and_null_semantics(spark):
+    """r10 ADVICE: numeric declarations compare NUMERICALLY like dbt's
+    compiled `NOT IN (0, 1)` — DOUBLE 1.0 and string '01' both match the
+    declared 1; malformed strings ('true') are violations via try_cast;
+    NULLs PASS (dbt's NOT IN three-valued logic), for strings too."""
+    df = spark.createDataFrame(
+        [("1.0",), ("01",), ("0",), ("true",), (None,)], "v string"
+    )
+    bad = [r["v"] for r in C.accepted_values(df, "v", [0, 1]).collect()]
+    assert bad == ["true"]
+    dbl = spark.createDataFrame([(1.0,), (0.0,), (2.5,), (None,)], "v double")
+    bad = [r["v"] for r in C.accepted_values(dbl, "v", [0, 1]).collect()]
+    assert bad == [2.5]
+    s = spark.createDataFrame([("a",), ("b",), (None,)], "v string")
+    assert [r["v"] for r in C.accepted_values(s, "v", ["a"]).collect()] == ["b"]
+
+
 def test_source_freshness_statuses(spark):
     now = F.lit(dt.datetime(2024, 1, 10, 0, 0, 0)).cast("timestamp")
     fresh = spark.createDataFrame(

@@ -813,6 +813,42 @@ def test_tag_selector_builds_tagged_models(bronze, spark, tmp_path, capsys):
               "--now", FROZEN], spark=spark)
 
 
+def test_at_operator_composes_with_tag_selector(bronze, spark, capsys):
+    """r10 ADVICE: dbt's '@' operator composes with ANY selector method —
+    '@tag:nightly' = the tagged models, their descendants, and the
+    ancestors of those descendants (here: descendant-free aggregates, so
+    @ ≡ + on this DAG); previously it fell through to 'unknown model'."""
+    assert main(["ls", "--bronze", bronze, "--models", "@tag:nightly",
+                 "--now", FROZEN], spark=spark) == 0
+    out = capsys.readouterr().out
+    assert "agg_orders_daily" in out and "agg_items_daily" in out
+    assert "fct_order_items" in out  # ancestor pulled in by @
+    assert "dim_promo" not in out
+    # '@tag:X+' is contradictory — explicit usage error, not a crash
+    with pytest.raises(SystemExit):
+        main(["ls", "--bronze", bronze, "--models", "@tag:nightly+",
+              "--now", FROZEN], spark=spark)
+
+
+def test_known_red_allowlist_gates_exit_code(bronze, spark, tmp_path,
+                                             capsys):
+    """r10 ADVICE: `test --known-red NAME` lets CI gate on UNEXPECTED
+    failures only — the deliberate HAS_VAT source-contract red is
+    reported (KNOWN-RED) but no longer fails the exit code."""
+    wh = str(tmp_path / "wh_kr")
+    assert main(["run", "--bronze", bronze, "--warehouse", wh,
+                 "--now", FROZEN], spark=spark) == 0
+    capsys.readouterr()
+    rc = main(
+        ["test", "--bronze", bronze, "--warehouse", wh, "--now", FROZEN,
+         "--known-red", "source_transaction_items_has_vat_accepted_values"],
+        spark=spark,
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "known-red" in out and "0 error-severity failures" in out
+
+
 def test_warn_error_flag_promotes_warns(bronze, spark, tmp_path, capsys):
     """dbt --warn-error: the fixtures carry warn-severity check failures
     (email shape, country length) that a default `test` reports but

@@ -17,11 +17,11 @@ import pytest
 
 from furchild_spark.engine import dbt_yaml as D
 
-REFERENCE = "/root/reference"
+REFERENCE = D.reference_dir() or "/root/reference"
 
 pytestmark = pytest.mark.skipif(
-    not os.path.isdir(os.path.join(REFERENCE, "models")),
-    reason="reference dbt project not present",
+    D.reference_dir() is None,
+    reason="reference dbt project not present (set REFERENCE_DIR)",
 )
 
 
