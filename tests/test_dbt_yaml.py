@@ -337,9 +337,11 @@ def test_model_driven_from_yaml_config(project, spark):
 def test_full_registry_driven_from_yaml_config(project, spark):
     """The strongest form of the agreement: register ALL 34 reference
     models into a fresh registry using ONLY YAML-derived config (python
-    fns + engine_model_kwargs), run the full DAG on the fixtures, and
-    assert three marts (one per layer depth) are byte-equal to the
-    decorator-declared registry's output."""
+    fns + engine_model_kwargs), materialize the WHOLE DAG on the fixtures
+    through a warehouse Runner (r10 VERDICT #1), and assert every one of
+    the 34 models is byte-equal to the decorator-declared registry's
+    output — so YAML-driven EXECUTION (not just config) provably agrees,
+    transitively inheriting the model__* entries' DuckDB value proofs."""
     import tempfile
 
     from furchild_spark.engine.registry import ModelRegistry, Runner
@@ -358,15 +360,22 @@ def test_full_registry_driven_from_yaml_config(project, spark):
 
     yaml_runner = Runner(spark, fresh, sources=sources,
                          warehouse_dir=os.path.join(base, "wh"), now=now)
+    yaml_runner.run(threads=8)  # materialize the full DAG per YAML config
     ref_runner = Runner(spark, main_registry, sources=sources,
                         warehouse_dir=None, now=now)
-    for model in ("stg_orders", "fct_orders", "cohort_revenue_ltv"):
+    for model in sorted(project.models):
         got = yaml_runner.ref(model)
         want = ref_runner.ref(model)
         cols = sorted(got.columns)
         assert sorted(want.columns) == cols, model
-        a = {tuple(r) for r in got.select(*cols).collect()}
-        b = {tuple(r) for r in want.select(*cols).collect()}
+        a = sorted(
+            (tuple(r) for r in got.select(*cols).collect()),
+            key=repr,
+        )
+        b = sorted(
+            (tuple(r) for r in want.select(*cols).collect()),
+            key=repr,
+        )
         assert a == b, f"{model}: YAML-driven != decorator-driven"
 
 
