@@ -47,6 +47,7 @@ from . import txlog_e2e  # noqa: F401,E402  # transactional table format
 from . import tpch  # noqa: F401,E402  # remaining TPC-H decision-support shapes
 from . import timeseries  # noqa: F401,E402  # gap-fill/funnel/retention/rolling-DAU
 from . import sqlapi  # noqa: F401,E402  # spark.sql front-end proofs
+from . import sql_compiled  # noqa: F401,E402  # reference SQL executed as written
 
 # Driver-window priority (round 5, now computed): the driver's
 # correctness run records EXACTLY the first 50 registered entries (hard
