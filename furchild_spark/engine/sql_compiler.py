@@ -150,6 +150,39 @@ class Rendered:
     placeholders: dict = field(default_factory=dict)  # name -> ("ref", m) | ("source", s, t)
 
 
+SURROGATE_NULL = "_dbt_utils_surrogate_key_null_"
+
+
+def _surrogate_key_sql(expr: str) -> str:
+    """Expand ``dbt_utils.generate_surrogate_key([...])`` exactly as the
+    public dbt-utils macro does (and as ``shims.surrogate_key`` proves):
+    ``md5(concat_ws('-', coalesce(cast(e as string), '<sentinel>'), …))``.
+    The macro's list elements are Jinja STRING literals each holding an
+    SQL expression — split on top-level commas outside quotes."""
+    start, end = expr.index("["), expr.rindex("]")
+    inner = expr[start + 1:end]
+    elems, buf, q = [], [], None
+    for ch in inner:
+        if q:
+            if ch == q:
+                q = None
+            else:
+                buf.append(ch)
+        elif ch in "'\"":
+            q = ch
+        elif ch == ",":
+            elems.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if "".join(buf).strip():
+        elems.append("".join(buf).strip())
+    parts = [
+        f"coalesce(cast({e} as string), '{SURROGATE_NULL}')" for e in elems
+    ]
+    return f"md5(concat_ws('-', {', '.join(parts)}))"
+
+
 _IF_INC = re.compile(
     r"\{%-?\s*if\s+is_incremental\(\)\s*-?%\}(.*?)"
     r"(?:\{%-?\s*else\s*-?%\}(.*?))?\{%-?\s*endif\s*-?%\}",
@@ -223,6 +256,9 @@ def render(sql_text: str, *, variables: dict | None = None,
             ph = "this"
             placeholders[ph] = ("this",)
             parts.append("{" + ph + "}")
+            continue
+        if expr.startswith("dbt_utils.generate_surrogate_key"):
+            parts.append(_surrogate_key_sql(expr))
             continue
         raise ValueError(f"unsupported Jinja expression: {{{{ {expr} }}}}")
     parts.append(text[last:].replace("{", "{{").replace("}", "}}"))
@@ -420,10 +456,56 @@ def _sf_regexp_replace(args: list[str]) -> str:
     if len(out) == 2:
         out.append("''")  # Snowflake 2-arg removes matches; Spark needs 3
     if len(out) > 3:
-        raise ValueError(
-            "regexp_replace with position/occurrence args not yet compiled"
-        )
+        # 6-arg Snowflake form: (subj, pat, repl, position, occurrence,
+        # parameters). position=1 + occurrence=0 (replace ALL) is Spark's
+        # native behavior; regex parameters become inline Java flags.
+        pos = out[3].strip() if len(out) > 3 else "1"
+        occ = out[4].strip() if len(out) > 4 else "0"
+        params = out[5].strip().strip("'\"") if len(out) > 5 else ""
+        if pos != "1" or occ != "0":
+            raise ValueError(
+                "regexp_replace with position>1 or occurrence>0 not compiled"
+            )
+        flags = "".join(c for c in params if c in "ims")
+        if flags and out[1].startswith("'"):
+            out[1] = f"'(?{flags})" + out[1][1:]
+        out = out[:3]
     return f"regexp_replace({', '.join(out)})"
+
+
+_EXTRACT_FROM = re.compile(r"^\s*(\w+)\s+from\s+(.*)$", re.I | re.S)
+
+
+def _sf_extract(args: list[str]) -> str:
+    """``extract(unit from X)`` where X may be the engine's 'HH:mm:ss'
+    string TIME representation (Spark has no TIME type): real
+    timestamps/dates take the try_cast fast path, TIME strings fall back
+    to a 1970-01-01-anchored parse. NULL-safe either way."""
+    m = _EXTRACT_FROM.match(args[0]) if len(args) == 1 else None
+    if not m:
+        return f"extract({', '.join(args)})"
+    unit, x = m.group(1), m.group(2).strip()
+    return (f"extract({unit} from coalesce(try_cast({x} as timestamp), "
+            f"try_cast(concat('1970-01-01 ', cast({x} as string)) "
+            f"as timestamp)))")
+
+
+_NUM_LIT = re.compile(r"^-?\d+(\.\d+)?$")
+_STR_LIT = re.compile(r"^'([^']|'')*'$")
+
+
+def _sf_in_list(args: list[str]) -> str:
+    """Snowflake coerces IN-list ELEMENTS toward the subject: a varchar
+    subject compares ``in (1, '1', 'true')`` as strings. Spark's strict
+    IN refuses mixed literal types — stringify the numeric literals when
+    the list mixes both (reference fct_order_items.sql:61, the HAS_VAT
+    robustness quirk)."""
+    if (len(args) > 1
+            and all(_NUM_LIT.match(a) or _STR_LIT.match(a) for a in args)
+            and any(_NUM_LIT.match(a) for a in args)
+            and any(_STR_LIT.match(a) for a in args)):
+        args = [f"'{a}'" if _NUM_LIT.match(a) else a for a in args]
+    return f"in ({', '.join(args)})"
 
 
 def _sf_convert_timezone(args: list[str]) -> str:
@@ -437,17 +519,44 @@ def _sf_convert_timezone(args: list[str]) -> str:
     return f"from_utc_timestamp(cast({ts} as timestamp), {tgt})"
 
 
+_AS_TYPE = re.compile(r"(\s+as\s+)([a-zA-Z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$", re.I)
+
+
+def _sf_cast(name):
+    """Map the type in ``cast(expr as TYPE)`` / ``try_cast`` through the
+    Snowflake→Spark type table (TEXT → string, NUMBER(p,s) → decimal)."""
+    def rw(args):
+        if len(args) == 1:
+            m = _AS_TYPE.search(args[0])
+            if m:
+                head = args[0][:m.start()]
+                return f"{name}({head}{m.group(1)}{_map_type(m.group(2))})"
+        return f"{name}({', '.join(args)})"
+
+    return rw
+
+
 _FN_REWRITES = {
+    "in": _sf_in_list,
+    "cast": _sf_cast("cast"),
+    "try_cast": _sf_cast("try_cast"),
+    # Snowflake 1-arg to_char renders any value in its canonical text
+    # form; dates/timestamps match Spark's cast-to-string (ISO)
+    "to_char": lambda a: f"cast({a[0]} as string)" if len(a) == 1
+    else f"to_char({', '.join(a)})",
     "iff": lambda a: f"if({', '.join(a)})",
     "to_varchar": lambda a: f"cast({a[0]} as string)" if len(a) == 1
     else f"to_char({a[0]}, {a[1]})",
     "try_to_date": lambda a: f"try_cast({a[0]} as date)",
     "try_to_timestamp_ntz": lambda a: f"try_cast({a[0]} as timestamp_ntz)",
     "try_to_timestamp": lambda a: f"try_cast({a[0]} as timestamp)",
-    # Spark has no TIME type: represent as a timestamp on the epoch date
-    # (what matters downstream is hour/minute extraction)
+    # Spark has no TIME type: the engine-wide representation is an
+    # 'HH:mm:ss' string (SURVEY §7.4 item 3, matching the Python ports);
+    # the extract() rewrite below makes hour/minute extraction work on it
     "try_to_time": lambda a:
-        f"try_cast(concat('1970-01-01 ', {a[0]}) as timestamp)",
+        f"date_format(try_cast(concat('1970-01-01 ', {a[0]}) "
+        "as timestamp), 'HH:mm:ss')",
+    "extract": lambda a: _sf_extract(a),
     "try_to_decimal": lambda a: (
         f"try_cast({a[0]} as decimal({a[1] if len(a) > 1 else 38},"
         f"{a[2] if len(a) > 2 else 0}))"
@@ -510,6 +619,151 @@ def _in_literal(sql: str, pos: int) -> bool:
 
 
 # ---------------------------------------------------------------------------
+# QUALIFY (Snowflake window filter; Spark has no QUALIFY clause)
+# ---------------------------------------------------------------------------
+
+_KEYWORD = {
+    "qualify": re.compile(r"\bqualify\b", re.I),
+    "select": re.compile(r"\bselect\b", re.I),
+    "from": re.compile(r"\bfrom\b", re.I),
+    "over": re.compile(r"\bover\s*\(", re.I),
+    "stop": re.compile(r"\b(order\s+by|limit|union|intersect|except)\b", re.I),
+}
+
+
+def _code_spans(sql: str):
+    """(start, end) spans of CODE segments — keyword scans must ignore
+    literals/comments."""
+    spans, off = [], 0
+    for kind, text in segments(sql):
+        if kind == CODE:
+            spans.append((off, off + len(text)))
+        off += len(text)
+    return spans
+
+
+def _keyword_positions(sql: str, key: str):
+    spans = _code_spans(sql)
+    for m in _KEYWORD[key].finditer(sql):
+        if any(s <= m.start() < e for s, e in spans):
+            yield m
+
+
+def _depth_at(sql: str, pos: int) -> int:
+    d = 0
+    for (s, e) in _code_spans(sql):
+        if s >= pos:
+            break
+        chunk = sql[s:min(e, pos)]
+        d += chunk.count("(") - chunk.count(")")
+    return d
+
+
+def rewrite_qualify(sql: str) -> str:
+    """``select <list> from <rest> qualify <pred>`` →
+    ``select * except(__q…) from (select <list>, <win> as __q… from
+    <rest>) where <pred'>`` — the window expressions in the predicate
+    are computed as named columns of an inner subquery (the same
+    single-shuffle plan ``shims.dedup_keep_latest`` builds), and the
+    outer ``* except`` drops them. Handles one QUALIFY per SELECT block,
+    which is all Snowflake allows."""
+    m = next(iter(_keyword_positions(sql, "qualify")), None)
+    if m is None:
+        return sql
+    q_depth = _depth_at(sql, m.start())
+    # SELECT that owns the qualify: last 'select' before it at same depth
+    sel = None
+    for s in _keyword_positions(sql, "select"):
+        if s.start() >= m.start():
+            break
+        if _depth_at(sql, s.start()) == q_depth:
+            sel = s
+    if sel is None:
+        raise ValueError("qualify without an owning select")
+    # clause end: closing paren dropping below q_depth, a same-depth
+    # ORDER BY/LIMIT/set-op, or end of text
+    end = len(sql)
+    for st in _keyword_positions(sql, "stop"):
+        if st.start() > m.end() and _depth_at(sql, st.start()) == q_depth:
+            end = st.start()
+            break
+    i = m.end()
+    spans = _code_spans(sql)
+    depth = q_depth
+    for s, e in spans:
+        if e <= m.end():
+            continue
+        for j in range(max(s, m.end()), min(e, end)):
+            if sql[j] == "(":
+                depth += 1
+            elif sql[j] == ")":
+                depth -= 1
+                if depth < q_depth:
+                    end = min(end, j)
+                    break
+        if end <= e:
+            break
+    pred = sql[m.end():end].strip()
+    # top-level FROM of the owning select
+    frm = None
+    for f in _keyword_positions(sql, "from"):
+        if sel.end() < f.start() < m.start() and \
+                _depth_at(sql, f.start()) == q_depth:
+            frm = f
+            break
+    if frm is None:
+        raise ValueError("qualify select has no FROM")
+    select_list = sql[sel.end():frm.start()].strip()
+    rest = sql[frm.end():m.start()].strip()
+    # pull each window expression out of the predicate
+    wins, pred_out, cursor, n = [], [], 0, 0
+    for ov in _KEYWORD["over"].finditer(pred):
+        close = _scan_call(pred, ov.end() - 1)
+        # expand backwards over the window function call
+        k = ov.start() - 1
+        while k >= 0 and pred[k].isspace():
+            k -= 1
+        if k >= 0 and pred[k] == ")":
+            open_at = k
+            depth2 = 0
+            while open_at >= 0:
+                if pred[open_at] == ")":
+                    depth2 += 1
+                elif pred[open_at] == "(":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                open_at -= 1
+            k = open_at - 1
+            while k >= 0 and (pred[k].isalnum() or pred[k] == "_"):
+                k -= 1
+            start_expr = k + 1
+        else:
+            raise ValueError("unsupported window expression in qualify")
+        if start_expr < cursor:
+            continue  # nested/overlapping — already captured
+        n += 1
+        alias = f"__qualify_{n}"
+        wins.append(f"{pred[start_expr:close + 1]} as {alias}")
+        pred_out.append(pred[cursor:start_expr])
+        pred_out.append(alias)
+        cursor = close + 1
+    pred_out.append(pred[cursor:])
+    if not wins:
+        # predicate references select-list aliases only — still valid
+        inner = f"select {select_list} from {rest}"
+        return sql[:sel.start()] + (
+            f"select * from ({inner}) where {pred}"
+        ) + sql[end:]
+    inner = (f"select {select_list}, {', '.join(wins)} "
+             f"from {rest}")
+    aliases = ", ".join(f"__qualify_{i + 1}" for i in range(n))
+    rewritten = (f"select * except({aliases}) from ({inner}) "
+                 f"where {''.join(pred_out)}")
+    return rewrite_qualify(sql[:sel.start()] + rewritten + sql[end:])
+
+
+# ---------------------------------------------------------------------------
 # whole-text dialect rewrite
 # ---------------------------------------------------------------------------
 
@@ -526,9 +780,11 @@ def _map_type(t: str) -> str:
     m = re.match(r"([a-zA-Z_]+)(.*)", t.strip())
     base = m.group(1).lower()
     rest = re.sub(r"\s+", "", m.group(2) or "")
+    if base == "varchar" and rest:
+        return "varchar" + rest  # varchar(n) is a real Spark type
     mapped = _TYPE_MAP.get(base, base)
     if base == "number" and not rest:
-        rest = "(38,0)"
+        rest = "(38,0)"  # Snowflake's bare NUMBER default
     return mapped + rest
 
 
@@ -600,27 +856,46 @@ def _operand_start(code: str, end: int) -> int:
             k -= 1
         return k + 1
     j = i
-    while j >= 0 and (code[j].isalnum() or code[j] in "_.$"):
+    # ':' keeps Snowflake VARIANT paths (j:field::type) atomic — Spark 4
+    # parses the same path syntax natively on its VARIANT type
+    while j >= 0 and (code[j].isalnum() or code[j] in "_.$:"):
         j -= 1
     return j + 1
 
 
-def to_spark_sql(sql: str) -> str:
+_NOW_TS = re.compile(r"\bcurrent_timestamp\b(\s*\(\s*\))?|\bsysdate\s*\(\s*\)", re.I)
+_NOW_DT = re.compile(r"\bcurrent_date\b(\s*\(\s*\))?", re.I)
+
+
+def to_spark_sql(sql: str, *, now=None) -> str:
     """Apply every dialect rewrite to rendered SQL text. Comments are
     dropped first: a comment inside a function call would otherwise
     confuse the argument splitter (and compiled output needs no
-    comments — the reference file remains the human-readable source)."""
+    comments — the reference file remains the human-readable source).
+
+    ``now`` (optional datetime) pins ``current_timestamp``/``current_date``
+    to literals — the Runner's frozen-now semantics (dbt audit columns
+    stay deterministic and oracle-replayable)."""
     segs = []
     for kind, text in segments(sql):
         if kind in (LINE_C, BLOCK_C):
             segs.append((CODE, " "))
         else:
+            if kind == CODE and now is not None:
+                text = _NOW_TS.sub(
+                    f"timestamp'{now.strftime('%Y-%m-%d %H:%M:%S')}'", text)
+                text = _NOW_DT.sub(f"date'{now.strftime('%Y-%m-%d')}'", text)
             segs.append((kind, text))
-    sql = _rewrite_dcolon(_join(segs))
+    sql = rewrite_qualify(_join(segs))
+    sql = _rewrite_dcolon(sql)
     segs = []
     for kind, text in segments(sql):
         if kind == CODE:
             text = _BARE_VARCHAR.sub("string", text)
+        elif kind == QIDENT:
+            # SQL-standard "quoted identifiers" (Snowflake) are STRING
+            # LITERALS to Spark's default parser — rewrite to backticks
+            text = "`" + text[1:-1] + "`"
         segs.append((kind, text))
     return _rewrite_calls(_join(segs))
 
@@ -630,14 +905,15 @@ def to_spark_sql(sql: str) -> str:
 # ---------------------------------------------------------------------------
 
 def compile_model_file(path: str, *, variables: dict | None = None,
-                       is_incremental: bool = False) -> Rendered:
+                       is_incremental: bool = False, now=None) -> Rendered:
     """Render + dialect-rewrite one reference model file; ``Rendered.sql``
-    is Spark SQL with relation placeholders."""
+    is Spark SQL with relation placeholders. ``now`` pins
+    current_timestamp/current_date (Runner frozen-now semantics)."""
     with open(path) as fh:
         text = fh.read()
     r = render(text, variables=variables, is_incremental=is_incremental)
     return Rendered(
-        sql=to_spark_sql(r.sql), config=r.config, refs=r.refs,
+        sql=to_spark_sql(r.sql, now=now), config=r.config, refs=r.refs,
         sources=r.sources, placeholders=r.placeholders,
     )
 

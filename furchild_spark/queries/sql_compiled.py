@@ -28,10 +28,13 @@ def _compiled(spark, rel_path: str):
     refs resolve through the shared view-only Runner (the same upstream
     plans the model__* entries use, so any divergence is THIS model's
     compiled text, not its inputs)."""
+    import datetime as dt
+
     from furchild_spark.engine import sql_compiler as SC
 
     rendered = SC.compile_model_file(
-        os.path.join(_reference_dir(), "models", rel_path)
+        os.path.join(_reference_dir(), "models", rel_path),
+        now=dt.datetime(2024, 6, 2),  # the shared Runner's frozen now
     )
     return SC.run_model_sql(
         spark, rendered,
@@ -78,6 +81,37 @@ def _register():
             "customer_id", "order_id", "order_date", "channel",
             *_dbl("order_revenue_ex_vat"),
         )
+
+    @query(
+        "sql_compiled__stg_orders",
+        section="§2.7 SQL compiler (ref stg_orders.sql:1-160 executed as "
+        "written: QUALIFY→windowed subquery + * except, slot-text join, "
+        "convert_timezone, try_to_*); oracle shared with "
+        "model__stg_orders",
+        oracle=_Q["model__stg_orders"].oracle,
+    )
+    def sql_compiled__stg_orders(spark, sf_dir):
+        df = _compiled(spark, "staging/stg_orders.sql")
+        return df.select(
+            "order_id", "customer_id", "created_at_local", "created_at_utc",
+            "updated_at_utc", "order_date_local", "order_date_utc",
+            "expected_delivery_date",
+            *_dbl("gross_amount", "total_amount", "vat_percentage",
+                  "discount_total"),
+            "payment_status", "delivery_status", "payment_method_raw",
+            "coupon_code", "device_type", "customer_name",
+        )
+
+    @query(
+        "sql_compiled__dim_customer",
+        section="§2.7 SQL compiler (ref dim_customer.sql:1-85 executed "
+        "as written: dbt_utils.generate_surrogate_key macro expansion, "
+        "6-arg (?i) regexp_replace, QUALIFY); oracle shared with "
+        "model__dim_customer",
+        oracle=_Q["model__dim_customer"].oracle,
+    )
+    def sql_compiled__dim_customer(spark, sf_dir):
+        return _compiled(spark, "marts/commerce/dims/dim_customer.sql")
 
 
 if _reference_dir() is not None:

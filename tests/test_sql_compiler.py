@@ -113,8 +113,10 @@ def test_dateadd_and_convert_timezone():
         == "select timestampadd(day, -7, current_timestamp())"
     out = SC.to_spark_sql(
         "select convert_timezone('Asia/Dubai', 'UTC', \"TS\")")
+    # quoted identifiers become backticks (Spark default parses "X" as a
+    # string literal)
     assert out == \
-        "select to_utc_timestamp(cast(\"TS\" as timestamp), 'Asia/Dubai')"
+        "select to_utc_timestamp(cast(`TS` as timestamp), 'Asia/Dubai')"
 
 
 def test_regexp_substr_occurrence_and_group():
@@ -181,10 +183,50 @@ def test_comments_do_not_break_call_args():
 # execution equality vs the Python models (needs the reference checkout)
 # ---------------------------------------------------------------------------
 
+# Every non-empty reference model whose SQL is executable against the
+# committed fixtures compiles byte-equal to its Python port. NOT listed,
+# with reasons (the compiler is FAITHFUL to Snowflake semantics; these
+# are data/underspecification boundaries, not compiler gaps):
+#
+# - 9 dims/aggs (dim_date, dim_promo, …): the reference files are EMPTY
+#   stubs — there is nothing to compile; the Python models complete them.
+# - stg_items, stg_packages, fct_order_items: the committed fixtures
+#   DELIBERATELY violate the source contract the reference SQL assumes
+#   (HAS_VAT 'true'/'false' strings vs `has_vat = 1`, DELIVERY_DATE
+#   'tbd' vs `::date`, numeric DISCOUNT_APPLICATION_TYPE vs a varchar
+#   coalesce default) — Snowflake would raise the same cast errors on
+#   this data; the Python ports add the documented defenses.
+# - stg_invoices_ar: the reference's `j:total::number` in amount_paid is
+#   NUMBER(38,0) on Snowflake (integer rounding); the Python port (and
+#   its DuckDB oracle) read the business intent at scale 2. The compiler
+#   follows the literal Snowflake semantics, so values differ by design.
+# - fct_orders: the reference's as-of address ranking (fct_orders.sql:
+#   131-136) has NO deterministic tiebreak, and the fixtures contain an
+#   exact tie (order 7119: two addresses, same address_ts, same flag) —
+#   the Python port pins a documented tiebreak; the compiled text is
+#   free to pick either.
 COMPILED_MODELS = [
     ("stg_users", "staging/stg_users.sql"),
     ("stg_transactions", "staging/stg_transactions.sql"),
+    ("stg_customers", "staging/stg_customers.sql"),
+    ("stg_orders", "staging/stg_orders.sql"),
+    ("stg_order_items", "staging/stg_order_items.sql"),
+    ("stg_addresses", "staging/stg_addresses.sql"),
+    ("stg_delivery_slots", "staging/stg_delivery_slots.sql"),
+    ("stg_invoice_payments", "staging/stg_invoice_payments.sql"),
+    ("stg_shipments", "staging/stg_shipments.sql"),
+    ("stg_product_brands", "staging/stg_product_brands.sql"),
+    ("stg_product_categories", "staging/stg_product_categories.sql"),
+    ("stg_product_details", "staging/stg_product_details.sql"),
+    ("dim_customer", "marts/commerce/dims/dim_customer.sql"),
+    ("dim_orders", "marts/commerce/dims/dim_orders.sql"),
     ("fct_orders_revenue", "marts/commerce/facts/fct_orders_revenue.sql"),
+    ("fct_customers", "marts/commerce/facts/fct_customers.sql"),
+    ("fct_customer_monthly_revenue",
+     "marts/commerce/facts/fct_customer_monthly_revenue.sql"),
+    ("customer_revenue_ltv", "marts/commerce/facts/customer_revenue_ltv.sql"),
+    ("cohort_revenue_ltv", "marts/commerce/facts/cohort_revenue_ltv.sql"),
+    ("first_channel_ltv", "marts/commerce/facts/first_channel_ltv.sql"),
 ]
 
 
@@ -210,7 +252,8 @@ def test_compiled_sql_equals_python_model(spark, model, rel):
         warehouse_dir=None, now=dt.datetime(2024, 6, 2),
     )
     rendered = SC.compile_model_file(
-        os.path.join(reference_dir(), "models", rel))
+        os.path.join(reference_dir(), "models", rel),
+        now=dt.datetime(2024, 6, 2))
     got = SC.run_model_sql(
         spark, rendered,
         source=lambda sch, t: spark.read.parquet(
