@@ -49,6 +49,22 @@ from furchild_spark.engine.session import get_spark  # noqa: E402
 from furchild_spark.queries import QUERIES  # noqa: E402
 
 
+def _calibrate(n: int = 2_000_000) -> float:
+    """Pinned single-thread CPU probe: a fixed integer-fold loop reported
+    as iterations/second. Pure Python, no allocation — it measures the
+    HOST's effective single-core speed (clock throttle, steal time), not
+    Spark. Sampled at sweep start AND end so round-over-round ratios can
+    be read against host speed by construction (r10 VERDICT #3: the
+    1.145× r9→r10 drift needed a bespoke same-code A/B bisect to blame
+    the box; this field makes that separable from the record alone)."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(n):
+        x = (x * 1103515245 + i) & 0xFFFFFFFF
+    dt = time.perf_counter() - t0
+    return round(n / dt)
+
+
 def _foreign_jvms() -> int:
     """Count java processes already running before we start ours — the
     round-4 driver bench was 4× inflated by concurrent Spark JVMs, and
@@ -98,6 +114,7 @@ def main() -> None:
     cpus = os.cpu_count() or 1
     load_start = os.getloadavg()[0] if hasattr(os, "getloadavg") else 0.0
     foreign_jvms = _foreign_jvms()
+    calib_start = _calibrate()
 
     t_start = time.monotonic()
     spark = get_spark(app_name="furchild_spark_bench")
@@ -325,6 +342,12 @@ def main() -> None:
         "nonconverged_frac": nonconverged_frac,
         "single_run_frac": single_run_frac,
         "contended": contended,
+        # host-speed evidence: pinned single-thread integer-fold probe
+        # (iterations/second), sampled before the JVM existed and again
+        # after the sweep — normalize cross-round totals by this before
+        # reading them as plan regressions
+        "calib_iters_per_s_start": calib_start,
+        "calib_iters_per_s_end": _calibrate(),
     }
 
     total = round(sum(timings.values()), 3)

@@ -1979,6 +1979,107 @@ def ivfpq_index_search(
     )
 
 
+def _stage_and_swap(spark, tables: "dict[str, DataFrame]") -> None:
+    """Write every artifact to ``<path>__staged`` FIRST (all compute
+    happens before any live table moves), then promote each with the
+    materializer's crash-safe rename swap. Per-table promotion is atomic
+    (readers in a swap window fall back to ``__old`` via read_table); a
+    reader interleaving BETWEEN two swaps can briefly pair a new
+    artifact with an old one — the txlog table format (engine/txlog.py)
+    is the upgrade path when multi-table snapshot isolation matters, the
+    same way FAISS sidesteps this by swapping one index file."""
+    from furchild_spark.engine import materialize as mat
+
+    for path, df in tables.items():
+        if df is not None:  # None = caller already staged this path
+            df.write.mode("overwrite").parquet(path + "__staged")
+    for path in tables:
+        mat._swap_in(spark, path)
+
+
+def ivf_index_retrain(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+) -> None:
+    """Drift-triggered retrain (VERDICT r10 #4): rebuild BOTH artifacts
+    from the accumulated corpus and swap them in atomically, completing
+    the monitor→decision→action loop (``ivf_index_drift`` decides,
+    this executes). Appends resume against the new artifacts unchanged.
+    Post-retrain state is bit-for-bit what a fresh
+    :func:`ivf_index_build` over the same corpus writes (pytest-proven),
+    so searches after retrain ≡ searches against a from-scratch index.
+
+    The raw corpus is caller-provided — FAISS retrain semantics: the
+    index is DERIVED state; at 100 TB the corpus is a table you already
+    maintain, and rebuilding from the index's own lossy artifacts
+    (SQ8/PQ codes) would bake quantization error into the new training.
+    """
+    cents = centroid_array(corpus, id_col, vec_col, num_centroids)
+    cents.write.mode("overwrite").parquet(f"{index_path}__centroids__staged")
+    staged = spark.read.parquet(f"{index_path}__centroids__staged")
+    _stage_and_swap(spark, {
+        f"{index_path}__centroids": None,  # staged above (lists need it)
+        f"{index_path}__lists": ivf_assign(corpus, staged, id_col, vec_col),
+    })
+
+
+def ivfpq_index_retrain(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_centroids: int = 8,
+    dim: int = 64,
+    subspaces: int = 32,
+    kcodes: int = 16,
+) -> None:
+    """Retrain + swap for the PQ family: re-run the residual Lloyd on
+    the accumulated corpus (the codebook is the distribution-dependent
+    artifact drift invalidates), re-encode, and promote all three
+    tables. Mirrors :func:`ivfpq_index_build` exactly."""
+    cents = centroid_array(corpus, id_col, vec_col, num_centroids)
+    cents.write.mode("overwrite").parquet(f"{index_path}__centroids__staged")
+    staged = spark.read.parquet(f"{index_path}__centroids__staged")
+    cb = ivfpq_train(
+        corpus, id_col, vec_col, num_centroids, dim, subspaces, kcodes
+    )
+    _stage_and_swap(spark, {
+        f"{index_path}__centroids": None,  # staged above (codes need it)
+        f"{index_path}__codebook": _codebook_table(spark, cb),
+        f"{index_path}__codes": _ivfpq_encode_against(
+            corpus, staged, cb, id_col, vec_col, dim, subspaces, kcodes
+        ),
+    })
+
+
+def sq8_index_retrain(
+    spark,
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Retrain + swap for SQ8: recompute the per-dimension min/max codec
+    over the accumulated corpus (drift = appended vectors saturating the
+    frozen rails, ``sq8_index_drift``), re-encode, promote both tables.
+    Restores the drifted-recall floor: saturated codes collapse
+    out-of-range components onto the rails, distorting every ADC
+    distance — the widened codec represents them again."""
+    codec = sq8_train(corpus, vec_col, dim)
+    codec.write.mode("overwrite").parquet(f"{index_path}__codec__staged")
+    staged = spark.read.parquet(f"{index_path}__codec__staged")
+    _stage_and_swap(spark, {
+        f"{index_path}__codec": None,  # staged above (codes need it)
+        f"{index_path}__codes": sq8_encode(corpus, staged, id_col, vec_col),
+    })
+
+
 # ---------------------------------------------------------------------------
 # maintained SQ8 index: frozen min/max codec + codes table
 # ---------------------------------------------------------------------------

@@ -4241,3 +4241,144 @@ def ann_sq8_incremental(spark, sf_dir):
             "needs_retrain",
         )
     )
+
+
+@query(
+    "ann_sq8_retrain_e2e",
+    section=(
+        "LLM-similarity DRIFT→RETRAIN→SWAP (r10 VERDICT #4 — the "
+        "monitor's needs_retrain decision wired to an action): a 10×- "
+        "scaled batch saturates the frozen SQ8 rails (drift fires), "
+        "sq8_index_retrain rebuilds codec+codes from the accumulated "
+        "corpus and swaps them atomically, the re-checked monitor "
+        "reports clean, and the post-retrain ADC search — hash-pinned "
+        "here — is bit-for-bit a fresh rebuild's (pytest proves the "
+        "artifact equality; recall restoration in test_ann_recall)"
+    ),
+    oracle=f"""
+WITH raw AS (
+  SELECT vec_id,
+    CASE WHEN vec_id >= 250
+      THEN list_transform(embedding, x -> CAST(x AS DOUBLE) * 10.0)
+      ELSE list_transform(embedding, x -> CAST(x AS DOUBLE)) END AS emb
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id, list_transform(emb, x ->
+    CAST(CAST(x AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS qv
+  FROM raw
+),
+-- pre-retrain codec: trained on the UNSCALED base only
+dims0 AS (
+  SELECT CAST(d.i AS BIGINT) AS dim, MIN(qv[d.i+1]) AS mn, MAX(qv[d.i+1]) AS mx
+  FROM q, (SELECT unnest(range(0, 64)) AS i) d
+  WHERE vec_id < 250 GROUP BY d.i
+),
+cdc0 AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM dims0),
+drift0 AS (
+  SELECT COUNT(*) AS n_batch,
+    SUM(CASE WHEN len(list_filter(range(0, 64),
+          i -> qv[i+1] < mins[i+1] OR qv[i+1] > maxs[i+1])) > 0
+        THEN 1 ELSE 0 END) AS n_saturated
+  FROM q CROSS JOIN cdc0 WHERE vec_id >= 250
+),
+-- post-retrain codec: trained on the FULL accumulated corpus
+dims AS (
+  SELECT CAST(d.i AS BIGINT) AS dim, MIN(qv[d.i+1]) AS mn, MAX(qv[d.i+1]) AS mx
+  FROM q, (SELECT unnest(range(0, 64)) AS i) d
+  GROUP BY d.i
+),
+cdc AS (SELECT list(mn ORDER BY dim) AS mins, list(mx ORDER BY dim) AS maxs FROM dims),
+codes AS (
+  SELECT vec_id,
+    list_transform(range(0, 64), i ->
+      CASE WHEN maxs[i+1] > mins[i+1] THEN
+        CAST(greatest(0.0, least(255.0,
+          round(CAST(qv[i+1] - mins[i+1] AS DOUBLE) * 255.0
+                / CAST(maxs[i+1] - mins[i+1] AS DOUBLE), 0))) AS BIGINT)
+      ELSE 0 END) AS codes
+  FROM q CROSS JOIN cdc
+),
+drift1 AS (
+  SELECT COUNT(*) AS n_batch,
+    SUM(CASE WHEN len(list_filter(range(0, 64),
+          i -> qv[i+1] < mins[i+1] OR qv[i+1] > maxs[i+1])) > 0
+        THEN 1 ELSE 0 END) AS n_saturated
+  FROM q CROSS JOIN cdc WHERE vec_id >= 250
+),
+rec AS (
+  SELECT c.vec_id,
+    list_transform(range(0, 64), i ->
+      255 * mins[i+1] + c.codes[i+1] * (maxs[i+1] - mins[i+1])) AS r
+  FROM codes c CROSS JOIN cdc
+),
+sel AS (SELECT vec_id AS query_id, r AS rq FROM rec WHERE vec_id IN (251, 257, 263)),
+scored AS (
+  SELECT s.query_id, c.vec_id AS neighbor_id,
+    CAST(list_sum(list_transform(range(1, 65),
+      i -> CAST(s.rq[i] AS HUGEINT) * c.r[i])) AS BIGINT) AS adc_dot_scaled
+  FROM sel s CROSS JOIN rec c
+  WHERE c.vec_id <> s.query_id
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc_dot_scaled,
+  d0.n_saturated > d0.n_batch * 0.2 AS retrain_fired,
+  round(CAST(d1.n_saturated AS DOUBLE) / CAST(d1.n_batch AS DOUBLE), 6)
+    AS sat_frac_after,
+  d1.n_saturated > d1.n_batch * 0.2 AS needs_retrain_after
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY adc_dot_scaled DESC, neighbor_id ASC
+  ) AS rank FROM scored
+) CROSS JOIN drift0 d0 CROSS JOIN drift1 d1
+WHERE rank <= 5
+""",
+)
+def ann_sq8_retrain_e2e(spark, sf_dir):
+    """The complete drift lifecycle (operators/similarity.sq8_index_*):
+    build the codec on the unscaled base, append a 10×-scaled batch
+    (heavy saturation — the distribution escaped the rails), let the
+    MONITOR's decision gate the RETRAIN (codec+codes rebuilt over the
+    accumulated corpus, staged-and-swapped), re-check the monitor, and
+    hash-pin the post-retrain search plus both decisions."""
+    import tempfile as _tf
+
+    from furchild_spark.operators.similarity import (
+        sq8_index_append, sq8_index_build, sq8_index_drift,
+        sq8_index_retrain, sq8_index_search,
+    )
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = e.filter(F.col("vec_id") < 250)
+    batch = e.filter(F.col("vec_id") >= 250).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(10.0)).alias("embedding"),
+    )
+    corpus = base.unionByName(batch)
+    queries = batch.filter(F.col("vec_id").isin(251, 257, 263))
+    path = _tf.mkdtemp(prefix="ann_sq8_retrain_") + "/sq8"
+
+    sq8_index_build(spark, base, path, "vec_id", "embedding", dim=64)
+    sq8_index_append(spark, batch, path, "vec_id", "embedding")
+    fired = sq8_index_drift(
+        spark, batch, path, "vec_id", "embedding", max_sat_frac=0.2
+    ).first()["needs_retrain"]
+    if fired:  # the monitor's decision GATES the action
+        sq8_index_retrain(spark, corpus, path, "vec_id", "embedding")
+    after = sq8_index_drift(spark, batch, path, "vec_id", "embedding",
+                            max_sat_frac=0.2)
+    res = sq8_index_search(spark, queries, path, "vec_id", "embedding", k=5)
+    return (
+        res.crossJoin(F.broadcast(after.select(
+            F.col("sat_frac").alias("sat_frac_after"),
+            F.col("needs_retrain").alias("needs_retrain_after"),
+        )))
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            "adc_dot_scaled",
+            F.lit(bool(fired)).alias("retrain_fired"),
+            "sat_frac_after",
+            "needs_retrain_after",
+        )
+    )

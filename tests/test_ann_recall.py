@@ -321,3 +321,152 @@ def test_maintained_sq8_equals_frozen_codec_rebuild(spark, tmp_path):
                          "embedding").first()
     assert (d0["n_batch"], d0["n_saturated"]) == (0, 0)
     assert d0["sat_frac"] == 0.0 and d0["needs_retrain"] is False
+
+
+# ---------------------------------------------------------------------------
+# drift -> retrain -> swap (r10 VERDICT #4: the monitors' needs_retrain
+# decision now has an action wired to it)
+# ---------------------------------------------------------------------------
+
+def test_ivf_retrain_equals_fresh_rebuild(spark, tmp_path):
+    """After build+append, ivf_index_retrain over the accumulated corpus
+    must leave the index bit-for-bit identical to a from-scratch
+    ivf_index_build — appends resume against the new artifacts and
+    search ≡ fresh-index search."""
+    from furchild_spark.operators.similarity import (
+        ivf_index_append, ivf_index_build, ivf_index_retrain,
+        ivf_index_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 10)
+
+    maintained = str(tmp_path / "ivf_m")
+    ivf_index_build(spark, base, maintained, "vec_id", "embedding",
+                    num_centroids=8)
+    ivf_index_append(spark, batch, maintained, "vec_id", "embedding")
+    ivf_index_retrain(spark, emb, maintained, "vec_id", "embedding",
+                      num_centroids=8)
+
+    fresh = str(tmp_path / "ivf_f")
+    ivf_index_build(spark, emb, fresh, "vec_id", "embedding",
+                    num_centroids=8)
+
+    for suffix in ("__centroids", "__lists"):
+        a = {tuple(map(repr, r))
+             for r in spark.read.parquet(maintained + suffix).collect()}
+        b = {tuple(map(repr, r))
+             for r in spark.read.parquet(fresh + suffix).collect()}
+        assert a == b, suffix
+    got = ivf_index_search(spark, queries, maintained, "vec_id",
+                           "embedding", k=K, nprobe=2)
+    want = ivf_index_search(spark, queries, fresh, "vec_id",
+                            "embedding", k=K, nprobe=2)
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
+    # appends keep working against the swapped artifacts
+    ivf_index_append(spark, batch.limit(0), maintained, "vec_id",
+                     "embedding")
+
+
+def test_sq8_retrain_restores_drifted_recall(spark, tmp_path):
+    """The full monitor->decision->action loop on a REAL drift: a batch
+    scaled 10x outside the trained rails saturates (needs_retrain=True)
+    and degrades recall for queries in the new range; retraining over
+    the accumulated corpus widens the codec, after which (a) the monitor
+    reports no saturation, (b) the index equals a fresh rebuild, and
+    (c) recall@k for the drifted queries is restored to the fresh-index
+    floor."""
+    from furchild_spark.operators.similarity import (
+        cosine_topk_bruteforce, sq8_index_append, sq8_index_build,
+        sq8_index_drift, sq8_index_retrain, sq8_index_search,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 250)
+    scaled = emb.filter(F.col("vec_id") >= 250).select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * 10.0).alias("embedding"),
+    )
+    corpus = base.unionByName(scaled)
+    queries = scaled.filter(F.col("vec_id") < 260)
+
+    path = str(tmp_path / "sq8_m")
+    sq8_index_build(spark, base, path, "vec_id", "embedding")
+    sq8_index_append(spark, scaled, path, "vec_id", "embedding")
+    d = sq8_index_drift(spark, scaled, path, "vec_id", "embedding").first()
+    assert d["needs_retrain"] is True and d["sat_frac"] > 0.5
+
+    truth = {}
+    for r in cosine_topk_bruteforce(
+            corpus, queries, "vec_id", "embedding", k=K).collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / sum(len(t) for t in truth.values())
+
+    before = recall(sq8_index_search(spark, queries, path, "vec_id",
+                                     "embedding", k=K))
+
+    sq8_index_retrain(spark, corpus, path, "vec_id", "embedding")
+    d2 = sq8_index_drift(spark, scaled, path, "vec_id", "embedding").first()
+    assert d2["needs_retrain"] is False and d2["n_saturated"] == 0
+
+    fresh = str(tmp_path / "sq8_f")
+    sq8_index_build(spark, corpus, fresh, "vec_id", "embedding")
+    after_df = sq8_index_search(spark, queries, path, "vec_id",
+                                "embedding", k=K)
+    fresh_df = sq8_index_search(spark, queries, fresh, "vec_id",
+                                "embedding", k=K)
+    assert {tuple(r) for r in after_df.collect()} == \
+        {tuple(r) for r in fresh_df.collect()}
+    after = recall(after_df)
+    # the drifted index loses most of the true neighbors (measured 0.20
+    # here: saturated rails collapse the scaled vectors); retraining
+    # restores recall to the fresh-index floor (0.56 — the equality
+    # assertion above proves after == fresh, so this is the best any
+    # rebuild can do on this codec)
+    assert before <= 0.4 and after >= before + 0.2
+
+
+def test_ivfpq_retrain_equals_fresh_rebuild(spark, tmp_path):
+    """PQ-family retrain: the residual Lloyd re-runs on the accumulated
+    corpus and all three artifacts swap to exactly the fresh-build
+    state."""
+    from furchild_spark.operators.similarity import (
+        ivfpq_index_append, ivfpq_index_build, ivfpq_index_retrain,
+        ivfpq_index_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.filter(F.col("vec_id") < 250)
+    batch = emb.filter(F.col("vec_id") >= 250)
+    queries = emb.filter(F.col("vec_id") < 5)
+
+    maintained = str(tmp_path / "pq_m")
+    ivfpq_index_build(spark, base, maintained, "vec_id", "embedding")
+    ivfpq_index_append(spark, batch, maintained, "vec_id", "embedding")
+    ivfpq_index_retrain(spark, emb, maintained, "vec_id", "embedding")
+
+    fresh = str(tmp_path / "pq_f")
+    ivfpq_index_build(spark, emb, fresh, "vec_id", "embedding")
+    for suffix in ("__centroids", "__codebook", "__codes"):
+        a = {tuple(map(repr, r))
+             for r in spark.read.parquet(maintained + suffix).collect()}
+        b = {tuple(map(repr, r))
+             for r in spark.read.parquet(fresh + suffix).collect()}
+        assert a == b, suffix
+    got = ivfpq_index_search(spark, queries, maintained, "vec_id",
+                             "embedding", k=K)
+    want = ivfpq_index_search(spark, queries, fresh, "vec_id",
+                              "embedding", k=K)
+    assert {tuple(r) for r in got.collect()} == \
+        {tuple(r) for r in want.collect()}
