@@ -298,6 +298,30 @@ def _expand_token_list(args, spark, toks, _cache=None) -> list[str]:
             pre = at or ("+" if t.startswith("+") else "")
             expanded.extend(pre + d for d in exposures[ename].depends_on)
         toks = expanded
+    if any("group:" in t for t in toks):
+        # dbt 1.5 group selectors: group:NAME = every model owned by the
+        # group; graph operators compose like tag:
+        from furchild_spark.models import registry as _reg
+
+        expanded = []
+        for t in toks:
+            at = "@" if t.startswith("@") else ""
+            core = t.removeprefix("@").removeprefix("+")
+            trail = "+" if core.endswith("+") else ""
+            core = core.removesuffix("+")
+            if not core.startswith("group:"):
+                expanded.append(t)
+                continue
+            gname = core.removeprefix("group:")
+            hits = [n for n in _reg.names() if _reg[n].group == gname]
+            if not hits:
+                _usage_error(
+                    f"group:{gname!r} matches no models (declared groups: "
+                    f"{sorted({_reg[n].group for n in _reg.names() if _reg[n].group})})"
+                )
+            pre = at or ("+" if t.startswith("+") else "")
+            expanded.extend(pre + h + trail for h in hits)
+        toks = expanded
     if any("tag:" in t for t in toks):
         # dbt tag selectors: tag:NAME = every model carrying the tag;
         # graph operators compose (+tag:NAME = their ancestor cones,

@@ -82,6 +82,11 @@ class DerivedModel:
     on_schema_change: str | None = None
     transient: bool = False
     tags: tuple = ()
+    # dbt 1.5 governance: group from config (+group / config(group=...)),
+    # access from the model's YAML `access:` property (or config) —
+    # default protected, like dbt
+    group: str | None = None
+    access: str = "protected"
 
 
 @dataclass(frozen=True)
@@ -203,8 +208,67 @@ def scan_models(project_dir: str) -> dict:
                 on_schema_change=cfg.get("on_schema_change"),
                 transient=bool(cfg.get("transient", False)),
                 tags=tuple(cfg.get("tags", ()) or ()),
+                group=cfg.get("group"),
+                access=str(cfg.get("access", "protected")),
             )
     return out
+
+
+def apply_yaml_governance(models: dict, project_dir: str) -> dict:
+    """Overlay per-model ``access:`` / ``config.group`` declared in the
+    schema YAML files onto scanned models (dbt 1.5: access is a
+    MODEL-LEVEL yml property, group lives in config). Returns the same
+    dict with replaced entries; models absent from YAML keep their
+    config-header/dir-config values."""
+    import dataclasses as _dc
+    import glob
+
+    _require_yaml()
+    for path in sorted(
+        glob.glob(os.path.join(project_dir, "models", "**", "*.yml"),
+                  recursive=True)
+    ):
+        doc = yaml.safe_load(open(path))
+        if not isinstance(doc, dict):
+            continue
+        for m in doc.get("models") or []:
+            name = m.get("name")
+            if name not in models:
+                continue
+            updates = {}
+            if "access" in m:
+                updates["access"] = str(m["access"])
+            grp = (m.get("config") or {}).get("group") or m.get("group")
+            if grp:
+                updates["group"] = str(grp)
+            if updates:
+                models[name] = _dc.replace(models[name], **updates)
+    return models
+
+
+def load_groups(project_dir: str) -> dict:
+    """Parse dbt 1.5 ``groups:`` blocks from the schema YAML files:
+    name -> owner dict (dbt requires an owner with name or email)."""
+    import glob
+
+    _require_yaml()
+    groups: dict = {}
+    for path in sorted(
+        glob.glob(os.path.join(project_dir, "models", "**", "*.yml"),
+                  recursive=True)
+    ):
+        doc = yaml.safe_load(open(path))
+        if not isinstance(doc, dict):
+            continue
+        for g in doc.get("groups") or []:
+            owner = g.get("owner") or {}
+            if not (owner.get("name") or owner.get("email")):
+                raise ValueError(
+                    f"group {g.get('name')!r}: dbt requires an owner "
+                    "with name or email"
+                )
+            groups[g["name"]] = dict(owner)
+    return groups
 
 
 # ---------------------------------------------------------------------------
@@ -331,7 +395,7 @@ def load_project(project_dir: str) -> DbtProject:
     return DbtProject(
         name=proj["name"],
         vars=dict(proj.get("vars") or {}),
-        models=scan_models(project_dir),
+        models=apply_yaml_governance(scan_models(project_dir), project_dir),
         tests=tests,
         sources=sources,
     )
@@ -361,6 +425,10 @@ def engine_model_kwargs(dm: DerivedModel) -> dict:
         kw["unique_key"] = dm.unique_key
     if materialized == "incremental":
         kw["incremental_strategy"] = "merge"
+    if dm.group:
+        kw["group"] = dm.group
+    if dm.access != "protected":
+        kw["access"] = dm.access
     return kw
 
 

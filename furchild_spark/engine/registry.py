@@ -140,6 +140,15 @@ class Model:
     # pre-write violation count (opt-in cost, the honest Spark analog of
     # a platform-enforced NOT NULL rejecting the write).
     contract: dict | None = None
+    # dbt 1.5 model governance: `group` names the owning group (schema.yml
+    # groups: blocks declare them); `access` gates who may ref() this
+    # model — private: same group only; protected (dbt's default):
+    # same package/project (always satisfied in a single-project
+    # registry, enforced for completeness); public: anyone. Violations
+    # raise at PLAN time (the lazy-DataFrame construction — the engine's
+    # analog of dbt's parse-time manifest check), before anything runs.
+    group: str | None = None
+    access: str = "protected"
 
 
 @dataclass
@@ -187,6 +196,8 @@ class ModelRegistry:
         pre_hook=None,
         post_hook=None,
         contract: dict | None = None,
+        group: str | None = None,
+        access: str = "protected",
     ):
         def deco(fn):
             def _cols(v):
@@ -213,6 +224,16 @@ class ModelRegistry:
                 raise ValueError(
                     f"model {model_name}: unknown incremental_strategy "
                     f"{incremental_strategy!r}"
+                )
+            if access not in ("private", "protected", "public"):
+                raise ValueError(
+                    f"model {model_name}: unknown access {access!r} "
+                    "(dbt 1.5: private | protected | public)"
+                )
+            if access == "private" and group is None:
+                raise ValueError(
+                    f"model {model_name}: access='private' is group-scoped "
+                    "— declare a group"
                 )
             if incremental_strategy == "insert_overwrite" and not _cols(partition_by):
                 raise ValueError(
@@ -278,6 +299,8 @@ class ModelRegistry:
                 pre_hook=_hooks(pre_hook, "pre_hook"),
                 post_hook=_hooks(post_hook, "post_hook"),
                 contract=contract,
+                group=group,
+                access=access,
             )
             return fn
 
@@ -349,6 +372,21 @@ class ExecutionContext:
     batch_end: dt.datetime | None = None
 
     def ref(self, name: str) -> DataFrame:
+        # dbt 1.5 access enforcement at PLAN time (the manifest-compile
+        # analog): a private model only resolves from its own group.
+        # `protected` (dbt's default) is package-scoped — a single-project
+        # registry always satisfies it; `public` is unrestricted.
+        target = self.runner.registry[name] if name in self.runner.registry \
+            else None
+        if target is not None and target.access == "private" and \
+                target.group != self.model.group:
+            raise ValueError(
+                f"model {self.model.name} (group "
+                f"{self.model.group or '<none>'}) cannot ref private model "
+                f"{name} of group {target.group or '<none>'} — dbt access "
+                "rules (declare access: public/protected on the target, or "
+                "move the consumer into the group)"
+            )
         return self.runner.ref(name)
 
     def source(self, name: str) -> DataFrame:

@@ -789,7 +789,7 @@ def dim_address(ctx) -> DataFrame:
 
 
 @model(materialized="table", unique_key="order_date_local",
-       tags=("nightly", "aggregate"))
+       tags=("nightly", "aggregate"), group="reporting")
 def agg_orders_daily(ctx) -> DataFrame:
     """(ref aggregates/agg_orders_daily.sql: empty) daily order rollup."""
     o = ctx.ref("fct_orders")
@@ -803,7 +803,8 @@ def agg_orders_daily(ctx) -> DataFrame:
     )
 
 
-@model(materialized="table", tags=("nightly", "aggregate"))
+@model(materialized="table", tags=("nightly", "aggregate"),
+       group="reporting")
 def agg_items_daily(ctx) -> DataFrame:
     """(ref aggregates/agg_items_daily.sql: empty) daily line rollup."""
     oi = ctx.ref("fct_order_items")

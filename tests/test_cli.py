@@ -849,6 +849,49 @@ def test_known_red_allowlist_gates_exit_code(bronze, spark, tmp_path,
     assert "known-red" in out and "0 error-severity failures" in out
 
 
+def test_model_access_groups_enforced(spark):
+    """dbt 1.5 governance (r10 VERDICT #6): a private model only
+    resolves from its own group — the cross-group ref errors at PLAN
+    time (before anything runs), the same-group ref passes; bad access
+    values and group-less private models fail at REGISTRATION."""
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+
+    reg = ModelRegistry()
+
+    @reg.model(name="core_base", group="core", access="private")
+    def core_base(ctx):
+        return ctx.spark.range(3)
+
+    @reg.model(name="core_use", group="core")
+    def core_use(ctx):
+        return ctx.ref("core_base")
+
+    @reg.model(name="other_use", group="analytics")
+    def other_use(ctx):
+        return ctx.ref("core_base")
+
+    r = Runner(spark, reg, sources=lambda n: None, warehouse_dir=None)
+    assert r.ref("core_use").count() == 3  # same group passes
+    with pytest.raises(ValueError, match="private"):
+        r.ref("other_use")
+
+    with pytest.raises(ValueError, match="unknown access"):
+        reg.model(name="bad", access="secret")(lambda ctx: None)
+    with pytest.raises(ValueError, match="group"):
+        reg.model(name="bad2", access="private")(lambda ctx: None)
+
+
+def test_group_selector(bronze, spark, capsys):
+    """dbt group: selector — the two reporting-group aggregates (and
+    only them) match; unknown groups are usage errors."""
+    assert main(["ls", "--models", "group:reporting"]) == 0
+    out = capsys.readouterr().out
+    assert "agg_orders_daily" in out and "agg_items_daily" in out
+    assert "fct_orders" not in out
+    with pytest.raises(SystemExit):
+        main(["ls", "--models", "group:nope"])
+
+
 def test_warn_error_flag_promotes_warns(bronze, spark, tmp_path, capsys):
     """dbt --warn-error: the fixtures carry warn-severity check failures
     (email shape, country length) that a default `test` reports but
