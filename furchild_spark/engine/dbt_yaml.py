@@ -246,6 +246,45 @@ def apply_yaml_governance(models: dict, project_dir: str) -> dict:
     return models
 
 
+_REF_IN_YAML = re.compile(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+
+
+def load_exposures(project_dir: str) -> list:
+    """Parse dbt ``exposures:`` blocks from the schema YAML files into
+    the registry's exposure shape: (name, type, depends_on model names,
+    owner, url, description). ``depends_on`` entries are dbt's
+    ``ref('model')`` strings. Use with
+    ``ModelRegistry.exposure(**e)`` to register a project's declared
+    downstream consumers from its own files (the reference declares
+    none — this is engine-generic surface, synthetic-tested)."""
+    import glob
+
+    _require_yaml()
+    out = []
+    for path in sorted(
+        glob.glob(os.path.join(project_dir, "models", "**", "*.yml"),
+                  recursive=True)
+    ):
+        doc = yaml.safe_load(open(path))
+        if not isinstance(doc, dict):
+            continue
+        for e in doc.get("exposures") or []:
+            deps = []
+            for d in e.get("depends_on") or []:
+                m = _REF_IN_YAML.search(str(d))
+                deps.append(m.group(1) if m else str(d))
+            owner = e.get("owner") or {}
+            out.append({
+                "name": e["name"],
+                "exposure_type": str(e.get("type", "application")),
+                "depends_on": tuple(deps),
+                "owner": str(owner.get("name") or owner.get("email") or ""),
+                "url": str(e.get("url") or ""),
+                "description": str(e.get("description") or ""),
+            })
+    return out
+
+
 def load_groups(project_dir: str) -> dict:
     """Parse dbt 1.5 ``groups:`` blocks from the schema YAML files:
     name -> owner dict (dbt requires an owner with name or email)."""

@@ -866,18 +866,40 @@ def unigram_em_round(
     :func:`unigram_apply`.
     """
     scores0 = unigram_scores(docs, text_col, max_piece_len, min_frac)
-    wc = (
+    return _unigram_em_step(
+        _word_counts(docs, text_col), scores0, max_piece_len, keep_frac
+    )
+
+
+def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    return (
         docs.select(F.explode(tokens(text_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("wc"))
     )
-    seg = unigram_apply(wc, scores0, "word", max_piece_len)
+
+
+def _unigram_em_step(
+    wc: DataFrame,
+    scores: DataFrame,
+    max_piece_len: int,
+    keep_frac: float,
+    target_vocab: int | None = None,
+    n_singles: int | None = None,
+) -> DataFrame:
+    """One hard-EM iteration given current scores (the shared core of
+    :func:`unigram_em_round` and :func:`unigram_em_train`). With
+    ``target_vocab`` set, the multi-piece keep budget is
+    ``max(floor(n·keep_frac), target_vocab - n_singles)`` — Kudo 2018's
+    never-overshoot rule: shrink by the prune ratio per round, but stop
+    exactly AT the target instead of sailing below it."""
+    seg = unigram_apply(wc, scores, "word", max_piece_len)
     used = (
         seg.select("wc", F.explode("pieces").alias("piece"))
         .groupBy("piece")
         .agg(F.sum("wc").cast("long").alias("cnt"))
     )
-    base = scores0.select("piece").join(used, on="piece", how="left").select(
+    base = scores.select("piece").join(used, on="piece", how="left").select(
         "piece",
         F.coalesce(F.col("cnt"), F.lit(0)).cast("long").alias("cnt"),
     )
@@ -887,15 +909,16 @@ def unigram_em_round(
     multis = base.filter((F.length("piece") > 1) & (F.col("cnt") > 0))
     rank_w = Window.orderBy(F.desc("cnt"), F.asc("piece"))
     n_multi = multis.select(F.count(F.lit(1)).alias("__n"))
+    # integer keep budget: floor(n * keep_frac) via exact integer
+    # arithmetic (keep_frac quantized to percent so both engines
+    # compute the identical cutoff)
+    keep = F.col("__rn") * 100 <= F.col("__n") * int(round(keep_frac * 100))
+    if target_vocab is not None:
+        keep = keep | (F.col("__rn") <= F.lit(target_vocab - n_singles))
     kept_multis = (
         multis.withColumn("__rn", F.row_number().over(rank_w))
         .crossJoin(F.broadcast(n_multi))
-        # integer keep budget: floor(n * keep_frac) via exact integer
-        # arithmetic (keep_frac quantized to percent so both engines
-        # compute the identical cutoff)
-        .filter(
-            F.col("__rn") * 100 <= F.col("__n") * int(round(keep_frac * 100))
-        )
+        .filter(keep)
         .select("piece", "cnt")
     )
     vocab1 = singles.unionByName(kept_multis)
@@ -907,3 +930,44 @@ def unigram_em_round(
             6,
         ).cast("decimal(18,6)").alias("score"),
     )
+
+
+def unigram_em_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    min_frac: float = 1.0 / 500.0,
+    keep_frac: float = 0.8,
+    target_vocab: int = 100,
+    max_rounds: int = 10,
+) -> DataFrame:
+    """Kudo 2018's full training loop (arXiv:1804.10959 §3.2, r10
+    VERDICT #7): EM-prune rounds REPEAT until the vocabulary reaches the
+    target size, not one round. Each round keeps the top
+    ``max(floor(n_multi·keep_frac), target_vocab - n_singles)`` pieces
+    by Viterbi usage, so the loop shrinks geometrically and lands
+    exactly at the target (or just under it, when fewer multis survive
+    with nonzero usage than the budget allows).
+
+    Driver-side control flow mirrors the power-iteration precedent: the
+    loop condition reads ONE bounded scalar per round (the vocab size —
+    at most ``max_piece_len/min_frac + alphabet`` by the seeding bound);
+    all per-piece work stays distributed. ``max_rounds`` bounds the loop
+    when the target is unreachable (e.g. target below the single-char
+    alphabet, which always survives for coverage)."""
+    # both artifacts are vocab/word-type-sized (bounded by the seeding
+    # threshold) — checkpoint once so the corpus is scanned exactly twice
+    # (substring seeding + word counts) no matter how many rounds run
+    scores = unigram_scores(
+        docs, text_col, max_piece_len, min_frac
+    ).localCheckpoint()
+    wc = _word_counts(docs, text_col).localCheckpoint()
+    n_singles = scores.filter(F.length("piece") == 1).count()
+    for _ in range(max_rounds):
+        if scores.count() <= target_vocab:
+            break
+        scores = _unigram_em_step(
+            wc, scores, max_piece_len, keep_frac,
+            target_vocab=target_vocab, n_singles=n_singles,
+        ).localCheckpoint()
+    return scores

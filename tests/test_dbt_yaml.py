@@ -439,3 +439,34 @@ models:
     )
     with pytest.raises(ValueError, match="owner"):
         D.load_groups(str(proj))
+
+
+def test_exposures_from_yaml(tmp_path, spark):
+    """dbt exposures: blocks parse into the registry's exposure shape and
+    register cleanly (ref('model') strings resolve to model names)."""
+    proj = tmp_path / "proj2"
+    (proj / "models").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: demo\n")
+    (proj / "models" / "m1.sql").write_text("select 1 as x")
+    (proj / "models" / "schema.yml").write_text("""
+exposures:
+  - name: weekly_kpis
+    type: dashboard
+    url: https://bi.example.com/kpis
+    owner: {name: Analytics}
+    depends_on:
+      - ref('m1')
+""")
+    exps = D.load_exposures(str(proj))
+    assert exps == [{
+        "name": "weekly_kpis", "exposure_type": "dashboard",
+        "depends_on": ("m1",), "owner": "Analytics",
+        "url": "https://bi.example.com/kpis", "description": "",
+    }]
+    from furchild_spark.engine.registry import ModelRegistry
+
+    reg = ModelRegistry()
+    reg.model(name="m1")(lambda ctx: None)
+    for e in exps:
+        reg.exposure(**e)
+    assert reg.exposures()["weekly_kpis"].depends_on == ("m1",)
