@@ -68,6 +68,7 @@ the reference files are cited for WHAT to compile, not how.
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -916,6 +917,32 @@ def compile_model_file(path: str, *, variables: dict | None = None,
         sql=to_spark_sql(r.sql, now=now), config=r.config, refs=r.refs,
         sources=r.sources, placeholders=r.placeholders,
     )
+
+
+def sql_model_fn(path: str, *, now=None):
+    """A registry-compatible model FUNCTION that executes the reference's
+    own SQL file — the end state of VERDICT r10 #2: the ``.sql`` text is
+    the executable source, not a hand-port. The file is rendered at each
+    build with the RUNNER's state (vars, is_incremental, frozen now) and
+    executed through ``spark.sql`` with ctx.source/ctx.ref resolving the
+    relations, so lineage recording, materialization, merges, hooks and
+    governance all work exactly as for Python-declared models."""
+    def fn(ctx):
+        rendered = compile_model_file(
+            path,
+            variables=dict(ctx.runner.vars),
+            is_incremental=ctx.is_incremental(),
+            now=now if now is not None else ctx.now(),
+        )
+        return run_model_sql(
+            ctx.spark, rendered,
+            source=lambda sch, t: ctx.source(t),
+            ref=ctx.ref,
+            this=ctx.existing(),
+        )
+
+    fn.__name__ = os.path.splitext(os.path.basename(path))[0]
+    return fn
 
 
 def run_model_sql(spark, rendered: Rendered, *, source, ref=None, this=None):

@@ -16,11 +16,48 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from furchild_spark.engine.dbt_yaml import reference_dir as _reference_dir
 
 from .catalog import QUERIES as _Q
 from .catalog import query
 from .models_oracle import FIXTURE_DIR, _dbl, _runner
+
+
+# Every non-empty reference model whose SQL executes byte-equal to its
+# Python port on the committed fixtures (tests/test_sql_compiler.py runs
+# the equality suite). NOT here, with reasons: the 9 dims/aggs are EMPTY
+# reference files (nothing to compile; the Python models complete them);
+# stg_items / stg_packages / fct_order_items assume source contracts the
+# fixtures deliberately violate (Snowflake would raise the same cast
+# errors); stg_invoices_ar's `::number` is NUMBER(38,0) on Snowflake
+# (integer rounding) where the Python port reads scale-2 intent;
+# fct_orders' as-of ranking has no tiebreak and the fixtures contain an
+# exact tie.
+COMPILED_MODELS = [
+    ("stg_users", "staging/stg_users.sql"),
+    ("stg_transactions", "staging/stg_transactions.sql"),
+    ("stg_customers", "staging/stg_customers.sql"),
+    ("stg_orders", "staging/stg_orders.sql"),
+    ("stg_order_items", "staging/stg_order_items.sql"),
+    ("stg_addresses", "staging/stg_addresses.sql"),
+    ("stg_delivery_slots", "staging/stg_delivery_slots.sql"),
+    ("stg_invoice_payments", "staging/stg_invoice_payments.sql"),
+    ("stg_shipments", "staging/stg_shipments.sql"),
+    ("stg_product_brands", "staging/stg_product_brands.sql"),
+    ("stg_product_categories", "staging/stg_product_categories.sql"),
+    ("stg_product_details", "staging/stg_product_details.sql"),
+    ("dim_customer", "marts/commerce/dims/dim_customer.sql"),
+    ("dim_orders", "marts/commerce/dims/dim_orders.sql"),
+    ("fct_orders_revenue", "marts/commerce/facts/fct_orders_revenue.sql"),
+    ("fct_customers", "marts/commerce/facts/fct_customers.sql"),
+    ("fct_customer_monthly_revenue",
+     "marts/commerce/facts/fct_customer_monthly_revenue.sql"),
+    ("customer_revenue_ltv", "marts/commerce/facts/customer_revenue_ltv.sql"),
+    ("cohort_revenue_ltv", "marts/commerce/facts/cohort_revenue_ltv.sql"),
+    ("first_channel_ltv", "marts/commerce/facts/first_channel_ltv.sql"),
+]
 
 
 def _compiled(spark, rel_path: str):
@@ -112,6 +149,95 @@ def _register():
     )
     def sql_compiled__dim_customer(spark, sf_dir):
         return _compiled(spark, "marts/commerce/dims/dim_customer.sql")
+
+    def sql_compiled_dag_e2e(spark, sf_dir):
+        """The end state of VERDICT r10 #2: a MIXED registry where the 20
+        compilable models execute the REFERENCE'S OWN ``.sql`` files
+        (``sql_model_fn`` — rendered per build with runner vars/frozen
+        now, relations via ctx.source/ctx.ref) and the other 14 (9 empty
+        stubs + 5 documented divergences) keep their Python fns; the
+        WHOLE DAG materializes through a warehouse Runner with
+        YAML-derived config, python models consuming compiled upstreams
+        and vice versa. One row per model: (name, engine, rows) —
+        engines pinned as literals in the oracle, counts replayed
+        through the model__* DuckDB ports."""
+        import datetime as dt
+        import functools
+        import os
+        import tempfile
+
+        from pyspark.sql import DataFrame
+
+        from furchild_spark.engine import dbt_yaml as D
+        from furchild_spark.engine import sql_compiler as SC
+        from furchild_spark.engine.registry import ModelRegistry, Runner
+        from furchild_spark.models import registry as global_reg
+
+        reference = _reference_dir()
+        compiled = dict(COMPILED_MODELS)
+        proj = D.load_project(reference)
+        reg = ModelRegistry()
+        for name in sorted(proj.models):
+            fn = (
+                SC.sql_model_fn(
+                    os.path.join(reference, "models", compiled[name]))
+                if name in compiled else global_reg[name].fn
+            )
+            reg.model(name=name, **D.engine_model_kwargs(proj.models[name]))(fn)
+
+        fixture_dir = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))),
+            "fixtures", "bronze",
+        )
+        base = tempfile.mkdtemp(prefix="sql_dag_e2e_")
+        r = Runner(
+            spark, reg, incremental=False,
+            sources=lambda n: spark.read.parquet(
+                os.path.join(fixture_dir, f"{n}.parquet")),
+            warehouse_dir=f"{base}/wh",
+            now=dt.datetime(2024, 6, 2),
+        )
+        r.run(threads=8)
+        parts = [
+            r.ref(name)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            .select(
+                F.lit(name).alias("model_name"),
+                F.lit("sql" if name in compiled else "python")
+                .alias("engine"),
+                "n_rows",
+            )
+            for name in sorted(proj.models)
+        ]
+        return functools.reduce(DataFrame.unionByName, parts)
+
+    def _sql_dag_oracle() -> str:
+        compiled = {n for n, _ in COMPILED_MODELS}
+        from furchild_spark.engine import dbt_yaml as D
+
+        proj = D.load_project(_reference_dir())
+        parts = []
+        for name in sorted(proj.models):
+            eng = "sql" if name in compiled else "python"
+            sub = _Q[f"model__{name}"].oracle
+            parts.append(
+                f"SELECT '{name}' AS model_name, '{eng}' AS engine,\n"
+                f"  CAST((SELECT COUNT(*) FROM ({sub}\n) __m) AS BIGINT)"
+                " AS n_rows"
+            )
+        return "\nUNION ALL\n".join(parts)
+
+    query(
+        "sql_compiled_dag_e2e",
+        section="§2.7 SQL compiler END STATE: the whole 34-model DAG "
+        "materialized with the reference's own .sql files as the "
+        "executable source for all 20 compilable models (Python only "
+        "for empty stubs + documented divergences), YAML-derived "
+        "config, per-model counts hash-checked against the model__* "
+        "DuckDB ports with the engine split pinned",
+        oracle=_sql_dag_oracle(),
+    )(sql_compiled_dag_e2e)
 
 
 if _reference_dir() is not None:

@@ -183,51 +183,10 @@ def test_comments_do_not_break_call_args():
 # execution equality vs the Python models (needs the reference checkout)
 # ---------------------------------------------------------------------------
 
-# Every non-empty reference model whose SQL is executable against the
-# committed fixtures compiles byte-equal to its Python port. NOT listed,
-# with reasons (the compiler is FAITHFUL to Snowflake semantics; these
-# are data/underspecification boundaries, not compiler gaps):
-#
-# - 9 dims/aggs (dim_date, dim_promo, …): the reference files are EMPTY
-#   stubs — there is nothing to compile; the Python models complete them.
-# - stg_items, stg_packages, fct_order_items: the committed fixtures
-#   DELIBERATELY violate the source contract the reference SQL assumes
-#   (HAS_VAT 'true'/'false' strings vs `has_vat = 1`, DELIVERY_DATE
-#   'tbd' vs `::date`, numeric DISCOUNT_APPLICATION_TYPE vs a varchar
-#   coalesce default) — Snowflake would raise the same cast errors on
-#   this data; the Python ports add the documented defenses.
-# - stg_invoices_ar: the reference's `j:total::number` in amount_paid is
-#   NUMBER(38,0) on Snowflake (integer rounding); the Python port (and
-#   its DuckDB oracle) read the business intent at scale 2. The compiler
-#   follows the literal Snowflake semantics, so values differ by design.
-# - fct_orders: the reference's as-of address ranking (fct_orders.sql:
-#   131-136) has NO deterministic tiebreak, and the fixtures contain an
-#   exact tie (order 7119: two addresses, same address_ts, same flag) —
-#   the Python port pins a documented tiebreak; the compiled text is
-#   free to pick either.
-COMPILED_MODELS = [
-    ("stg_users", "staging/stg_users.sql"),
-    ("stg_transactions", "staging/stg_transactions.sql"),
-    ("stg_customers", "staging/stg_customers.sql"),
-    ("stg_orders", "staging/stg_orders.sql"),
-    ("stg_order_items", "staging/stg_order_items.sql"),
-    ("stg_addresses", "staging/stg_addresses.sql"),
-    ("stg_delivery_slots", "staging/stg_delivery_slots.sql"),
-    ("stg_invoice_payments", "staging/stg_invoice_payments.sql"),
-    ("stg_shipments", "staging/stg_shipments.sql"),
-    ("stg_product_brands", "staging/stg_product_brands.sql"),
-    ("stg_product_categories", "staging/stg_product_categories.sql"),
-    ("stg_product_details", "staging/stg_product_details.sql"),
-    ("dim_customer", "marts/commerce/dims/dim_customer.sql"),
-    ("dim_orders", "marts/commerce/dims/dim_orders.sql"),
-    ("fct_orders_revenue", "marts/commerce/facts/fct_orders_revenue.sql"),
-    ("fct_customers", "marts/commerce/facts/fct_customers.sql"),
-    ("fct_customer_monthly_revenue",
-     "marts/commerce/facts/fct_customer_monthly_revenue.sql"),
-    ("customer_revenue_ltv", "marts/commerce/facts/customer_revenue_ltv.sql"),
-    ("cohort_revenue_ltv", "marts/commerce/facts/cohort_revenue_ltv.sql"),
-    ("first_channel_ltv", "marts/commerce/facts/first_channel_ltv.sql"),
-]
+# The canonical compilable-model list (and the documented exclusions)
+# lives next to the catalog entries that consume it — import it so the
+# equality suite and the mixed-DAG entry can never drift apart.
+from furchild_spark.queries.sql_compiled import COMPILED_MODELS  # noqa: E402
 
 
 @pytest.mark.skipif(reference_dir() is None,
