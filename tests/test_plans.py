@@ -429,6 +429,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "wordpiece_tokenize",  # 1-row occurrence-total + packed-vocab-map broadcasts
         "unigram_tokenize",  # same 1-row total/piece-mass/score-map broadcasts
         "unigram_tokenize_em",  # same 1-row broadcasts ×2 rounds + n_multi/n_vocab scalars
+        "unigram_em_target_vocab",  # same 1-row broadcasts per EM round + n_vocab scalar
         "embedding_pca_direction",  # 1-row signed-pivot broadcast per iterate
         "ccnet_buckets",  # broadcast 1-row percentile-thresholds scalar
         "bpe_merges",  # 1-row best-pair broadcast per round (checkpointed)
