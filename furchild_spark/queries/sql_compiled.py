@@ -150,6 +150,119 @@ def _register():
     def sql_compiled__dim_customer(spark, sf_dir):
         return _compiled(spark, "marts/commerce/dims/dim_customer.sql")
 
+    @query(
+        "sql_compiled__stg_customers",
+        section="§2.7 SQL compiler (ref stg_customers.sql:1-100 as "
+        "written: QUALIFY dedup, try_cast(float), str→bool iff chain); "
+        "oracle shared with model__stg_customers",
+        oracle=_Q["model__stg_customers"].oracle,
+    )
+    def sql_compiled__stg_customers(spark, sf_dir):
+        df = _compiled(spark, "staging/stg_customers.sql")
+        return df.select(
+            "customer_id", "customer_name", "email_primary", "email_other",
+            "phone_primary", "phone_secondary", "phone_formatted", "area",
+            *_dbl("latitude", "longitude"),
+            "has_star", "created_at", "updated_at", "last_delivery_date",
+        )
+
+    @query(
+        "sql_compiled__stg_shipments",
+        section="§2.7 SQL compiler (ref stg_shipments.sql:1-70 as "
+        "written: try_parse_json + native VARIANT j:field::type paths, "
+        "keep-latest window); oracle shared with model__stg_shipments",
+        oracle=_Q["model__stg_shipments"].oracle,
+    )
+    def sql_compiled__stg_shipments(spark, sf_dir):
+        return _compiled(spark, "staging/stg_shipments.sql")
+
+    @query(
+        "sql_compiled__stg_delivery_slots",
+        section="§2.7 SQL compiler (ref stg_delivery_slots.sql:1-130 as "
+        "written: occurrence/group regexp_substr, regexp_count, "
+        "try_to_time as the engine's HH:mm:ss TIME representation, "
+        "extract(hour) over it, surrogate-key macro); oracle shared "
+        "with model__stg_delivery_slots",
+        oracle=_Q["model__stg_delivery_slots"].oracle,
+    )
+    def sql_compiled__stg_delivery_slots(spark, sf_dir):
+        return _compiled(spark, "staging/stg_delivery_slots.sql")
+
+    @query(
+        "sql_compiled__stg_addresses",
+        section="§2.7 SQL compiler (ref stg_addresses.sql:1-110 as "
+        "written: surrogate-key macro, try_to_decimal/timestamp_ntz, "
+        "str→bool, keep-latest window); oracle shared with "
+        "model__stg_addresses",
+        oracle=_Q["model__stg_addresses"].oracle,
+    )
+    def sql_compiled__stg_addresses(spark, sf_dir):
+        df = _compiled(spark, "staging/stg_addresses.sql")
+        return df.select(
+            "address_sk", "address_id", "user_address_id", "raw_id",
+            "transaction_id", "user_id", "first_name", "last_name",
+            "full_name", "email", "phone", "address_type", "country_code",
+            *_dbl("latitude", "longitude"),
+            "is_new_address", "updated_at", "address_display",
+        )
+
+    @query(
+        "sql_compiled__stg_invoices_ar",
+        section="§2.7 SQL compiler HONESTY PROOF for the documented "
+        "divergence: stg_invoices_ar's `j:total::number` is "
+        "NUMBER(38,0) on Snowflake — integer rounding in amount_paid, "
+        "the status ladder, and the balance>0 filter. This entry "
+        "executes the reference SQL as written and checks it against an "
+        "oracle implementing the LITERAL Snowflake semantics (the "
+        "model__ twin and its oracle read the scale-2 business intent "
+        "instead — both interpretations are now value-proven)",
+        oracle=f"""
+WITH j AS (
+  SELECT TRY_CAST(JSON_DATA AS JSON) AS j
+  FROM '{{fixtures}}/zbooks_invoices.parquet'
+),
+f AS (
+  SELECT
+    json_extract_string(j, '$.invoice_id') AS invoice_id,
+    json_extract_string(j, '$.invoice_number') AS invoice_number,
+    json_extract_string(j, '$.customer_id') AS customer_id,
+    json_extract_string(j, '$.customer_name') AS customer_name,
+    CAST(json_extract_string(j, '$.date') AS DATE) AS invoice_date,
+    CAST(nullif(json_extract_string(j, '$.due_date'), '') AS DATE)
+      AS due_date,
+    lower(json_extract_string(j, '$.status')) AS src_status,
+    CAST(json_extract_string(j, '$.total') AS DECIMAL(18,2))
+      AS total_2dp,
+    CAST(json_extract_string(j, '$.balance') AS DECIMAL(18,2))
+      AS balance_2dp,
+    CAST(json_extract_string(j, '$.total') AS DECIMAL(38,0)) AS total_0,
+    CAST(json_extract_string(j, '$.balance') AS DECIMAL(38,0))
+      AS balance_0,
+    upper(json_extract_string(j, '$.currency_code')) AS currency_code
+  FROM j
+)
+SELECT invoice_id, invoice_number, customer_id, customer_name,
+  invoice_date, due_date, src_status,
+  CASE WHEN src_status = 'paid' AND balance_0 = 0 THEN 'paid'
+       WHEN balance_0 > 0 THEN 'partially_paid'
+       ELSE 'unpaid' END AS status_canonical,
+  CAST(total_2dp AS DOUBLE) AS total_amount,
+  CAST(coalesce(balance_2dp, 0) AS DOUBLE) AS balance,
+  CAST(greatest(coalesce(total_0, 0) - coalesce(balance_0, 0), 0)
+       AS DOUBLE) AS amount_paid,
+  currency_code
+FROM f WHERE coalesce(balance_0, 0) > 0
+""".replace("{fixtures}", FIXTURE_DIR),
+    )
+    def sql_compiled__stg_invoices_ar(spark, sf_dir):
+        df = _compiled(spark, "staging/stg_invoices_ar.sql")
+        return df.select(
+            "invoice_id", "invoice_number", "customer_id", "customer_name",
+            "invoice_date", "due_date", "src_status", "status_canonical",
+            *_dbl("total_amount", "balance", "amount_paid"),
+            "currency_code",
+        )
+
     def sql_compiled_dag_e2e(spark, sf_dir):
         """The end state of VERDICT r10 #2: a MIXED registry where the 20
         compilable models execute the REFERENCE'S OWN ``.sql`` files
