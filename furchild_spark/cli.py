@@ -1048,6 +1048,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     for c, o, v in m.incremental_predicates
                 ],
                 "tags": list(m.tags),
+                # dbt 1.5 governance surface (manifest parity: dbt emits
+                # group + access on every model node)
+                "group": m.group,
+                "access": m.access,
                 "description": D.description_of(m),
                 "contract": m.contract,
                 "depends_on": lineage.get(

@@ -310,6 +310,9 @@ def test_docs_manifest_shape(bronze, spark, tmp_path, capsys):
     assert any(
         c["name"].startswith("stg_items") for c in items["checks"]
     )
+    # dbt 1.5 governance surface on every node (dbt manifest parity)
+    assert fo["access"] == "protected" and fo["group"] is None
+    assert doc["nodes"]["agg_orders_daily"]["group"] == "reporting"
     assert "transactions" in doc["sources"]
     assert any(f["source"] == "transactions" for f in doc["freshness"])
 
