@@ -737,6 +737,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="also render a self-contained static HTML catalog page here "
              "(dbt docs serve's artifact, minus the server)",
     )
+    cp = sub.add_parser(
+        "compile",
+        help="dbt compile analog: render a dbt model's .sql (Jinja ref/"
+             "source/config/var) and print the Snowflake→Spark compiled "
+             "text with its relation placeholders and dependency list "
+             "(no Spark session, no execution)",
+    )
+    cp.add_argument("model", help="model name (resolved under "
+                                  "<project>/models/**) or a .sql path")
+    cp.add_argument(
+        "--project", default=None,
+        help="dbt project root (default: $REFERENCE_DIR checkout)",
+    )
+    cp.add_argument("--vars", help="JSON dict of dbt vars")
+    cp.add_argument(
+        "--incremental", action="store_true", dest="compile_incremental",
+        help="render is_incremental() Jinja blocks as active",
+    )
     g = sub.add_parser("gen-fixtures", help="write deterministic bronze demo data")
     g.add_argument("--bronze", required=True)
     mt = sub.add_parser(
@@ -788,6 +806,44 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
 
     args = p.parse_args(argv)
+
+    if args.cmd == "compile":
+        # dbt compile: pure text — no Spark session, no execution
+        import glob as _glob
+        import os
+
+        from furchild_spark.engine import sql_compiler as SC
+        from furchild_spark.engine.dbt_yaml import reference_dir
+
+        if args.model.endswith(".sql") and os.path.exists(args.model):
+            path = args.model
+        else:
+            project = args.project or reference_dir()
+            if not project:
+                _usage_error("no project: pass --project or set "
+                             "REFERENCE_DIR to a dbt checkout")
+            hits = _glob.glob(
+                os.path.join(project, "models", "**", f"{args.model}.sql"),
+                recursive=True,
+            )
+            if not hits:
+                _usage_error(f"model {args.model!r} not found under "
+                             f"{project}/models")
+            path = hits[0]
+        rendered = SC.compile_model_file(
+            path,
+            variables=json.loads(args.vars) if args.vars else None,
+            is_incremental=getattr(args, "compile_incremental", False),
+        )
+        if rendered.config:
+            print(f"-- config: {rendered.config}")
+        if rendered.refs:
+            print(f"-- refs: {', '.join(rendered.refs)}")
+        if rendered.sources:
+            print("-- sources: "
+                  + ", ".join(f"{s}.{t}" for s, t in rendered.sources))
+        print(rendered.sql.strip())
+        return 0
 
     if getattr(args, "seeds", None):
         from furchild_spark.engine.seeds import register_seeds

@@ -470,3 +470,40 @@ def test_ivfpq_retrain_equals_fresh_rebuild(spark, tmp_path):
                               "embedding", k=K)
     assert {tuple(r) for r in got.collect()} == \
         {tuple(r) for r in want.collect()}
+
+
+def test_retrain_staging_crash_window_serves_old_index(spark, tmp_path):
+    """Crash-consistency of the retrain swap: everything computes into
+    __staged dirs BEFORE any live table moves, so a crash mid-stage
+    leaves the live index untouched and a search still serves the OLD
+    artifacts; re-running the retrain completes normally (stale __staged
+    is simply overwritten)."""
+    from furchild_spark.operators.similarity import (
+        sq8_index_build, sq8_index_retrain, sq8_index_search, sq8_train,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+    base = emb.filter(F.col("vec_id") < 250)
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "sq8_crash")
+    sq8_index_build(spark, base, path, "vec_id", "embedding")
+    before = {tuple(r) for r in sq8_index_search(
+        spark, queries, path, "vec_id", "embedding", k=K).collect()}
+
+    # simulate the crash: staged artifacts exist, swap never happened
+    sq8_train(emb, "embedding", 64).write.mode("overwrite").parquet(
+        path + "__codec__staged")
+    mid = {tuple(r) for r in sq8_index_search(
+        spark, queries, path, "vec_id", "embedding", k=K).collect()}
+    assert mid == before  # live index untouched by the staged leftovers
+
+    sq8_index_retrain(spark, emb, path, "vec_id", "embedding")
+    fresh = str(tmp_path / "sq8_fresh")
+    sq8_index_build(spark, emb, fresh, "vec_id", "embedding")
+    got = {tuple(r) for r in sq8_index_search(
+        spark, queries, path, "vec_id", "embedding", k=K).collect()}
+    want = {tuple(r) for r in sq8_index_search(
+        spark, queries, fresh, "vec_id", "embedding", k=K).collect()}
+    assert got == want  # retrain over stale __staged completes cleanly

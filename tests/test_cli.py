@@ -852,6 +852,26 @@ def test_known_red_allowlist_gates_exit_code(bronze, spark, tmp_path,
     assert "known-red" in out and "0 error-severity failures" in out
 
 
+def test_compile_subcommand(capsys):
+    """`compile` (dbt compile analog): renders + dialect-rewrites a
+    reference model to Spark SQL text without a Spark session; unknown
+    models are usage errors."""
+    import pytest as _pytest
+
+    from furchild_spark.engine.dbt_yaml import reference_dir
+
+    if reference_dir() is None:
+        _pytest.skip("reference dbt project not present")
+    assert main(["compile", "stg_transactions"]) == 0
+    out = capsys.readouterr().out
+    assert "{src__bronze__transactions}" in out
+    assert "cast(id as string)" in out          # varchar -> string
+    assert "ORDER\\\\-|ORDER|ORD\\\\-" in out or "ORDER\\-|ORDER|ORD\\-" in out
+    assert "-- config: {'materialized': 'view'}" in out
+    with pytest.raises(SystemExit):
+        main(["compile", "nope_model"])
+
+
 def test_model_access_groups_enforced(spark):
     """dbt 1.5 governance (r10 VERDICT #6): a private model only
     resolves from its own group — the cross-group ref errors at PLAN
