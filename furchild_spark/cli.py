@@ -48,12 +48,27 @@ def _make_runner(args, spark):
     from furchild_spark.engine.registry import Runner
     from furchild_spark.models import registry
 
+    reg = registry
+    if getattr(args, "sql_models", False):
+        # --sql-models: the reference's OWN .sql files become the
+        # executable source for every compilable model (the other
+        # models keep their Python fns) — same configs, selectors,
+        # checks, hooks, and governance, different transform text
+        from furchild_spark.engine.dbt_yaml import reference_dir
+        from furchild_spark.engine.sql_compiler import with_sql_models
+
+        project = reference_dir()
+        if project is None:
+            _usage_error("--sql-models needs a dbt project checkout "
+                         "(set REFERENCE_DIR)")
+        reg = with_sql_models(registry, project)
+
     def sources(name: str):
         return spark.read.parquet(f"{args.bronze}/{name}.parquet")
 
     return Runner(
         spark,
-        registry,
+        reg,
         sources=sources,
         warehouse_dir=args.warehouse,
         incremental=args.incremental,
@@ -689,6 +704,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             help="abort on the first model failure (dbt --fail-fast); "
                  "default mirrors dbt: independent branches keep "
                  "building, failures and skips are reported at the end",
+        )
+        sp.add_argument(
+            "--sql-models", action="store_true", dest="sql_models",
+            help="execute the dbt project's own .sql files (compiled "
+                 "Snowflake→Spark) for every compilable model instead of "
+                 "the Python ports — configs/selectors/checks unchanged; "
+                 "needs REFERENCE_DIR pointing at the checkout",
         )
         sp.add_argument(
             "--known-red", dest="known_red", metavar="CHECK[,CHECK...]",

@@ -919,6 +919,66 @@ def compile_model_file(path: str, *, variables: dict | None = None,
     )
 
 
+# Every non-empty reference model whose SQL executes byte-equal to its
+# Python port on the committed fixtures (tests/test_sql_compiler.py runs
+# the equality suite; the sql_compiled__* catalog entries carry the
+# driver-hash evidence). NOT here, with reasons: the 9 dims/aggs are
+# EMPTY reference files (nothing to compile; the Python models complete
+# them); stg_items / stg_packages / fct_order_items assume source
+# contracts the fixtures deliberately violate (Snowflake would raise
+# the same cast errors); stg_invoices_ar's `::number` is NUMBER(38,0)
+# on Snowflake (integer rounding) where the Python port reads scale-2
+# intent — both interpretations are oracle-proven
+# (sql_compiled__stg_invoices_ar); fct_orders' as-of ranking has no
+# tiebreak and the fixtures contain an exact tie.
+COMPILED_MODELS = [
+    ("stg_users", "staging/stg_users.sql"),
+    ("stg_transactions", "staging/stg_transactions.sql"),
+    ("stg_customers", "staging/stg_customers.sql"),
+    ("stg_orders", "staging/stg_orders.sql"),
+    ("stg_order_items", "staging/stg_order_items.sql"),
+    ("stg_addresses", "staging/stg_addresses.sql"),
+    ("stg_delivery_slots", "staging/stg_delivery_slots.sql"),
+    ("stg_invoice_payments", "staging/stg_invoice_payments.sql"),
+    ("stg_shipments", "staging/stg_shipments.sql"),
+    ("stg_product_brands", "staging/stg_product_brands.sql"),
+    ("stg_product_categories", "staging/stg_product_categories.sql"),
+    ("stg_product_details", "staging/stg_product_details.sql"),
+    ("dim_customer", "marts/commerce/dims/dim_customer.sql"),
+    ("dim_orders", "marts/commerce/dims/dim_orders.sql"),
+    ("fct_orders_revenue", "marts/commerce/facts/fct_orders_revenue.sql"),
+    ("fct_customers", "marts/commerce/facts/fct_customers.sql"),
+    ("fct_customer_monthly_revenue",
+     "marts/commerce/facts/fct_customer_monthly_revenue.sql"),
+    ("customer_revenue_ltv", "marts/commerce/facts/customer_revenue_ltv.sql"),
+    ("cohort_revenue_ltv", "marts/commerce/facts/cohort_revenue_ltv.sql"),
+    ("first_channel_ltv", "marts/commerce/facts/first_channel_ltv.sql"),
+]
+
+
+def with_sql_models(base_registry, project_dir: str):
+    """Clone a registry with every compilable model's FUNCTION swapped
+    for the compiled reference SQL (:data:`COMPILED_MODELS`); all
+    declared config — materialization, unique_key, tags, hooks,
+    contracts, governance — stays exactly as registered, so the clone
+    drops into any Runner/CLI path unchanged. The Python fns remain for
+    the empty stubs and the documented divergences."""
+    import dataclasses
+
+    from furchild_spark.engine.registry import ModelRegistry
+
+    compiled = dict(COMPILED_MODELS)
+    out = ModelRegistry()
+    for name in base_registry.names():
+        m = base_registry[name]
+        if name in compiled:
+            m = dataclasses.replace(m, fn=sql_model_fn(
+                os.path.join(project_dir, "models", compiled[name])))
+        out._models[name] = m
+    out._exposures = dict(base_registry._exposures)
+    return out
+
+
 def sql_model_fn(path: str, *, now=None):
     """A registry-compatible model FUNCTION that executes the reference's
     own SQL file — the end state of VERDICT r10 #2: the ``.sql`` text is

@@ -25,39 +25,9 @@ from .catalog import query
 from .models_oracle import FIXTURE_DIR, _dbl, _runner
 
 
-# Every non-empty reference model whose SQL executes byte-equal to its
-# Python port on the committed fixtures (tests/test_sql_compiler.py runs
-# the equality suite). NOT here, with reasons: the 9 dims/aggs are EMPTY
-# reference files (nothing to compile; the Python models complete them);
-# stg_items / stg_packages / fct_order_items assume source contracts the
-# fixtures deliberately violate (Snowflake would raise the same cast
-# errors); stg_invoices_ar's `::number` is NUMBER(38,0) on Snowflake
-# (integer rounding) where the Python port reads scale-2 intent;
-# fct_orders' as-of ranking has no tiebreak and the fixtures contain an
-# exact tie.
-COMPILED_MODELS = [
-    ("stg_users", "staging/stg_users.sql"),
-    ("stg_transactions", "staging/stg_transactions.sql"),
-    ("stg_customers", "staging/stg_customers.sql"),
-    ("stg_orders", "staging/stg_orders.sql"),
-    ("stg_order_items", "staging/stg_order_items.sql"),
-    ("stg_addresses", "staging/stg_addresses.sql"),
-    ("stg_delivery_slots", "staging/stg_delivery_slots.sql"),
-    ("stg_invoice_payments", "staging/stg_invoice_payments.sql"),
-    ("stg_shipments", "staging/stg_shipments.sql"),
-    ("stg_product_brands", "staging/stg_product_brands.sql"),
-    ("stg_product_categories", "staging/stg_product_categories.sql"),
-    ("stg_product_details", "staging/stg_product_details.sql"),
-    ("dim_customer", "marts/commerce/dims/dim_customer.sql"),
-    ("dim_orders", "marts/commerce/dims/dim_orders.sql"),
-    ("fct_orders_revenue", "marts/commerce/facts/fct_orders_revenue.sql"),
-    ("fct_customers", "marts/commerce/facts/fct_customers.sql"),
-    ("fct_customer_monthly_revenue",
-     "marts/commerce/facts/fct_customer_monthly_revenue.sql"),
-    ("customer_revenue_ltv", "marts/commerce/facts/customer_revenue_ltv.sql"),
-    ("cohort_revenue_ltv", "marts/commerce/facts/cohort_revenue_ltv.sql"),
-    ("first_channel_ltv", "marts/commerce/facts/first_channel_ltv.sql"),
-]
+# The canonical compilable-model list lives in the engine next to
+# sql_model_fn/with_sql_models; entries and tests import it.
+from furchild_spark.engine.sql_compiler import COMPILED_MODELS  # noqa: E402,F401
 
 
 def _compiled(spark, rel_path: str):
