@@ -25,6 +25,7 @@ from __future__ import annotations
 import argparse
 import datetime as dt
 import json
+import re
 import sys
 
 
@@ -364,6 +365,55 @@ def _expand_token_list(args, spark, toks, _cache=None) -> list[str]:
             pre = at or ("+" if t.startswith("+") else "")
             expanded.extend(pre + h + trail for h in hits)
         toks = expanded
+    if any("version:" in t for t in toks):
+        # dbt 1.5 version selectors: version:latest / version:old /
+        # version:prerelease (versions above the declared latest) /
+        # version:none (unversioned models); graph operators compose
+        from furchild_spark.models import registry as _reg
+
+        expanded = []
+        for t in toks:
+            at = "@" if t.startswith("@") else ""
+            core = t.removeprefix("@").removeprefix("+")
+            trail = "+" if core.endswith("+") else ""
+            core = core.removesuffix("+")
+            if not core.startswith("version:"):
+                expanded.append(t)
+                continue
+            which = core.removeprefix("version:")
+            if which not in ("latest", "old", "prerelease", "none"):
+                _usage_error(
+                    f"unknown version selector: {core!r} (supported: "
+                    "version:latest/old/prerelease/none)"
+                )
+            hits = []
+            for n in _reg.names():
+                m = _reg[n]
+                if m.version is None:
+                    if which == "none":
+                        hits.append(n)
+                    continue
+                latest = _reg.latest_version(m.base_name)
+                if (
+                    (which == "latest" and m.version == latest)
+                    or (which == "old" and m.version < latest)
+                    or (which == "prerelease" and m.version > latest)
+                ):
+                    hits.append(n)
+            if not hits:
+                _usage_error(f"version:{which!r} matches no models")
+            pre = at or ("+" if t.startswith("+") else "")
+            expanded.extend(pre + h + trail for h in hits)
+        toks = expanded
+    # dbt selection alias model.vN -> the node name model_vN
+    from furchild_spark.models import registry as _vreg
+
+    toks = [
+        t if t in _vreg.names() else re.sub(
+            r"^([@+]*)([A-Za-z0-9_]+)\.v(\d+)(\+?)$", r"\1\2_v\3\4", t
+        )
+        for t in toks
+    ]
     state_toks = [t for t in toks if t.startswith("state:")]
     result_toks = [t for t in toks if t.startswith("result:")]
     graph_toks = [
@@ -902,8 +952,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if selected is not None and name not in selected:
                 continue
             m = registry[name]
-            print(f"{name:40s} {m.materialized:12s} "
-                  f"{'unique_key=' + str(m.unique_key) if m.unique_key else ''}")
+            extra = "unique_key=" + str(m.unique_key) if m.unique_key else ""
+            if m.version is not None:
+                # dbt ls marks versioned nodes; LATEST is what an
+                # unpinned ref resolves to
+                latest = registry.latest_version(m.base_name)
+                extra += (" " if extra else "") + (
+                    f"version={m.version}"
+                    + (" (latest)" if m.version == latest else "")
+                )
+            if m.deprecation_date is not None:
+                extra += (" " if extra else "") + (
+                    f"deprecated={m.deprecation_date.isoformat()}"
+                )
+            print(f"{name:40s} {m.materialized:12s} {extra}")
         if selected is None:
             for name, exp in registry.exposures().items():
                 print(f"{name:40s} {'exposure':12s} "
@@ -1130,6 +1192,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 # group + access on every model node)
                 "group": m.group,
                 "access": m.access,
+                # dbt 1.5 versions / 1.6 deprecation (manifest parity:
+                # version, latest_version, deprecation_date per node)
+                "version": m.version,
+                "latest_version": (
+                    registry.latest_version(m.base_name)
+                    if m.base_name else None
+                ),
+                "deprecation_date": (
+                    m.deprecation_date.isoformat()
+                    if m.deprecation_date else None
+                ),
                 "description": D.description_of(m),
                 "contract": m.contract,
                 "depends_on": lineage.get(

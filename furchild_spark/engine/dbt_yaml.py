@@ -87,6 +87,16 @@ class DerivedModel:
     # default protected, like dbt
     group: str | None = None
     access: str = "protected"
+    # dbt 1.5 model versions (YAML `versions:` blocks): a versioned
+    # model's entry is re-keyed to dbt's default relation name
+    # `<base>_v<v>`; `base_name` keeps the family name ref() resolves,
+    # `latest_version` the declared (or max) latest. dbt 1.6
+    # `deprecation_date` parses to an ISO date string (warnings fire in
+    # the registry, which owns the clock).
+    version: int | None = None
+    base_name: str | None = None
+    latest_version: int | None = None
+    deprecation_date: str | None = None
 
 
 @dataclass(frozen=True)
@@ -109,6 +119,10 @@ class DbtProject:
     models: dict = field(default_factory=dict)  # name -> DerivedModel
     tests: list = field(default_factory=list)  # TestSpec (models + sources)
     sources: dict = field(default_factory=dict)  # table name -> SourceTable
+    # generate_schema_name semantics: "default" (dbt target_custom
+    # prefixing) or "verbatim" (the reference's override) — see
+    # load_schema_naming
+    schema_naming: str = "default"
 
 
 # ---------------------------------------------------------------------------
@@ -246,7 +260,159 @@ def apply_yaml_governance(models: dict, project_dir: str) -> dict:
     return models
 
 
+def apply_yaml_versions(models: dict, project_dir: str) -> dict:
+    """Re-key versioned models per dbt 1.5 ``versions:`` YAML blocks.
+
+    For a YAML entry ``{name: m, latest_version: N, versions: [{v: 1},
+    {v: 2, defined_in: other_file, config: {...}}]}`` each version's SQL
+    file resolves dbt's way — ``defined_in`` if declared, else
+    ``<name>_v<v>``, else (latest version only) ``<name>`` — and the
+    scanned entry is re-keyed to the default relation name
+    ``<name>_v<v>`` with ``version``/``base_name``/``latest_version``
+    set. Version-level ``config:`` overrides (materialized, tags, group,
+    access, unique_key, alias, schema) overlay the file-derived config.
+    dbt 1.6 ``deprecation_date`` (model-level) lands on every version.
+    Unversioned models pass through untouched."""
+    import dataclasses as _dc
+    import glob
+
+    _require_yaml()
+    for path in sorted(
+        glob.glob(os.path.join(project_dir, "models", "**", "*.yml"),
+                  recursive=True)
+    ):
+        doc = yaml.safe_load(open(path))
+        if not isinstance(doc, dict):
+            continue
+        for m in doc.get("models") or []:
+            name = m.get("name")
+            vers = m.get("versions")
+            dep = m.get("deprecation_date")
+            dep = str(dep) if dep is not None else None
+            if not vers:
+                if dep and name in models:
+                    models[name] = _dc.replace(
+                        models[name], deprecation_date=dep
+                    )
+                continue
+            declared = [int(v["v"]) for v in vers]
+            latest = int(m.get("latest_version", max(declared)))
+            for v in vers:
+                vn = int(v["v"])
+                stem = v.get("defined_in") or f"{name}_v{vn}"
+                base_entry = models.get(stem)
+                if base_entry is None and vn == latest:
+                    base_entry = models.get(name)  # dbt latest fallback
+                    stem = name if base_entry is not None else stem
+                if base_entry is None:
+                    raise FileNotFoundError(
+                        f"versioned model {name} v{vn}: no SQL file "
+                        f"{stem}.sql under models/ (declare defined_in?)"
+                    )
+                cfg = dict(v.get("config") or {})
+                updates = {
+                    k: cfg[k] for k in (
+                        "materialized", "group", "access", "unique_key",
+                        "alias", "schema",
+                    ) if k in cfg
+                }
+                if "tags" in cfg:
+                    updates["tags"] = tuple(cfg["tags"] or ())
+                models[f"{name}_v{vn}"] = _dc.replace(
+                    base_entry,
+                    name=f"{name}_v{vn}",
+                    version=vn,
+                    base_name=name,
+                    latest_version=latest,
+                    deprecation_date=dep,
+                    **updates,
+                )
+                if stem in models and stem != f"{name}_v{vn}":
+                    del models[stem]
+    return models
+
+
 _REF_IN_YAML = re.compile(r"ref\(\s*['\"]([^'\"]+)['\"]\s*\)")
+
+
+# ---------------------------------------------------------------------------
+# relation naming: generate_schema_name + alias (dbt's database.schema.id)
+# ---------------------------------------------------------------------------
+
+_SCHEMA_MACRO = re.compile(
+    r"\{%-?\s*macro\s+generate_schema_name\s*\(", re.I
+)
+
+
+def load_schema_naming(project_dir: str) -> str:
+    """Which ``generate_schema_name`` rule the project uses.
+
+    dbt resolves every model's schema through this overridable macro.
+    Two shapes cover dbt practice (and both appear in dbt's own docs):
+
+    - ``"default"`` — dbt-core's built-in: a model with a custom
+      ``schema:`` lands in ``<target_schema>_<custom>`` (dev isolation
+      by prefixing).
+    - ``"verbatim"`` — the standard override (the reference ships it at
+      ``macros/generate_schema_name.sql:1-9``): the custom schema name
+      is used AS-IS (trimmed), so ``+schema: SILVER`` means schema
+      ``SILVER``, not ``analytics_SILVER``.
+
+    Classification is by the macro body's discriminating expression: a
+    body concatenating ``default_schema`` with the custom name is
+    dbt-default behavior; a body emitting the custom name alone is
+    verbatim. A macro matching neither shape raises — better loud than a
+    silently wrong physical layout."""
+    import glob
+
+    for path in sorted(
+        glob.glob(os.path.join(project_dir, "macros", "**", "*.sql"),
+                  recursive=True)
+    ):
+        text = open(path).read()
+        if not _SCHEMA_MACRO.search(text):
+            continue
+        m = re.search(
+            r"\{%-?\s*macro\s+generate_schema_name\s*\(.*?%\}(.*?)"
+            r"\{%-?\s*endmacro", text, re.S | re.I,
+        )
+        body = m.group(1) if m else text
+        # every emitted expression must be one of the two macro inputs
+        # (or target.schema) — anything else (env_var, node.*, vars) is
+        # a naming rule this engine can't replay; fail loud rather than
+        # resolve a silently wrong physical layout
+        for e in re.findall(r"\{\{-?\s*(.*?)\s*-?\}\}", body):
+            if not re.fullmatch(
+                r"default_schema|target\.schema|"
+                r"custom_schema_name(\s*\|\s*trim)?", e.strip(),
+            ):
+                raise ValueError(
+                    f"unrecognized generate_schema_name macro in {path} "
+                    f"(expression {{{{ {e} }}}}) — supported shapes: dbt "
+                    "default (target_custom) or verbatim custom schema"
+                )
+        if re.search(r"\}\}\s*_\s*\{\{", body):
+            return "default"  # dbt-core's concatenating built-in
+        return "verbatim"
+    return "default"
+
+
+def relation_name(dm: DerivedModel, *, naming: str = "default",
+                  target_schema: str = "analytics",
+                  database: str | None = None) -> str:
+    """The model's resolved ``[database.]schema.identifier`` — what dbt
+    records as ``relation_name`` in its manifest. The identifier is the
+    ``alias`` config when declared, else the model name (for versioned
+    models the node name already carries dbt's ``_v<N>`` suffix); the
+    schema follows :func:`load_schema_naming` semantics."""
+    if dm.schema is None:
+        schema = target_schema
+    elif naming == "verbatim":
+        schema = str(dm.schema).strip()
+    else:
+        schema = f"{target_schema}_{str(dm.schema).strip()}"
+    ident = dm.alias or dm.name
+    return f"{database}.{schema}.{ident}" if database else f"{schema}.{ident}"
 
 
 def load_exposures(project_dir: str) -> list:
@@ -434,9 +600,13 @@ def load_project(project_dir: str) -> DbtProject:
     return DbtProject(
         name=proj["name"],
         vars=dict(proj.get("vars") or {}),
-        models=apply_yaml_governance(scan_models(project_dir), project_dir),
+        models=apply_yaml_versions(
+            apply_yaml_governance(scan_models(project_dir), project_dir),
+            project_dir,
+        ),
         tests=tests,
         sources=sources,
+        schema_naming=load_schema_naming(project_dir),
     )
 
 
@@ -468,6 +638,17 @@ def engine_model_kwargs(dm: DerivedModel) -> dict:
         kw["group"] = dm.group
     if dm.access != "protected":
         kw["access"] = dm.access
+    if dm.version is not None:
+        # registry re-derives the node name from (base_name, version) —
+        # callers register under name=dm.base_name
+        kw["version"] = dm.version
+        kw["latest_version"] = dm.latest_version
+    if dm.deprecation_date:
+        import datetime as _dt
+
+        kw["deprecation_date"] = _dt.date.fromisoformat(
+            dm.deprecation_date[:10]
+        )
     return kw
 
 

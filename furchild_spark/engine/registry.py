@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import datetime as dt
 import threading
+import warnings
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -149,6 +150,18 @@ class Model:
     # analog of dbt's parse-time manifest check), before anything runs.
     group: str | None = None
     access: str = "protected"
+    # dbt 1.5 model versions: a versioned model registers one node per
+    # version, named `<base>_v<version>` — dbt's default relation name
+    # for every version, latest included (teams that want an unsuffixed
+    # alias add a view, exactly as dbt docs recommend). `base_name` is
+    # the version-family name (`ref('base')` resolves to the latest
+    # version); unversioned models leave both fields None.
+    version: int | None = None
+    base_name: str | None = None
+    # dbt 1.6 deprecation_date: past this date the model still builds,
+    # but building it or ref()ing it emits a DeprecationWarning (dbt's
+    # behavior — a warning event, never a failure)
+    deprecation_date: dt.date | None = None
 
 
 @dataclass
@@ -176,6 +189,10 @@ class ModelRegistry:
     def __init__(self) -> None:
         self._models: dict[str, Model] = {}
         self._exposures: dict[str, Exposure] = {}
+        # dbt 1.5 model versions: base name -> {version: node name};
+        # declared latest_version per base (default: max registered)
+        self._versions: dict[str, dict[int, str]] = {}
+        self._declared_latest: dict[str, int] = {}
 
     def model(
         self,
@@ -198,6 +215,9 @@ class ModelRegistry:
         contract: dict | None = None,
         group: str | None = None,
         access: str = "protected",
+        version: int | None = None,
+        latest_version: int | None = None,
+        deprecation_date: dt.date | None = None,
     ):
         def deco(fn):
             def _cols(v):
@@ -216,6 +236,47 @@ class ModelRegistry:
                 return hooks
 
             model_name = name or fn.__name__
+            base = None
+            if version is not None:
+                # dbt 1.5 model versions: the node (and its relation /
+                # warehouse path) is `<base>_v<version>` — dbt's default
+                # naming for every version of a versioned model
+                if not isinstance(version, int) or version < 1:
+                    raise ValueError(
+                        f"model {model_name}: version must be a positive "
+                        f"int, got {version!r}"
+                    )
+                base = model_name
+                if base in self._models:
+                    raise ValueError(
+                        f"model {base} is already registered unversioned — "
+                        "a name cannot be both a version family and a model"
+                    )
+                fam = self._versions.setdefault(base, {})
+                if version in fam:
+                    raise ValueError(
+                        f"model {base}: version {version} registered twice"
+                    )
+                if latest_version is not None:
+                    prior = self._declared_latest.get(base)
+                    if prior is not None and prior != latest_version:
+                        raise ValueError(
+                            f"model {base}: conflicting latest_version "
+                            f"declarations ({prior} vs {latest_version})"
+                        )
+                    self._declared_latest[base] = latest_version
+                model_name = f"{base}_v{version}"
+                fam[version] = model_name
+            elif latest_version is not None:
+                raise ValueError(
+                    f"model {model_name}: latest_version without version "
+                    "— declare versions on each instance"
+                )
+            if version is None and model_name in self._versions:
+                raise ValueError(
+                    f"model {model_name} is already a version family — "
+                    "register new instances with version=N"
+                )
             # fail at REGISTRATION, not mid-run on a 100 TB build: every
             # strategy's preconditions are static model config
             if incremental_strategy not in (
@@ -301,16 +362,61 @@ class ModelRegistry:
                 contract=contract,
                 group=group,
                 access=access,
+                version=version,
+                base_name=base,
+                deprecation_date=deprecation_date,
             )
             return fn
 
         return deco
 
+    # -- dbt 1.5 model versions -------------------------------------------
+    def versions_of(self, base: str) -> dict[int, str]:
+        """{version: node name} for a version family (empty if ``base``
+        is not versioned)."""
+        return dict(self._versions.get(base, {}))
+
+    def latest_version(self, base: str) -> int | None:
+        """The family's latest version: the declared ``latest_version``
+        if any registration pinned one, else the max registered version
+        (dbt's default). None for unversioned names."""
+        if base not in self._versions:
+            return None
+        return self._declared_latest.get(base, max(self._versions[base]))
+
+    def resolve(self, name: str, v: int | None = None) -> str:
+        """Node name for a ref target: versioned bases resolve to
+        ``<base>_v<v>`` (latest when unpinned — dbt's unpinned-ref
+        rule); exact node names and unversioned models pass through.
+        ``name.vN`` (dbt's selection syntax) is accepted as an alias for
+        ``name_vN``."""
+        if v is not None:
+            fam = self._versions.get(name)
+            if fam is None:
+                raise KeyError(
+                    f"ref({name!r}, v={v}): {name} is not a versioned model"
+                )
+            if v not in fam:
+                raise KeyError(
+                    f"ref({name!r}, v={v}): no such version "
+                    f"(registered: {sorted(fam)})"
+                )
+            return fam[v]
+        if name in self._models:
+            return name
+        if name in self._versions:
+            return self._versions[name][self.latest_version(name)]
+        if "." in name:  # dbt selection alias model.vN
+            stem, _, tail = name.rpartition(".")
+            if tail.startswith("v") and tail[1:].isdigit():
+                return self.resolve(stem, int(tail[1:]))
+        return name
+
     def __getitem__(self, name: str) -> Model:
-        return self._models[name]
+        return self._models[self.resolve(name)]
 
     def __contains__(self, name: str) -> bool:
-        return name in self._models
+        return self.resolve(name) in self._models
 
     def names(self) -> list[str]:
         return list(self._models)
@@ -371,7 +477,7 @@ class ExecutionContext:
     batch_start: dt.datetime | None = None
     batch_end: dt.datetime | None = None
 
-    def ref(self, name: str) -> DataFrame:
+    def ref(self, name: str, v: int | None = None) -> DataFrame:
         # dbt 1.5 access enforcement at PLAN time (the manifest-compile
         # analog): a private model only resolves from its own group.
         # `protected` (dbt's default) is package-scoped — a single-project
@@ -387,7 +493,7 @@ class ExecutionContext:
                 "rules (declare access: public/protected on the target, or "
                 "move the consumer into the group)"
             )
-        return self.runner.ref(name)
+        return self.runner.ref(name, v=v)
 
     def source(self, name: str) -> DataFrame:
         return self.runner.source(name)
@@ -590,7 +696,31 @@ class Runner:
         # scans a data file.
         return df.limit(0) if self.empty else df
 
-    def ref(self, name: str) -> DataFrame:
+    def ref(self, name: str, v: int | None = None) -> DataFrame:
+        # dbt 1.5 model versions: an unpinned ref to a versioned model
+        # resolves to the LATEST version and warns (dbt's unpinned-ref
+        # event — pin with ref(name, v=N) to silence); a ref to a model
+        # past its deprecation_date builds but warns (dbt 1.6 — a
+        # warning event, never a failure).
+        if v is None and name in self.registry._versions:
+            warnings.warn(
+                f"unpinned ref({name!r}) to a versioned model resolves to "
+                f"v{self.registry.latest_version(name)} — pin with "
+                f"ref({name!r}, v=N)",
+                UserWarning, stacklevel=2,
+            )
+        name = self.registry.resolve(name, v)
+        m = self.registry._models.get(name)
+        if m is not None and m.deprecation_date is not None:
+            today = self.now.date() if isinstance(self.now, dt.datetime) \
+                else self.now
+            if today is not None and today > m.deprecation_date:
+                warnings.warn(
+                    f"model {name} passed its deprecation_date "
+                    f"({m.deprecation_date.isoformat()}) — dbt deprecation "
+                    "warning",
+                    DeprecationWarning, stacklevel=2,
+                )
         self._record_edge("refs", name)
         if name not in self._cache:
             with self._locks_guard:

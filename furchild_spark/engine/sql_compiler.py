@@ -190,7 +190,9 @@ _IF_INC = re.compile(
     re.S,
 )
 _EXPR = re.compile(r"\{\{-?\s*(.*?)\s*-?\}\}", re.S)
-_REF = re.compile(r"ref\(\s*'([^']+)'\s*\)$")
+_REF = re.compile(
+    r"ref\(\s*'([^']+)'\s*(?:,\s*(?:v|version)\s*=\s*(\d+)\s*)?\)$"
+)
 _SOURCE = re.compile(r"source\(\s*'([^']+)'\s*,\s*'([^']+)'\s*\)$")
 _VAR = re.compile(r"var\(\s*'([^']+)'\s*(?:,\s*(.*?)\s*)?\)$", re.S)
 
@@ -227,6 +229,11 @@ def render(sql_text: str, *, variables: dict | None = None,
         r = _REF.match(expr)
         if r:
             name = r.group(1)
+            # dbt 1.5 version pin ref('m', v=2): resolve to dbt's
+            # default relation name m_v2 — the registry node name, so
+            # the placeholder round-trips through ctx.ref unchanged
+            if r.group(2) is not None:
+                name = f"{name}_v{int(r.group(2))}"
             ph = f"ref__{name}"
             placeholders[ph] = ("ref", name)
             if name not in refs:
@@ -976,6 +983,10 @@ def with_sql_models(base_registry, project_dir: str):
                 os.path.join(project_dir, "models", compiled[name])))
         out._models[name] = m
     out._exposures = dict(base_registry._exposures)
+    # dbt 1.5 model versions: carry the family maps so ref('base')
+    # still resolves to the latest version in the cloned registry
+    out._versions = {k: dict(v) for k, v in base_registry._versions.items()}
+    out._declared_latest = dict(base_registry._declared_latest)
     return out
 
 

@@ -754,6 +754,104 @@ def dbt_yaml_model_e2e(spark, sf_dir):
     )
 
 
+@query(
+    "model_versions_e2e",
+    section="S2 extra: dbt 1.5 model versions + default relation naming "
+    "— a versioned family materializes one relation per version "
+    "(<base>_v<v>), ref('base') resolves to the declared latest, "
+    "ref('base', v=1) pins; the report joins latest against pinned-v1 "
+    "(observable in the hash: the two versions aggregate DIFFERENT row "
+    "sets) and asserts both relations landed on disk",
+    oracle="""
+WITH v1 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM orders GROUP BY o_custkey
+),
+v2 AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_orderstatus <> 'F' GROUP BY o_custkey
+)
+SELECT v2.o_custkey, v2.total AS latest_total, v2.n_orders,
+       v1.total AS v1_total, TRUE AS both_materialized
+FROM v2 JOIN v1 ON v1.o_custkey = v2.o_custkey
+""",
+)
+def model_versions_e2e(spark, sf_dir):
+    """dbt 1.5 model versions through the real Runner: ``cust_rollup``
+    registers v1 (all orders) and v2 (open orders only, + n_orders;
+    the latest), each materializing to its own dbt-default relation
+    ``cust_rollup_v1`` / ``cust_rollup_v2`` in the warehouse. The report
+    model refs the family UNPINNED (resolves v2 — dbt's latest rule,
+    with the unpinned-ref warning) and PINNED at v=1; the inner join's
+    row set and both value columns differ between versions, so version
+    resolution is fully observable in the driver hash. Engine-generic
+    surface (the reference declares no versions) — synthetic like
+    groups/access, but driven end-to-end through warehouse
+    materialization, not just the registry."""
+    import os
+    import warnings as W
+
+    from furchild_spark.engine.registry import ModelRegistry, Runner
+
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    reg = ModelRegistry()
+
+    def _rollup(df):
+        return df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total")
+        )
+
+    @reg.model(name="cust_rollup", version=1)
+    def r1(ctx):
+        return _rollup(ctx.source("orders"))
+
+    @reg.model(name="cust_rollup", version=2, latest_version=2)
+    def r2(ctx):
+        df = ctx.source("orders").filter(F.col("o_orderstatus") != "F")
+        return df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+        )
+
+    @reg.model(name="version_report")
+    def version_report(ctx):
+        with W.catch_warnings():
+            # the unpinned-ref warning is the asserted-elsewhere
+            # contract (tests/test_model_versions.py); here it would
+            # just repeat per bench run
+            W.simplefilter("ignore")
+            latest = ctx.ref("cust_rollup")  # dbt: resolves v2
+        v1 = ctx.ref("cust_rollup", v=1)
+        return (
+            latest.select(
+                "o_custkey",
+                F.col("total").alias("latest_total"),
+                "n_orders",
+            )
+            .join(
+                v1.select("o_custkey", F.col("total").alias("v1_total")),
+                on="o_custkey",
+            )
+        )
+
+    base = tempfile.mkdtemp(prefix="furchild_model_versions_e2e_")
+    r = Runner(spark, reg, sources=lambda n: o, warehouse_dir=base)
+    df = r.ref("version_report")
+    both = all(
+        os.path.isdir(os.path.join(base, d))
+        for d in ("cust_rollup_v1", "cust_rollup_v2")
+    )
+    return df.select(
+        "o_custkey", "latest_total", "n_orders", "v1_total",
+        F.lit(both).alias("both_materialized"),
+    )
+
+
 # Registered ONLY when the reference checkout is present (ADVICE r10:
 # the sweep iterates ALL queries, so a hardcoded path would crash every
 # standalone checkout — mirror tests/test_dbt_yaml.py's skip guard).

@@ -470,3 +470,62 @@ exposures:
     for e in exps:
         reg.exposure(**e)
     assert reg.exposures()["weekly_kpis"].depends_on == ("m1",)
+
+
+def test_generate_schema_name_macro_parity(project):
+    """The reference overrides generate_schema_name to use the custom
+    schema VERBATIM (macros/generate_schema_name.sql:1-9) — so staging
+    models resolve to SILVER.* and marts to GOLD.*, NOT dbt-default
+    analytics_SILVER/analytics_GOLD. The alias config flows into the
+    identifier (dim_customer materializes as DIM_CUSTOMERS)."""
+    assert project.schema_naming == "verbatim"
+    assert D.relation_name(
+        project.models["stg_users"], naming=project.schema_naming
+    ) == "SILVER.stg_users"
+    assert D.relation_name(
+        project.models["fct_orders"], naming=project.schema_naming,
+        database="prod"
+    ) == "prod.GOLD.fct_orders"
+    assert D.relation_name(
+        project.models["dim_customer"], naming=project.schema_naming
+    ) == "GOLD.DIM_CUSTOMERS"
+    # dbt-core default semantics differ — the macro override is
+    # OBSERVABLE, which is why load_schema_naming must read it
+    assert D.relation_name(
+        project.models["stg_users"], naming="default"
+    ) == "analytics_SILVER.stg_users"
+
+
+def test_generate_schema_name_shapes(tmp_path):
+    """Macro classification: absent -> dbt default; dbt-core's
+    concatenating body -> default; unrecognized bodies fail loud."""
+    proj = tmp_path / "p"
+    (proj / "macros").mkdir(parents=True)
+    (proj / "dbt_project.yml").write_text("name: p\n")
+    assert D.load_schema_naming(str(proj)) == "default"
+
+    (proj / "macros" / "gsn.sql").write_text("""
+{% macro generate_schema_name(custom_schema_name, node) -%}
+    {%- set default_schema = target.schema -%}
+    {%- if custom_schema_name is none -%}
+        {{ default_schema }}
+    {%- else -%}
+        {{ default_schema }}_{{ custom_schema_name | trim }}
+    {%- endif -%}
+{%- endmacro %}
+""")
+    assert D.load_schema_naming(str(proj)) == "default"
+
+    (proj / "macros" / "gsn.sql").write_text("""
+{% macro generate_schema_name(custom_schema_name, node) -%}
+    {{ env_var('SCHEMA_PREFIX') }}{{ custom_schema_name }}
+{%- endmacro %}
+""")
+    with pytest.raises(ValueError, match="generate_schema_name"):
+        D.load_schema_naming(str(proj))
+
+    # no custom schema declared: target schema either way
+    dm = D.DerivedModel(name="m", rel_path="m.sql", materialized="table")
+    assert D.relation_name(dm, naming="verbatim") == "analytics.m"
+    assert D.relation_name(dm, naming="default",
+                           target_schema="dev_bob") == "dev_bob.m"
