@@ -628,6 +628,68 @@ def formula_codebook(
     ]
 
 
+def rotation_sign_sql(dim: int) -> str:
+    """The ±1 sign diagonal of :func:`rotate_quantized` as one SQL
+    expression (md5-parity derived — seedless, identical text in Spark
+    and DuckDB, the package's standard determinism device)."""
+    return (
+        f"transform(sequence(0, {dim - 1}), j -> CASE WHEN "
+        "locate(substring(md5(cast(j as string)), 1, 1), '02468ace') > 0 "
+        "THEN 1L ELSE -1L END)"
+    )
+
+
+def rotate_quantized(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    pre_quantized: bool = False,
+) -> DataFrame:
+    """Deterministic random-rotation preconditioner for PQ/SQ — the
+    FAISS ``RandomRotationMatrix``/OPQ-lite move: before product
+    quantization, multiply every vector by a fixed orthogonal-ish
+    matrix so variance spreads evenly across subspaces (raw embeddings
+    concentrate energy in leading dimensions — PCA'd or not — which
+    starves trailing PQ subspaces and wastes their codebooks).
+
+    The rotation is a Walsh–Hadamard transform times a ±1 sign
+    diagonal: ``r[i] = Σ_j sign(j) · v[j] · (−1)^popcount(i & j)`` —
+    the structured rotation used in practice precisely because it needs
+    no stored matrix (H(i,j) is two integer ops) and applies in
+    O(dim²) exact integer arithmetic here (O(dim log dim) with the
+    recursive butterfly; at dim=64 the flat form stays one codegen'd
+    projection). Deliberately UNNORMALIZED (no ÷√dim): every component
+    scales by the same √dim factor, so all squared distances scale by
+    ``dim`` and every argmin/rank is unchanged, while the arithmetic
+    stays in the package's exact int64 domain (a ÷8 would truncate).
+    The sign diagonal derives from md5 parity — seedless and
+    reproducible in the ANSI-SQL oracle.
+
+    Map-only: zero shuffles; at 100 TB this fuses into the scan
+    projection ahead of ``pq_train``/``pq_encode`` (``dim·scale`` ≤
+    6.4e7 per component here, so the downstream squared-distance sums
+    stay far inside int64). Output: ``(id_col, <vec_col> array<long>)``
+    in rotated quantized units."""
+    qv = vec_col if pre_quantized else _pq_quantize_sql(vec_col)
+    # The quantized vector and sign diagonal must be LET-BOUND through a
+    # transform lambda variable (the package's standard device, see
+    # ivf_assign's coarse argmax): CollapseProject would otherwise
+    # inline both subexpressions into every element_at reference inside
+    # the O(dim²) fold — re-evaluating a dim-element decimal-cast
+    # transform (and dim md5 calls) per (i, j) pair, a measured
+    # 1000×-class blowup.
+    return df.selectExpr(
+        id_col,
+        f"element_at(transform(array(named_struct("
+        f"'q', {qv}, 's', {rotation_sign_sql(dim)})), t -> "
+        f"transform(sequence(0, {dim - 1}), i -> "
+        f"aggregate(sequence(0, {dim - 1}), 0L, (acc, j) -> "
+        f"acc + element_at(t.q, j + 1) * element_at(t.s, j + 1) * "
+        f"(1 - 2 * (bit_count(i & j) % 2))))), 1) AS {vec_col}",
+    )
+
+
 def pq_train(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -785,6 +847,7 @@ def pq_adc_topk(
     k: int = PQ_K,
     n_neighbors: int = 10,
     codebook: list[list[list[int]]] | None = None,
+    pre_quantized: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance top-k over PQ codes: each query precomputes a
     ``subspaces × k`` lookup table of exact subspace distances to every
@@ -799,9 +862,12 @@ def pq_adc_topk(
     import numpy as np
 
     cb = codebook or formula_codebook(dim, subspaces, k)
-    codes = pq_encode(df, id_col, vec_col, dim, subspaces, k, codebook=cb)
+    codes = pq_encode(
+        df, id_col, vec_col, dim, subspaces, k, codebook=cb,
+        pre_quantized=pre_quantized,
+    )
     sub = dim // subspaces
-    qv = _pq_quantize_sql(vec_col)
+    qv = vec_col if pre_quantized else _pq_quantize_sql(vec_col)
     # per-query distance table tbl[m*k + c] = ||q_m − centroid[m][c]||²,
     # computed in exact-int64 numpy over the COLLECTED query vectors —
     # queries ≪ corpus is the precondition of top-k search, so this

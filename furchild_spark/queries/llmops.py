@@ -1001,9 +1001,10 @@ _QV_SQL = (
     "CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT))"
 )
 
-# shared training CTE chain (1 Lloyd iteration, then final assignment)
-_PQ_TRAIN_CTES = f"""
-WITH q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+# shared training CTE chain (1 Lloyd iteration, then final assignment);
+# the TAIL is head-agnostic — it only needs a CTE `q` of (vec_id, qv
+# array<bigint>), so the rotated-input variant (ann_rrpq_topk) reuses it
+_PQ_TRAIN_TAIL = f"""
 sub AS (
   SELECT vec_id, mm.m AS m, qv[mm.m*{_PQ_SUB}+1 : mm.m*{_PQ_SUB}+{_PQ_SUB}] AS subq
   FROM q, (SELECT unnest(range(0, {_PQ_M})) AS m) mm
@@ -1042,6 +1043,29 @@ a2f AS (SELECT vec_id, m, c AS code FROM a2 WHERE rn = 1),
 codes AS (
   SELECT vec_id, list(code ORDER BY m) AS codes FROM a2f GROUP BY vec_id
 )"""
+
+_PQ_TRAIN_CTES = f"""
+WITH q AS (SELECT vec_id, {_QV_SQL} AS qv FROM embeddings),
+""" + _PQ_TRAIN_TAIL
+
+# Walsh–Hadamard × md5-sign-diagonal rotation head (see
+# similarity.rotate_quantized): H(i,j) = (-1)^popcount(i AND j),
+# unnormalized so all arithmetic stays exact int64 (uniform ×64 on
+# squared distances — rank-neutral)
+_RRPQ_HEAD = f"""
+WITH q0 AS (SELECT vec_id, {_QV_SQL} AS qv0 FROM embeddings),
+sgn AS (
+  SELECT list_transform(range(0, 64), j -> CASE WHEN
+    strpos('02468ace', substr(md5(CAST(j AS VARCHAR)), 1, 1)) > 0
+    THEN 1 ELSE -1 END) AS s
+),
+q AS (
+  SELECT vec_id, list_transform(range(0, 64), i ->
+    list_sum(list_transform(range(0, 64), j ->
+      qv0[j+1] * s[j+1] * (1 - 2 * (bit_count(i & j) % 2))))) AS qv
+  FROM q0, sgn
+),
+"""
 
 _PQ_CB_CACHE: dict[str, list] = {}
 _IVFPQ_CB_CACHE: dict[str, list] = {}
@@ -1110,12 +1134,10 @@ def pq_codes(spark, sf_dir):
 _PQ_QUERY_IDS = (1, 7, 13)
 
 
-@query(
-    "ann_pq_topk",
-    prewarm=True,
-    section="LLM-similarity ANN via PQ asymmetric distance (per-query "
-    "lookup table over trained codes — compute ∝ codes, not vectors)",
-    oracle=_PQ_TRAIN_CTES + f""",
+# ADC suffix shared by the plain and rotated PQ entries: queries come
+# from the SAME `q` CTE the codes trained on, so each variant's oracle
+# is self-consistently end-to-end
+_PQ_ADC_TAIL = f""",
 sel AS (
   SELECT vec_id AS query_id, qv FROM q WHERE vec_id IN {_PQ_QUERY_IDS}
 ),
@@ -1135,7 +1157,15 @@ FROM (
     PARTITION BY query_id ORDER BY approx_dist ASC, vec_id ASC) AS rank
   FROM d
 ) WHERE rank <= 10
-""",
+"""
+
+
+@query(
+    "ann_pq_topk",
+    prewarm=True,
+    section="LLM-similarity ANN via PQ asymmetric distance (per-query "
+    "lookup table over trained codes — compute ∝ codes, not vectors)",
+    oracle=_PQ_TRAIN_CTES + _PQ_ADC_TAIL,
 )
 def ann_pq_topk(spark, sf_dir):
     """Compressed-domain top-k: each query precomputes its 32×16 exact
@@ -1147,6 +1177,63 @@ def ann_pq_topk(spark, sf_dir):
     cb = _pq_codebook(spark, sf_dir)
     out = similarity.pq_adc_topk(
         e, list(_PQ_QUERY_IDS), subspaces=_PQ_M, codebook=cb
+    )
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.col("approx_dist").cast("long"),
+        F.col("rank").cast("long"),
+    )
+
+
+_RRPQ_CB_CACHE: dict[str, list] = {}
+
+
+def _rrpq_rotated(spark, sf_dir):
+    """The corpus in rotated quantized units — the map-only projection
+    every rrpq stage (train, encode, query) shares."""
+    return similarity.rotate_quantized(
+        table(spark, sf_dir, "embeddings"), "vec_id", "embedding", dim=64
+    )
+
+
+def _rrpq_codebook(spark, sf_dir):
+    """PQ codebook trained on the ROTATED corpus (memoized per sf_dir
+    like _pq_codebook — train-once/serve-many)."""
+    if sf_dir not in _RRPQ_CB_CACHE:
+        _RRPQ_CB_CACHE[sf_dir] = similarity.pq_train(
+            _rrpq_rotated(spark, sf_dir), vec_col="embedding",
+            subspaces=_PQ_M, k=_PQ_K16, iters=1, pre_quantized=True,
+        )
+    return _RRPQ_CB_CACHE[sf_dir]
+
+
+@query(
+    "ann_rrpq_topk",
+    prewarm=True,
+    section="LLM-similarity ANN via random-rotation PQ (FAISS "
+    "RandomRotation/OPQ-lite: Walsh–Hadamard × sign-diagonal "
+    "preconditioner balances variance across subspaces before "
+    "quantization)",
+    oracle=_RRPQ_HEAD + _PQ_TRAIN_TAIL + _PQ_ADC_TAIL,
+)
+def ann_rrpq_topk(spark, sf_dir):
+    """PQ with FAISS's rotation preconditioner: the corpus (and each
+    query) first passes through a fixed Walsh–Hadamard × md5-sign
+    rotation (similarity.rotate_quantized — map-only, fuses into the
+    scan), THEN trains/encodes/searches with the standard PQ machinery
+    in the rotated space. Raw embeddings concentrate energy in leading
+    dimensions, starving trailing subspace codebooks; the rotation
+    spreads variance so every 4-bit code carries signal — the reason
+    FAISS applies OPQ/RandomRotation before PQ at scale. Unnormalized
+    (distances scale uniformly ×64 — rank-neutral) so every distance
+    stays exact int64 and the oracle replays rotation + Lloyd + ADC
+    bit-for-bit."""
+    rot = _rrpq_rotated(spark, sf_dir)
+    cb = _rrpq_codebook(spark, sf_dir)
+    out = similarity.pq_adc_topk(
+        rot, list(_PQ_QUERY_IDS), subspaces=_PQ_M, codebook=cb,
+        pre_quantized=True,
     )
     return out.select(
         "query_id",

@@ -101,6 +101,48 @@ def test_pq_adc_recall_floor(spark, truth, pq_codebook):
     assert recall >= 0.4, f"PQ ADC recall collapsed: {recall}"
 
 
+def test_rrpq_recall_floor_and_rotation_invariants(spark, truth):
+    """Random-rotation PQ (rotate_quantized → train/encode/ADC in the
+    rotated space): recall must hold a floor at least as good as plain
+    ADC's tripwire, and the rotation itself must be norm-preserving up
+    to the documented uniform ×dim scale (Hadamard×sign is orthogonal
+    — a broken H or sign table shows up as a norm mismatch long before
+    it shows up as bad recall)."""
+    emb = table(spark, SF, "embeddings")
+    rot = similarity.rotate_quantized(emb, "vec_id", "embedding", dim=64)
+    # orthogonality: ||Rx||² == 64 · ||x||² exactly (integer domain)
+    q = emb.selectExpr(
+        "vec_id",
+        f"{similarity._pq_quantize_sql('embedding')} AS qv",
+    )
+    chk = (
+        q.join(rot, on="vec_id")
+        .selectExpr(
+            "aggregate(embedding, 0L, (a, x) -> a + x * x) AS rn",
+            "aggregate(qv, 0L, (a, x) -> a + x * x) * 64 AS n64",
+        )
+        .filter("rn <> n64")
+        .count()
+    )
+    assert chk == 0, "Hadamard×sign rotation lost orthogonality"
+
+    cb = similarity.pq_train(
+        rot, vec_col="embedding", subspaces=32, k=16, iters=1,
+        pre_quantized=True,
+    )
+    approx = similarity.pq_adc_topk(
+        rot, list(range(10)), vec_col="embedding", subspaces=32,
+        codebook=cb, n_neighbors=K + 1, pre_quantized=True,
+    )
+    got = {}
+    for r in approx.collect():
+        if r["vec_id"] != r["query_id"]:
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+    hits = sum(len(got.get(q_, set()) & t) for q_, t in truth.items())
+    recall = hits / sum(len(t) for t in truth.values())
+    assert recall >= 0.4, f"rotated-PQ ADC recall collapsed: {recall}"
+
+
 def test_pq_rerank_recall_floor(spark, truth, pq_codebook):
     """ADC shortlist + exact cosine re-rank — the production pipeline
     must recover ~the exact ranking (measured 1.0 on this fixture)."""

@@ -407,6 +407,7 @@ def test_catalog_wide_no_cartesian_products(spark):
         "ann_cosine_topk", # deliberate brute-force baseline
         "ann_ivf_topk",    # 8-row centroid-array broadcast
         "ann_pq_topk",     # broadcast per-query ADC lookup tables
+        "ann_rrpq_topk",   # same ADC broadcast, rotated space
         "ann_pq_rerank_topk",  # same broadcast + shortlist re-rank join
         "ann_ivfpq_topk",  # same 8-row centroid-array constant-key broadcast
         "tpch_q11_important_parts",  # broadcast 1-row scalar threshold
