@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Python DataSource filter pushdown (sources/txlog_datasource.py
+        # prunes data files from manifest footer stats via pushFilters)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # TIMESTAMP_MICROS, not the legacy INT96 default: INT96 columns
         # carry NO parquet min/max statistics, which silently disables
         # footer-stat file skipping on event-time slices (txlog

@@ -755,6 +755,75 @@ def dbt_yaml_model_e2e(spark, sf_dir):
 
 
 @query(
+    "txlog_datasource_e2e",
+    section="S1 extra: spark.read.format('txlog') — the table format as "
+    "a native PySpark 4 Python DataSource (snapshot batch reads, "
+    "versionAsOf time travel, manifest-stat file pruning via "
+    "pushFilters); the pruning and the v1 row count are observable "
+    "columns in the hash",
+    oracle="""
+SELECT o_orderkey, o_custkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice, o_orderdate,
+       TRUE AS files_pruned,
+       CAST((SELECT COUNT(*) FROM orders
+             WHERE o_orderdate < TIMESTAMP '1996-12-01') AS BIGINT) AS v1_rows
+FROM orders WHERE o_orderdate >= TIMESTAMP '1996-12-01'
+""",
+)
+def txlog_datasource_e2e(spark, sf_dir):
+    """The txlog format read through Spark's public Python DataSource
+    API instead of the TxTable class: two commits land DISJOINT
+    o_orderdate ranges (overwrite pre-cut, append post-cut), then
+
+    - the filtered batch read must return exactly the post-cut rows
+      (row-level filtering is Spark's; the source's pushFilters prunes
+      whole FILES from the manifest footer stats — `files_pruned`
+      asserts the pre-cut file really was skipped at the scan);
+    - `versionAsOf 1` must see only the first commit (`v1_rows`).
+
+    The streaming half of the source (version-offset micro-batches,
+    ignoreChanges) is pytest-covered in tests/test_txlog_datasource.py
+    — a stream trigger would dominate this entry's wall time without
+    adding hash-observable semantics."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+
+    from furchild_spark.engine.txlog import TxTable
+    from furchild_spark.sources.txlog_datasource import (
+        TxLogDataSource,
+        TxLogReader,
+    )
+
+    spark.dataSource.register(TxLogDataSource)
+    cut = dt.datetime(1996, 12, 1)
+    o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
+    base = tempfile.mkdtemp(prefix="furchild_txlog_ds_e2e_")
+    path = f"{base}/orders_tx"
+    tx = TxTable(spark, path, cluster_by=("o_orderdate",))
+    tx.overwrite(o.filter(F.col("o_orderdate") < F.lit(cut)))
+    tx.append(o.filter(F.col("o_orderdate") >= F.lit(cut)))
+
+    n_files = len(tx._read_manifest(tx.current_version())["files"])
+    r = TxLogReader(path, tx.current_version())
+    r.pushFilters([GreaterThanOrEqual(("o_orderdate",), cut)])
+    pruned = len(r.partitions()) < n_files
+
+    v1_rows = (
+        spark.read.format("txlog").option("versionAsOf", 1).load(path).count()
+    )
+    return (
+        spark.read.format("txlog").load(path)
+        .filter(F.col("o_orderdate") >= F.lit(cut))
+        .select(
+            *_ORDER_COLS,
+            F.lit(pruned).alias("files_pruned"),
+            F.lit(v1_rows).cast("long").alias("v1_rows"),
+        )
+    )
+
+
+@query(
     "model_versions_e2e",
     section="S2 extra: dbt 1.5 model versions + default relation naming "
     "— a versioned family materializes one relation per version "

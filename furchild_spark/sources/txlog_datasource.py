@@ -1,0 +1,303 @@
+"""``spark.read.format("txlog")`` — a PySpark 4 Python DataSource over
+the engine's transactional table format (engine/txlog.py), batch AND
+structured-streaming.
+
+The reference's warehouse is Snowflake tables; this repo's analog is the
+txlog format, which until now was reachable only through the
+:class:`~furchild_spark.engine.txlog.TxTable` API. Registering it as a
+native data source gives the Delta-style UX on public Spark surface
+(``pyspark.sql.datasource``, Spark 4.0+):
+
+- ``spark.read.format("txlog").load(path)`` — snapshot-isolated batch
+  read of the latest (or ``versionAsOf``) commit: the file list comes
+  from one immutable manifest, so concurrent commits/vacuums of other
+  versions never change what a query reads.
+- **File-pruning filter pushdown**: :meth:`TxLogReader.pushFilters`
+  receives Catalyst's translated predicates and drops every data file
+  whose manifest footer stats PROVE it cannot match (the same zone-map
+  logic ``TxTable.snapshot(where=...)`` uses). All filters are returned
+  as "unsupported" so Spark still applies them row-level — pruning is
+  purely a scan reduction, correctness never depends on it. At 100 TB
+  this is the difference between scanning a partition's worth of files
+  and scanning the table.
+- ``spark.readStream.format("txlog").load(path)`` — a version-offset
+  micro-batch stream (Delta streaming-source parity): each txlog COMMIT
+  is an offset; a batch emits exactly the data files ADDED between two
+  versions. Append-only commits stream exactly-once by construction
+  (files are immutable, offsets are durable versions). Non-append
+  commits (merge/replace/delete/overwrite/restore) raise unless
+  ``ignoreChanges=true``, which emits newly added files and skips
+  removals — dbt/Delta's documented semantics for streaming from a
+  mutating table.
+
+Workers read the parquet files with pyarrow (Arrow batches go straight
+back to the JVM — no per-row Python), reconciling each file's physical
+schema against the manifest schema so ``append_new_columns`` evolution
+yields nulls for columns an old file predates, exactly like
+``TxTable.snapshot``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+# ops whose commit only ADDS data files (safe to stream without
+# ignoreChanges); version 1 is always the table's initial population
+_APPEND_OPS = {"append"}
+
+
+def _manifest_path(table_dir: str, version: int) -> str:
+    from furchild_spark.engine.txlog import _PAD
+
+    return os.path.join(table_dir, "_txlog", f"{version:0{_PAD}d}.json")
+
+
+def _versions(table_dir: str) -> list[int]:
+    log = os.path.join(table_dir, "_txlog")
+    if not os.path.isdir(log):
+        return []
+    out = []
+    for f in os.listdir(log):
+        stem, ext = os.path.splitext(f)
+        if ext == ".json" and stem.isdigit():
+            out.append(int(stem))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(_manifest_path(table_dir, version)) as fh:
+        return json.load(fh)
+
+
+def _current_version(table_dir: str) -> int:
+    vs = _versions(table_dir)
+    if not vs:
+        raise ValueError(f"{table_dir}: not a txlog table (no _txlog dir)")
+    return vs[-1]
+
+
+def _abs(table_dir: str, file_path: str) -> str:
+    """TxTable._abs semantics: clone manifests reference the source
+    table's files by absolute path; normal entries are table-relative."""
+    return file_path if os.path.isabs(file_path) else os.path.join(
+        table_dir, file_path
+    )
+
+
+def _file_may_match(entry: dict, predicates) -> bool:
+    """Delegates to the format's own conservative zone-map/bloom
+    skipping (txlog.TxTable._file_may_match) — ONE pruning semantics,
+    whichever door the read comes through."""
+    from furchild_spark.engine.txlog import TxTable
+
+    return TxTable._file_may_match(entry, predicates)
+
+
+def _translate_filters(filters):
+    """Catalyst Filter objects -> (col, op, value) triples for manifest
+    pruning. Only top-level single-column comparisons translate; every
+    other shape is simply not used for pruning (and ALL filters are
+    re-applied by Spark row-level regardless)."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    ops = {
+        EqualTo: "==",
+        GreaterThan: ">",
+        GreaterThanOrEqual: ">=",
+        LessThan: "<",
+        LessThanOrEqual: "<=",
+    }
+    out = []
+    for f in filters:
+        op = ops.get(type(f))
+        if op is None or len(f.attribute) != 1:
+            continue
+        out.append((f.attribute[0], op, f.value))
+    return out
+
+
+class _FilesPartition(InputPartition):
+    def __init__(self, paths: list[str], schema_json: str):
+        self.paths = paths
+        self.schema_json = schema_json
+
+
+def _nullable(schema: StructType) -> StructType:
+    """Widen every field to nullable — what Spark's own parquet reads
+    do with a user schema. The manifest records the WRITER's nullability
+    (a lit() column comes in non-null), but schema evolution means older
+    files legitimately read back null for later columns; declaring the
+    writer's tighter nullability at the READ boundary would NPE in the
+    JVM on those rows."""
+    import copy
+
+    out = copy.deepcopy(schema)
+    for f in out.fields:
+        f.nullable = True
+    return out
+
+
+def _read_files_arrow(partition):
+    """Yield Arrow record batches for the partition's files, reconciled
+    to the manifest schema (missing evolved columns -> nulls, column
+    order normalized). Runs on executors; pyarrow-only, no Spark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    target = _nullable(StructType.fromJson(json.loads(partition.schema_json)))
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(target)
+    for path in partition.paths:
+        t = pq.read_table(path)
+        cols = []
+        for field in arrow_schema:
+            if field.name in t.schema.names:
+                cols.append(t.column(field.name).cast(field.type))
+            else:
+                cols.append(pa.nulls(t.num_rows, type=field.type))
+        for batch in pa.Table.from_arrays(cols, schema=arrow_schema).to_batches():
+            yield batch
+
+
+class TxLogReader(DataSourceReader):
+    def __init__(self, table_dir: str, version: int):
+        self.table_dir = table_dir
+        self.manifest = _read_manifest(table_dir, version)
+        self.predicates: list = []
+
+    def pushFilters(self, filters):
+        self.predicates = _translate_filters(filters)
+        # everything is "unsupported": Spark keeps row-level filtering,
+        # we keep the translated triples for manifest file pruning
+        return filters
+
+    def partitions(self):
+        schema_json = json.dumps(self.manifest["schema"])
+        entries = self.manifest["files"]
+        if self.predicates:
+            entries = [
+                e for e in entries if _file_may_match(e, self.predicates)
+            ]
+        parts = [
+            _FilesPartition([_abs(self.table_dir, e["path"])], schema_json)
+            for e in entries
+        ]
+        # an empty table (or fully pruned scan) still needs ≥1 partition
+        return parts or [_FilesPartition([], schema_json)]
+
+    def read(self, partition):
+        yield from _read_files_arrow(partition)
+
+
+class TxLogStreamReader(DataSourceStreamReader):
+    def __init__(self, table_dir: str, options: dict):
+        self.table_dir = table_dir
+        self.ignore_changes = (
+            str(options.get("ignorechanges", "false")).lower() == "true"
+        )
+        start = options.get("startingversion")
+        # default: stream the whole table from its first commit
+        self.start_version = int(start) if start is not None else 0
+
+    def initialOffset(self):
+        return {"version": self.start_version}
+
+    def latestOffset(self):
+        return {"version": _current_version(self.table_dir)}
+
+    def partitions(self, start: dict, end: dict):
+        v0, v1 = int(start["version"]), int(end["version"])
+        prev_paths: set = set()
+        if v0 > 0:
+            prev_paths = {
+                e["path"] for e in _read_manifest(self.table_dir, v0)["files"]
+            }
+        parts = []
+        for v in range(v0 + 1, v1 + 1):
+            m = _read_manifest(self.table_dir, v)
+            if (
+                v > 1
+                and m["op"] not in _APPEND_OPS
+                and not self.ignore_changes
+            ):
+                raise ValueError(
+                    f"txlog stream: version {v} is a {m['op']!r} commit — "
+                    "streaming a mutating table re-emits rewritten rows; "
+                    "pass ignoreChanges=true to stream newly added files "
+                    "and skip removals (Delta semantics)"
+                )
+            cur = {e["path"] for e in m["files"]}
+            new = cur - prev_paths
+            if new:
+                parts.append(
+                    _FilesPartition(
+                        [_abs(self.table_dir, p) for p in sorted(new)],
+                        json.dumps(m["schema"]),
+                    )
+                )
+            prev_paths = cur
+        if not parts:
+            schema = _read_manifest(
+                self.table_dir, max(v1, 1)
+            )["schema"] if _versions(self.table_dir) else {}
+            parts = [_FilesPartition([], json.dumps(schema))]
+        return parts
+
+    def read(self, partition):
+        yield from _read_files_arrow(partition)
+
+    def commit(self, end):
+        pass  # offsets are durable txlog versions; nothing to release
+
+
+class TxLogDataSource(DataSource):
+    """``format("txlog")``: options ``path`` (table dir), ``versionAsOf``
+    (batch time travel), ``startingVersion`` / ``ignoreChanges``
+    (stream)."""
+
+    @classmethod
+    def name(cls):
+        return "txlog"
+
+    def _table_dir(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("txlog source requires a path (load(path))")
+        return path
+
+    def _batch_version(self) -> int:
+        v = self.options.get("versionasof")
+        return int(v) if v is not None else _current_version(self._table_dir())
+
+    def schema(self):
+        return _nullable(StructType.fromJson(
+            _read_manifest(self._table_dir(), self._batch_version())["schema"]
+        ))
+
+    def reader(self, schema):
+        return TxLogReader(self._table_dir(), self._batch_version())
+
+    def streamReader(self, schema):
+        return TxLogStreamReader(self._table_dir(), dict(self.options))
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session:
+    ``spark.dataSource.register(TxLogDataSource)``."""
+    spark.dataSource.register(TxLogDataSource)

@@ -1,0 +1,172 @@
+"""The txlog Python DataSource (spark.read/readStream.format("txlog")).
+
+Public-Spark-4 surface (pyspark.sql.datasource): batch snapshot reads
+with versionAsOf, manifest-stat file pruning through pushFilters, schema
+evolution reconciliation in the Arrow read path, and the version-offset
+micro-batch stream with Delta-style ignoreChanges semantics.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from furchild_spark.engine.txlog import TxTable
+from furchild_spark.sources.txlog_datasource import (
+    TxLogDataSource,
+    TxLogReader,
+)
+
+
+@pytest.fixture(scope="module")
+def registered(spark):
+    spark.dataSource.register(TxLogDataSource)
+    return spark
+
+
+@pytest.fixture()
+def tx_table(registered, sf_dir, tmp_path):
+    spark = registered
+    path = str(tmp_path / "orders_tx")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    tx = TxTable(spark, path, cluster_by=("o_orderkey",))
+    # three commits over DISJOINT key ranges so manifest stats make
+    # files genuinely skippable (one file per commit at this size)
+    q1, q2 = (
+        orders.agg(
+            F.expr("percentile(o_orderkey, 0.33)"),
+            F.expr("percentile(o_orderkey, 0.66)"),
+        ).collect()[0]
+    )
+    tx.overwrite(orders.filter(F.col("o_orderkey") <= int(q1)))
+    tx.append(orders.filter(
+        (F.col("o_orderkey") > int(q1)) & (F.col("o_orderkey") <= int(q2))
+    ))
+    tx.append(orders.filter(F.col("o_orderkey") > int(q2)))
+    return tx, path, orders
+
+
+def test_batch_read_matches_snapshot(registered, tx_table):
+    spark = registered
+    tx, path, orders = tx_table
+    df = spark.read.format("txlog").load(path)
+    assert df.count() == orders.count()
+    assert df.schema == tx.snapshot().schema
+    a = {r["o_orderkey"] for r in df.select("o_orderkey").collect()}
+    b = {r["o_orderkey"] for r in orders.select("o_orderkey").collect()}
+    assert a == b
+
+
+def test_version_as_of(registered, tx_table):
+    spark = registered
+    tx, path, orders = tx_table
+    v1 = spark.read.format("txlog").option("versionAsOf", 1).load(path)
+    assert v1.count() == tx.count(version=1)
+    assert v1.count() < orders.count()
+
+
+def test_push_filters_prune_files_conservatively(registered, tx_table):
+    """pushFilters drops files the manifest stats PROVE can't match and
+    returns every filter unsupported, so Spark still filters row-level:
+    fewer partitions, identical answer."""
+    from pyspark.sql.datasource import GreaterThan
+
+    spark = registered
+    tx, path, orders = tx_table
+    n_files = len(tx._read_manifest(tx.current_version())["files"])
+    cut = orders.agg(F.expr("percentile(o_orderkey, 0.9)")).collect()[0][0]
+
+    r = TxLogReader(path, tx.current_version())
+    unsupported = r.pushFilters([GreaterThan(("o_orderkey",), int(cut))])
+    assert len(list(unsupported)) == 1  # row-level filtering stays Spark's
+    pruned = r.partitions()
+    assert 0 < len(pruned) < n_files  # clustered on o_orderkey → skippable
+
+    got = (
+        spark.read.format("txlog").load(path)
+        .filter(F.col("o_orderkey") > int(cut)).count()
+    )
+    want = orders.filter(F.col("o_orderkey") > int(cut)).count()
+    assert got == want
+
+
+def test_schema_evolution_nulls_for_old_files(registered, tmp_path, sf_dir):
+    """append_new_columns evolution: files written before a column
+    existed read back as nulls through the Arrow reconciliation, same
+    as TxTable.snapshot."""
+    spark = registered
+    path = str(tmp_path / "evolve_tx")
+    base = spark.range(5).select(F.col("id").alias("k"))
+    tx = TxTable(spark, path)
+    tx.overwrite(base)
+    tx.append(
+        spark.range(5, 8).select(
+            F.col("id").alias("k"), F.lit("new").alias("extra")
+        ),
+        allow_evolution=True,
+    )
+    df = spark.read.format("txlog").load(path)
+    assert set(df.columns) == {"k", "extra"}
+    rows = {r["k"]: r["extra"] for r in df.collect()}
+    assert all(rows[k] is None for k in range(5))
+    assert all(rows[k] == "new" for k in range(5, 8))
+
+
+def test_stream_exactly_once_appends(registered, tx_table, tmp_path):
+    spark = registered
+    tx, path, orders = tx_table
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        q = (
+            spark.readStream.format("txlog").load(path)
+            .writeStream.format("parquet").option("path", out)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    n0 = spark.read.parquet(out).count()
+    assert n0 == orders.count()
+    tx.append(
+        orders.limit(9).withColumn(
+            "o_orderkey", F.col("o_orderkey") + 10_000_000
+        )
+    )
+    drain()
+    assert spark.read.parquet(out).count() == n0 + 9  # only the delta
+    drain()
+    assert spark.read.parquet(out).count() == n0 + 9  # no re-emission
+
+
+def test_stream_rejects_mutations_unless_ignore_changes(
+    registered, tx_table, tmp_path
+):
+    spark = registered
+    tx, path, orders = tx_table
+    tx.delete([("o_orderkey", "<", 10)])
+
+    q = (
+        spark.readStream.format("txlog").load(path)
+        .writeStream.format("memory").queryName("txds_reject")
+        .option("checkpointLocation", str(tmp_path / "ck_r"))
+        .trigger(availableNow=True).start()
+    )
+    with pytest.raises(Exception, match="ignoreChanges"):
+        q.awaitTermination(120)
+        raise AssertionError("mutating commit streamed silently")
+
+    q2 = (
+        spark.readStream.format("txlog").option("ignoreChanges", "true")
+        .load(path)
+        .writeStream.format("memory").queryName("txds_ok")
+        .option("checkpointLocation", str(tmp_path / "ck_ok"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination(120)
+    n = spark.sql("select count(*) from txds_ok").collect()[0][0]
+    assert n >= tx.count()  # added files streamed; removals skipped
