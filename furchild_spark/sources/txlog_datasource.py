@@ -44,9 +44,11 @@ import os
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -266,6 +268,137 @@ class TxLogStreamReader(DataSourceStreamReader):
         pass  # offsets are durable txlog versions; nothing to release
 
 
+class _TxWriteMessage(WriterCommitMessage):
+    def __init__(self, entries: list[dict], rows: int):
+        self.entries = entries
+        self.rows = rows
+
+
+class TxLogArrowWriter(DataSourceArrowWriter):
+    """``df.write.format("txlog")`` — the write half of the source.
+
+    Each executor task streams its Arrow batches into ONE immutable
+    parquet file under a fresh ``data/<uuid>/`` dir and returns the
+    manifest entry (relative path, row count, footer min/max stats and
+    bloom filter for ``statsCols``) as its commit message; the driver's
+    :meth:`commit` then publishes a manifest through the format's
+    hard-link commit protocol — the same exactly-one-writer-wins
+    arbitration every TxTable write uses, with the same
+    ConcurrentWriteError retry loop. Files from failed/aborted attempts
+    are never referenced by any manifest (and :meth:`abort` unlinks the
+    reported ones), so readers can't see partial writes — vacuum sweeps
+    any orphans a hard crash leaves.
+
+    ``mode("append")`` carries the prior version's files by reference
+    (O(new data), never a rewrite) and requires the incoming columns to
+    match the table's — schema evolution stays an explicit
+    ``TxTable.append(allow_evolution=True)`` decision, not a write-path
+    default. ``clusterBy`` layout is also TxTable's job (it needs a
+    repartition the sink cannot impose); ``statsCols`` still lets an
+    unclustered write record skipping stats."""
+
+    def __init__(self, table_dir: str, schema: StructType, overwrite: bool,
+                 options: dict):
+        self.table_dir = table_dir
+        self.schema = schema
+        self.overwrite = overwrite
+        cols = options.get("statscols", "")
+        self.stats_cols = tuple(c.strip() for c in cols.split(",") if c.strip())
+
+    def _tx(self):
+        from furchild_spark.engine.txlog import TxTable
+
+        # spark=None: only the filesystem/pyarrow half of TxTable is
+        # used (footer stats, bloom, manifest commit) — no session needed
+        return TxTable(None, self.table_dir, stats_cols=self.stats_cols)
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow.parquet as pq
+
+        tx = self._tx()
+        writer = None
+        rel = None
+        rows = 0
+        for batch in iterator:
+            if batch.num_rows == 0:
+                continue
+            if writer is None:
+                commit_id = uuid.uuid4().hex
+                out_dir = os.path.join(self.table_dir, "data", commit_id)
+                os.makedirs(out_dir, exist_ok=True)
+                rel = os.path.join("data", commit_id, "part-0.parquet")
+                writer = pq.ParquetWriter(
+                    os.path.join(self.table_dir, rel), batch.schema
+                )
+            writer.write_batch(batch)
+            rows += batch.num_rows
+        if writer is None:
+            return _TxWriteMessage([], 0)  # empty task: nothing to commit
+        writer.close()
+        abspath = os.path.join(self.table_dir, rel)
+        stats, n = tx._footer_stats(abspath)
+        entry = {"path": rel, "rows": n, "stats": stats}
+        bloom = tx._bloom_for(abspath)
+        if bloom:
+            entry["bloom"] = bloom
+        return _TxWriteMessage([entry], n)
+
+    def commit(self, messages):
+        from furchild_spark.engine.txlog import ConcurrentWriteError
+
+        tx = self._tx()
+        entries = [e for m in messages if m for e in m.entries]
+        rows = sum(m.rows for m in messages if m)
+        for _ in range(3):
+            base = tx.current_version()
+            if self.overwrite or base == 0:
+                files, total, op = entries, rows, "overwrite"
+                schema_json = self.schema.jsonValue()
+            else:
+                prior = tx._read_manifest(base)
+                have = {f["name"] for f in prior["schema"]["fields"]}
+                got = {f.name for f in self.schema.fields}
+                if have != got:
+                    raise ValueError(
+                        f"{self.table_dir}: append schema mismatch "
+                        f"(missing={sorted(have - got)}, "
+                        f"new={sorted(got - have)}); schema evolution is "
+                        "an explicit TxTable.append(allow_evolution=True)"
+                    )
+                files = prior["files"] + entries
+                total = prior["num_rows"] + rows
+                op = "append"
+                schema_json = prior["schema"]
+            manifest = {
+                "op": op,
+                "files": files,
+                "num_files": len(files),
+                "num_rows": total,
+                "schema": schema_json,
+                "cluster_by": [],
+            }
+            try:
+                tx._commit(manifest, base)
+                return
+            except ConcurrentWriteError:
+                continue  # recompute against the new snapshot and retry
+        raise ConcurrentWriteError(
+            f"{self.table_dir}: lost the commit race 3 times"
+        )
+
+    def abort(self, messages):
+        for m in messages:
+            if not m:
+                continue
+            for e in m.entries:
+                try:
+                    os.unlink(os.path.join(self.table_dir, e["path"]))
+                except FileNotFoundError:
+                    pass
+
+
 class TxLogDataSource(DataSource):
     """``format("txlog")``: options ``path`` (table dir), ``versionAsOf``
     (batch time travel), ``startingVersion`` / ``ignoreChanges``
@@ -295,6 +428,11 @@ class TxLogDataSource(DataSource):
 
     def streamReader(self, schema):
         return TxLogStreamReader(self._table_dir(), dict(self.options))
+
+    def writer(self, schema, overwrite):
+        return TxLogArrowWriter(
+            self._table_dir(), schema, overwrite, dict(self.options)
+        )
 
 
 def register(spark) -> None:

@@ -170,3 +170,47 @@ def test_stream_rejects_mutations_unless_ignore_changes(
     q2.awaitTermination(120)
     n = spark.sql("select count(*) from txds_ok").collect()[0][0]
     assert n >= tx.count()  # added files streamed; removals skipped
+
+
+def test_write_format_roundtrip_and_append_by_reference(
+    registered, sf_dir, tmp_path
+):
+    """df.write.format('txlog'): overwrite then append through the
+    public writer API; append must carry the prior version's files BY
+    REFERENCE (O(new data), the transactional-format contract), and the
+    TxTable API must read the sink's commits interchangeably."""
+    spark = registered
+    path = str(tmp_path / "w_tx")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    (orders.write.format("txlog").mode("overwrite")
+     .option("statsCols", "o_orderkey").save(path))
+    assert spark.read.format("txlog").load(path).count() == orders.count()
+
+    delta = orders.limit(10).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 9_000_000
+    )
+    delta.write.format("txlog").mode("append").save(path)
+    tx = TxTable(spark, path)
+    assert tx.count() == orders.count() + 10  # manifest row count agrees
+    m1 = {e["path"] for e in tx._read_manifest(1)["files"]}
+    m2 = {e["path"] for e in tx._read_manifest(2)["files"]}
+    assert m1 < m2  # prior files carried by reference, not rewritten
+    # footer stats landed for the declared statsCols (skipping works)
+    assert any("o_orderkey" in e.get("stats", {})
+               for e in tx._read_manifest(1)["files"])
+
+    orders.limit(3).write.format("txlog").mode("overwrite").save(path)
+    assert spark.read.format("txlog").load(path).count() == 3
+    assert [h["op"] for h in tx.history()] == [
+        "overwrite", "append", "overwrite"
+    ]
+
+
+def test_write_append_schema_mismatch_is_loud(registered, sf_dir, tmp_path):
+    spark = registered
+    path = str(tmp_path / "w_tx2")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.write.format("txlog").mode("overwrite").save(path)
+    with pytest.raises(Exception, match="append schema mismatch"):
+        (orders.limit(2).drop("o_orderpriority")
+         .write.format("txlog").mode("append").save(path))
