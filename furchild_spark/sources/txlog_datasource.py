@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     DataSourceStreamReader,
     InputPartition,
     WriterCommitMessage,
@@ -399,6 +400,88 @@ class TxLogArrowWriter(DataSourceArrowWriter):
                     pass
 
 
+class TxLogStreamArrowWriter(DataSourceStreamArrowWriter):
+    """``df.writeStream.format("txlog")`` — transactional streaming sink.
+
+    Tasks write files exactly like the batch writer (delegated); the
+    driver commits each micro-batch as ONE ``stream_append`` manifest.
+    With ``txnAppId`` set, the manifest records the Delta-style
+    ``{app_id: batch_id}`` watermark IN THE SAME atomic commit as the
+    data (txlog's ``write_stream_batch`` contract), so a redelivered
+    batch — Structured Streaming's at-least-once failure mode — finds
+    ``batchId <= last_txn`` and commits nothing: exactly-once, with no
+    window where data landed but the watermark didn't. Without
+    ``txnAppId`` the sink is plain at-least-once append; the option is
+    deliberately explicit because a WRONG shared app id across two
+    queries would silently drop the second query's batches (the same
+    reason Delta's foreachBatch idempotence requires explicit
+    txnAppId/txnVersion)."""
+
+    def __init__(self, table_dir: str, schema: StructType, options: dict):
+        self._w = TxLogArrowWriter(table_dir, schema, False, options)
+        self.table_dir = table_dir
+        self.schema = schema
+        self.txn_app_id = options.get("txnappid")
+
+    def write(self, iterator):
+        return self._w.write(iterator)
+
+    def commit(self, messages, batchId):
+        from furchild_spark.engine.txlog import ConcurrentWriteError
+
+        tx = self._w._tx()
+        entries = [e for m in messages if m for e in m.entries]
+        rows = sum(m.rows for m in messages if m)
+        for attempt in range(4):
+            if (
+                self.txn_app_id is not None
+                and batchId <= tx.last_txn(self.txn_app_id)
+            ):
+                # duplicate delivery: the batch is already inside a
+                # committed manifest — drop OUR files (they are fresh
+                # duplicates nothing references) and do nothing
+                self._w.abort(messages)
+                return
+            base = tx.current_version()
+            if base:
+                prior = tx._read_manifest(base)
+                have = {f["name"] for f in prior["schema"]["fields"]}
+                got = {f.name for f in self.schema.fields}
+                if have != got:
+                    raise ValueError(
+                        f"{self.table_dir}: stream batch schema mismatch "
+                        f"(missing={sorted(have - got)}, "
+                        f"new={sorted(got - have)})"
+                    )
+                files = prior["files"] + entries
+                total = prior["num_rows"] + rows
+                schema_json = prior["schema"]
+            else:
+                files, total = entries, rows
+                schema_json = self.schema.jsonValue()
+            manifest = {
+                "op": "stream_append",
+                "files": files,
+                "num_files": len(files),
+                "num_rows": total,
+                "schema": schema_json,
+                "cluster_by": [],
+            }
+            if self.txn_app_id is not None:
+                manifest["txns"] = {self.txn_app_id: batchId}
+            try:
+                tx._commit(manifest, base)
+                return
+            except ConcurrentWriteError:
+                if attempt == 3:
+                    raise
+                # competing writer advanced the log: re-read watermark
+                # and prior files, retry
+
+    def abort(self, messages, batchId):
+        self._w.abort(messages)
+
+
 class TxLogDataSource(DataSource):
     """``format("txlog")``: options ``path`` (table dir), ``versionAsOf``
     (batch time travel), ``startingVersion`` / ``ignoreChanges``
@@ -432,6 +515,11 @@ class TxLogDataSource(DataSource):
     def writer(self, schema, overwrite):
         return TxLogArrowWriter(
             self._table_dir(), schema, overwrite, dict(self.options)
+        )
+
+    def streamWriter(self, schema, overwrite):
+        return TxLogStreamArrowWriter(
+            self._table_dir(), schema, dict(self.options)
         )
 
 

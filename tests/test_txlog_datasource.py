@@ -214,3 +214,87 @@ def test_write_append_schema_mismatch_is_loud(registered, sf_dir, tmp_path):
     with pytest.raises(Exception, match="append schema mismatch"):
         (orders.limit(2).drop("o_orderpriority")
          .write.format("txlog").mode("append").save(path))
+
+
+def test_stream_sink_exactly_once(registered, sf_dir, tmp_path):
+    """writeStream.format('txlog'): micro-batches land as stream_append
+    commits; with txnAppId a REDELIVERED batch id commits nothing and
+    leaves no orphan manifest references (the Delta txnAppId/txnVersion
+    pattern, watermark and data in one atomic commit)."""
+    import glob
+    import shutil
+
+    import pyarrow as pa
+
+    from furchild_spark.sources.txlog_datasource import (
+        TxLogStreamArrowWriter,
+        _TxWriteMessage,
+    )
+
+    spark = registered
+    path = str(tmp_path / "sink_tx")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+
+    def land(df, name):
+        # the file-stream source lists FLAT files (and a pandas-written
+        # parquet drops the NTZ annotation) — write with Spark, move the
+        # part file in
+        tmp = str(tmp_path / ("tmp_" + name))
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.move(
+            glob.glob(os.path.join(tmp, "part-*.parquet"))[0],
+            os.path.join(src, name),
+        )
+
+    land(orders.limit(20), "b0.parquet")
+
+    q = (
+        spark.readStream.schema(orders.schema).parquet(src)
+        .writeStream.format("txlog")
+        .option("txnAppId", "sink-test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start(path)
+    )
+    q.awaitTermination(120)
+    tx = TxTable(spark, path)
+    assert tx.count() == 20
+    assert tx._read_manifest(tx.current_version())["op"] == "stream_append"
+    assert tx.last_txn("sink-test") >= 0
+
+    # second trigger with more data: only the delta commits
+    land(orders.limit(35), "b1.parquet")
+    q = (
+        spark.readStream.schema(orders.schema).parquet(src)
+        .writeStream.format("txlog")
+        .option("txnAppId", "sink-test")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True).start(path)
+    )
+    q.awaitTermination(120)
+    assert tx.count() == 55
+
+    # simulate Structured Streaming's at-least-once REDELIVERY: commit
+    # the same batch id again with fresh files — must be a no-op and
+    # must unlink the duplicate files it was handed
+    w = TxLogStreamArrowWriter(path, orders.schema, {"txnappid": "sink-test"})
+    batch = pa.Table.from_pydict(
+        {f.name: [] for f in orders.schema.fields}
+    )  # entries list is what matters; build one real file via write()
+    dup_dir = os.path.join(path, "data", "dupdir")
+    os.makedirs(dup_dir)
+    dup_file = os.path.join(dup_dir, "dup.parquet")
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"o_orderkey": pa.array([1], type=pa.int64())}), dup_file
+    )
+    msg = _TxWriteMessage(
+        [{"path": "data/dupdir/dup.parquet", "rows": 1, "stats": {}}], 1
+    )
+    before = tx.current_version()
+    w.commit([msg], batchId=tx.last_txn("sink-test"))  # replayed id
+    assert tx.current_version() == before  # nothing committed
+    assert not os.path.exists(dup_file)  # duplicate files dropped
+    assert tx.count() == 55
