@@ -571,3 +571,105 @@ def streaming_neardup_e2e(spark, sf_dir):
     return mat.read_table(spark, f"{base}/accepted").select(
         "doc_id", "source"
     )
+
+
+@query(
+    "txlog_stream_sink_e2e",
+    section="§2.8 extra: writeStream.format('txlog') — the native "
+    "streaming SINK (PySpark 4 Python DataSource): per-micro-batch "
+    "stream_append commits with the txnAppId watermark in the same "
+    "atomic manifest, redelivered batch provably a no-op",
+    oracle="""
+SELECT event_id, user_id, event_type, ts, value,
+       TRUE AS replay_noop, CAST(2 AS BIGINT) AS n_commits
+FROM events
+WHERE event_id < 2000
+""",
+)
+def txlog_stream_sink_e2e(spark, sf_dir):
+    """The streaming write half of sources/txlog_datasource.py driven
+    end-to-end: two landed files stream through ``maxFilesPerTrigger=1``
+    (two REAL micro-batches) into ``writeStream.format("txlog")`` with
+    ``txnAppId`` — each batch is one atomic ``stream_append`` manifest
+    carrying the ``{app_id: batch_id}`` watermark WITH its data. Then
+    Structured Streaming's at-least-once failure mode is simulated
+    directly: the sink's ``commit`` is re-invoked with the
+    already-committed batch id and a fresh duplicate file — the replay
+    must commit nothing and unlink the duplicate (``replay_noop``), and
+    the version count proves exactly one commit per batch
+    (``n_commits``). Rows are globally unique by event_id so the final
+    table is order-independent; the result is read back through
+    ``spark.read.format("txlog")`` — source and sink halves of the
+    data source composed in one entry."""
+    import glob
+    import os
+
+    from furchild_spark.engine.txlog import TxTable
+    from furchild_spark.sources.txlog_datasource import (
+        TxLogDataSource,
+        TxLogStreamArrowWriter,
+        _TxWriteMessage,
+    )
+
+    spark.dataSource.register(TxLogDataSource)
+    base = tempfile.mkdtemp(prefix="furchild_txlog_sink_e2e_")
+    landing, table_path = f"{base}/landing", f"{base}/table"
+    os.makedirs(landing)
+
+    src = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_id") < 2000)
+        .select(*_COLS)
+    )
+    first = src.filter(F.col("event_id") < 1000)
+    second = src.filter(F.col("event_id") >= 1000)
+    for i, (name, df) in enumerate([("b1", first), ("b2", second)]):
+        tmp = f"{base}/stage_{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        shutil.copy(
+            glob.glob(f"{tmp}/part-*.parquet")[0],
+            f"{landing}/{name}.parquet",
+        )
+
+    q = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1).parquet(landing)
+        .writeStream.format("txlog")
+        .option("txnAppId", "sink_e2e")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start(table_path)
+    )
+    q.awaitTermination(120)
+
+    tx = TxTable(spark, table_path)
+    n_commits = tx.current_version()
+
+    # simulate at-least-once redelivery of the LAST batch: same batch
+    # id, fresh duplicate file — must be a no-op that drops the file
+    dup_rel = "data/replay/dup.parquet"
+    os.makedirs(f"{table_path}/data/replay", exist_ok=True)
+    first.limit(5).coalesce(1).write.mode("overwrite").parquet(
+        f"{base}/dupstage"
+    )
+    shutil.copy(
+        glob.glob(f"{base}/dupstage/part-*.parquet")[0],
+        f"{table_path}/{dup_rel}",
+    )
+    w = TxLogStreamArrowWriter(
+        table_path, src.schema, {"txnappid": "sink_e2e"}
+    )
+    w.commit(
+        [_TxWriteMessage([{"path": dup_rel, "rows": 5, "stats": {}}], 5)],
+        batchId=tx.last_txn("sink_e2e"),
+    )
+    replay_noop = (
+        tx.current_version() == n_commits
+        and not os.path.exists(f"{table_path}/{dup_rel}")
+    )
+
+    return spark.read.format("txlog").load(table_path).select(
+        *_COLS,
+        F.lit(replay_noop).alias("replay_noop"),
+        F.lit(n_commits).cast("long").alias("n_commits"),
+    )
