@@ -298,3 +298,26 @@ def test_stream_sink_exactly_once(registered, sf_dir, tmp_path):
     assert tx.current_version() == before  # nothing committed
     assert not os.path.exists(dup_file)  # duplicate files dropped
     assert tx.count() == 55
+
+
+def test_datasource_tables_interop_with_maintenance(
+    registered, sf_dir, tmp_path
+):
+    """Tables created through the writer are first-class txlog tables:
+    compaction rewrites the sink's small files bit-identically and the
+    data source reads the compacted version transparently."""
+    spark = registered
+    path = str(tmp_path / "m_tx")
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    orders.write.format("txlog").mode("overwrite").save(path)
+    for i in range(3):
+        (orders.limit(5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + (i + 1) * 1_000_000
+        ).write.format("txlog").mode("append").save(path))
+    tx = TxTable(spark, path)
+    before = tx.count()
+    n_files_before = len(tx._read_manifest(tx.current_version())["files"])
+    tx.compact(small_file_bytes=64 * 1024 * 1024)
+    assert spark.read.format("txlog").load(path).count() == before
+    n_files_after = len(tx._read_manifest(tx.current_version())["files"])
+    assert n_files_after < n_files_before
