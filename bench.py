@@ -107,6 +107,19 @@ def main() -> None:
     converged_tol = float(os.environ.get("SPARK_GRAFT_BENCH_TOL", "0.08"))
     max_runs = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_RUNS", "6"))
 
+    # SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the sweep — for
+    # re-measuring a handful of new/regressed entries on an idle box and
+    # merging their rows into the committed record (the BENCHNOTES
+    # merged_followup_entries workflow) without paying a full sweep. A
+    # partial sweep writes BENCH_DETAIL.partial.json, never the
+    # committed record. Validated HERE, before any Spark session spins
+    # up — a typo should fail in milliseconds, not after a 30 s JVM.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "")
+    only_names = [n.strip() for n in only.split(",") if n.strip()]
+    unknown = [n for n in only_names if n not in QUERIES]
+    if unknown:
+        raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY: unknown entries {unknown}")
+
     # contention telemetry, sampled BEFORE our own JVM exists: a nonzero
     # foreign-JVM count or a hot 1-min loadavg means the timings below are
     # environment-inflated, not plan regressions — flag it in the output
@@ -187,7 +200,7 @@ def main() -> None:
     # time × remaining queries) guarantees the sweep completes even if the
     # budget runs short: second runs are skipped before first runs ever
     # would be.
-    names = sorted(QUERIES)
+    names = only_names or sorted(QUERIES)
     first_times: list[float] = []
     for i, name in enumerate(names):
         if QUERIES[name].prewarm:
@@ -370,6 +383,9 @@ def main() -> None:
     detail_name = (
         "BENCH_DETAIL.json" if not contended else "BENCH_DETAIL.contended.json"
     )
+    if only_names:
+        # a partial sweep is merge MATERIAL, never the committed record
+        detail_name = "BENCH_DETAIL.partial.json"
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), detail_name
     )
