@@ -302,3 +302,31 @@ def test_cli_version_selector_and_alias(monkeypatch):
     assert expand("kpi.v1") == ["kpi_v1"]  # dbt selection alias
     with pytest.raises(SystemExit):
         expand("version:nope")
+
+
+def test_yaml_selector_method_version(monkeypatch):
+    """selectors.yml {method: version, value: latest} composes through
+    the shared token grammar (dbt: version is a selector method like
+    tag/group)."""
+    import furchild_spark.cli as cli
+    import furchild_spark.models as M
+
+    reg = ModelRegistry()
+    for v in (1, 2):
+        reg.model(name="kpi", version=v)(lambda ctx: None)
+    monkeypatch.setattr(M, "registry", reg)
+
+    class A:
+        models = None
+        exclude = None
+        selector = None
+
+    got = cli._eval_selector_definition(
+        A(), None, {"method": "version", "value": "latest"}, {}
+    )
+    assert got == {"kpi_v2"}
+    got = cli._eval_selector_definition(
+        A(), None, {"union": [{"method": "version", "value": "old"},
+                              {"method": "version", "value": "latest"}]}, {}
+    )
+    assert got == {"kpi_v1", "kpi_v2"}
