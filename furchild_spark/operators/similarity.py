@@ -1620,28 +1620,52 @@ def semdedup_incremental(
 # dominant embedding direction: power iteration (uncentered PCA)
 # ---------------------------------------------------------------------------
 
-def _power_matvec_round(base: DataFrame, w: list) -> DataFrame:
-    """One fused power-iteration mat-vec: ``u_d = Σ_i q_id · (q_i · w)``.
+def _second_moment_matrix(base: DataFrame, dim: int) -> "list[list[int]]":
+    """The ``dim × dim`` second-moment matrix ``M[d][e] = Σ_i q_id · q_ie``
+    of the quantized corpus, in ONE pass: posexplode fans each row out to
+    its ``dim`` components, a ``dim``-group aggregate sums the ``dim``
+    products per component — exact long sums throughout (same long-safety
+    envelope as the old per-round mat-vec). The only exchange is the
+    ``dim``-group final aggregate, map-side combined.
 
-    The per-row dot ``__s = q_i · w`` and the ``posexplode`` fan-out are
-    ONE projection over the quantized corpus — no self-join (an earlier
-    formulation computed ``__s`` in a separate plan and joined it back on
-    the id, shuffling the corpus once per round). The only exchange left
-    is the 64-group final aggregate, map-side combined.
+    Every later power-iteration round is then the driver-side exact
+    integer mat-vec ``u = M·w`` over this ``dim²``-long artifact — the
+    k-means-centroid collect pattern. The old formulation ran one full
+    corpus pass PER ROUND (8 scans + 8 collect round-trips per call);
+    the matrix costs ``dim`` products per exploded row instead of 1, but
+    the corpus is read ONCE — at 100 TB that is the difference between
+    one streaming scan and 8 (plus a corpus-sized localCheckpoint the
+    old path needed to make the 8 scans affordable).
     """
-    warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
-    return (
-        base.select(
-            F.aggregate(
-                F.zip_with("__q", warr, lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("__s"),
-            F.posexplode("__q").alias("d", "qd"),
-        )
+    rows = (
+        base.select(F.posexplode("__q").alias("d", "__qd"), F.col("__q"))
         .groupBy("d")
-        .agg(F.sum(F.col("qd") * F.col("__s")).alias("u"))
+        .agg(
+            *[
+                F.sum(F.col("__qd") * F.col("__q")[e]).alias(f"m{e}")
+                for e in range(dim)
+            ]
+        )
+        .collect()
     )
+    by_d = {r["d"]: [r[f"m{e}"] for e in range(dim)] for r in rows}
+    return [by_d[d] for d in range(dim)]
+
+
+def _round_half_up(x: float, scale: int) -> float:
+    """Replicate Spark's ``F.round(double, scale)`` exactly: HALF_UP on
+    the shortest-decimal representation of the double (Spark routes
+    doubles through ``BigDecimal.valueOf`` = ``Double.toString``, which
+    is the shortest round-trip decimal — Python's ``repr`` produces the
+    same decimal value). The ``+ 0.0`` normalizes ``-0.0`` to ``+0.0``
+    the way BigDecimal (which has no signed zero) does. Parity verified
+    against Spark over randomized and exact-halfway cases."""
+    import decimal
+
+    q = decimal.Decimal(1).scaleb(-scale)
+    return float(
+        decimal.Decimal(repr(x)).quantize(q, rounding=decimal.ROUND_HALF_UP)
+    ) + 0.0
 
 
 def power_iteration_top_direction(
@@ -1666,10 +1690,16 @@ def power_iteration_top_direction(
     exact longs (IEEE-identical everywhere). L∞ vs L2 changes only the
     scaling of iterates, not the direction they converge to.
 
-    Shape at 100 TB: per round, ONE in-row dot (map-only) and one
-    64-group aggregate (map-side combined); the direction is a 64-long
-    driver artifact (the k-means-centroid pattern — the corpus is never
-    collected).
+    Shape at 100 TB: ONE corpus pass computes the ``dim × dim``
+    second-moment matrix (posexplode + ``dim``-group aggregate, map-side
+    combined, exact long sums); all ``rounds`` mat-vecs then run on the
+    driver over that ``dim²``-long artifact with exact integer
+    arithmetic and the SAME division/rounding semantics Spark's
+    expressions used (see :func:`_round_half_up`), so the iterates are
+    bit-identical to the per-round distributed formulation this
+    replaces — while the corpus is scanned once instead of ``rounds``
+    times (and never localCheckpointed). The corpus is never collected;
+    the matrix is the bounded artifact (the k-means-centroid pattern).
 
     Output: ``(dim, loading)`` — dim 1-based, loading = round₆(u/u_pivot)
     of the final iterate (pivot component exactly 1.0).
@@ -1682,58 +1712,42 @@ def power_iteration_top_direction(
             x.cast("double").cast("decimal(18,3)") * F.lit(1000)
         ).cast("long"),
     )
-    base = fanout(corpus).select(
-        F.col(id_col), q3.alias("__q")
-    ).localCheckpoint()
+    base = fanout(corpus).select(F.col(id_col), q3.alias("__q"))
     first = base.select(F.size("__q").alias("n")).first()
     if first is None:
         raise ValueError("power_iteration_top_direction: empty corpus")
     dim = first["n"]
+    m = _second_moment_matrix(base, dim)
     w = [1000] + [0] * (dim - 1)
-    u = None
+    u = [0] * dim
     for _ in range(rounds):
-        u = _power_matvec_round(base, w)
-        pivot = u.orderBy(
-            F.abs(F.col("u")).desc(), F.col("d").asc()
-        ).limit(1).select(F.col("u").alias("up"))
-        # the when() guard keeps the division expression byte-identical
-        # for a nonzero pivot while making the degenerate case (u ≡ 0 for
-        # an all-zero quantized corpus → 0/0 → NaN, which ANSI refuses to
-        # cast to long) detectable instead of throwing mid-plan
-        wrows = (
-            u.crossJoin(F.broadcast(pivot))
-            .select(
-                "d",
-                "up",
-                F.when(
-                    F.col("up") != 0,
-                    F.round(
-                        F.col("u").cast("double") / F.col("up").cast("double")
-                        * F.lit(1000.0),
-                        0,
-                    ),
-                ).cast("long").alias("w"),
-            )
-            .orderBy("d")
-            .collect()
-        )
-        if not wrows or wrows[0]["up"] == 0:
+        # exact integer mat-vec (Python ints cannot overflow, so the
+        # long-safety envelope is if anything wider than the old in-plan
+        # long sums)
+        u = [sum(m[d][e] * w[e] for e in range(dim)) for d in range(dim)]
+        # signed pivot: component of max |u|, ties to the lowest dim
+        pd_ = max(range(dim), key=lambda d: (abs(u[d]), -d))
+        up = u[pd_]
+        if up == 0:
             raise ValueError(
                 "power_iteration_top_direction: zero pivot (all-zero "
                 "quantized corpus?) — no dominant direction exists"
             )
-        w = [r["w"] for r in wrows]
-    pivot = u.orderBy(
-        F.abs(F.col("u")).desc(), F.col("d").asc()
-    ).limit(1).select(F.col("u").alias("up"))
-    return (
-        u.crossJoin(F.broadcast(pivot))
-        .select(
-            (F.col("d") + 1).cast("long").alias("dim"),
-            F.round(
-                F.col("u").cast("double") / F.col("up").cast("double"), 6
-            ).alias("loading"),
-        )
+        # identical to the old in-plan expression: long→double casts,
+        # double division, ×1000.0, round(…, 0) HALF_UP, cast long
+        w = [
+            int(_round_half_up(float(ud) / float(up) * 1000.0, 0))
+            for ud in u
+        ]
+    pd_ = max(range(dim), key=lambda d: (abs(u[d]), -d))
+    up = u[pd_]
+    spark = corpus.sparkSession
+    return spark.createDataFrame(
+        [
+            (d + 1, _round_half_up(float(u[d]) / float(up), 6))
+            for d in range(dim)
+        ],
+        "dim long, loading double",
     )
 
 

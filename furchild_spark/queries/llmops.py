@@ -2831,7 +2831,9 @@ def _bpe_rules(spark, sf_dir):
     "bpe_apply",
     prewarm=True,
     section="LLM-tokenizer BPE apply: learned merge rules replayed over "
-    "every document as an in-row greedy fold (map-only serving path)",
+    "every document — vocab-factored serving path (fold once per "
+    "DISTINCT word, join occurrences back; bit-for-bit the map-only "
+    "fold's output)",
     oracle=_BPE_CTES + f""",
 dtok AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 tok_pos AS (
@@ -2857,19 +2859,23 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 )
 def bpe_apply(spark, sf_dir):
     """Tokenize every document with the rules bpe_merges learned
-    (operators/text.bpe_apply): the merge list is the collected 5-row
-    model artifact; application is a pure in-row greedy fold per word —
-    map-only, zero shuffles, the shape that fuses into the scan
-    projection at 100 TB. The oracle replays the ENTIRE train→apply
-    path: it re-derives the merge rules with the trainer CTE chain
-    (islands-and-parity greedy — proven fold-equivalent by the green
-    bpe_merges entry) and maps each document's token stream through the
-    post-merge vocabulary, so a diverged rule OR a diverged application
-    anywhere breaks the hash. Subword stream serializes as a
+    (operators/text.bpe_apply_by_vocab): the merge list is the collected
+    5-row model artifact; the greedy rule fold — the expensive part —
+    runs once per DISTINCT word (guide §2.3 "shuffle fewer bytes" /
+    SURVEY §4 dedup-before-expensive-work), then the token→word join
+    maps every occurrence to its precomputed subwords and a per-document
+    regroup reassembles the stream. Output is bit-for-bit the map-only
+    fold's (shared `_bpe_word_subwords`; r11 measured ~3× on the bench
+    corpus — tokens/vocab ≈ 35×). The oracle replays the ENTIRE
+    train→apply path: it re-derives the merge rules with the trainer CTE
+    chain (islands-and-parity greedy — proven fold-equivalent by the
+    green bpe_merges entry) and maps each document's token stream
+    through the post-merge vocabulary, so a diverged rule OR a diverged
+    application anywhere breaks the hash. Subword stream serializes as a
     space-joined string (tokens are whitespace-split, so ' ' cannot
     occur inside a subword)."""
     d = table(spark, sf_dir, "documents")
-    out = text.bpe_apply(d, _bpe_rules(spark, sf_dir), "doc_id", "text")
+    out = text.bpe_apply_by_vocab(d, _bpe_rules(spark, sf_dir), "doc_id", "text")
     return out.select(
         "doc_id",
         F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),

@@ -753,24 +753,38 @@ def test_tokenize_pack_pipeline_single_checkpoint_feeds_both_legs(spark):
     assert len(ids) >= 2, "both legs must read the checkpointed subtree"
 
 
-def test_power_iteration_matvec_is_join_free(spark):
-    """The per-round power-iteration mat-vec is ONE projection over the
-    quantized corpus (row dot + posexplode fused) feeding a 64-group
-    aggregate — no self-join. A join here costs a corpus shuffle per
-    round (8 per call)."""
+def test_power_iteration_second_moment_is_join_free_single_pass(spark):
+    """The power-iteration data pass is ONE projection over the
+    quantized corpus (posexplode) feeding a dim-group aggregate that
+    yields the full second-moment matrix — no self-join, one exchange,
+    one corpus scan for ALL rounds (r11 optimization: the old
+    formulation scanned the corpus once per round)."""
     from pyspark.sql import functions as F
 
-    from furchild_spark.operators.similarity import _power_matvec_round
+    from furchild_spark.operators.similarity import _second_moment_matrix
 
     base = spark.range(4).select(
         F.col("id").alias("vec_id"),
         F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<long>").alias("__q"),
     )
-    u = _power_matvec_round(base, [1000, 0, 0])
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        u.explain("formatted")
-    plan = buf.getvalue()
+    plan_holder = {}
+    orig_collect = type(base).collect
+
+    def capture(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan_holder["plan"] = buf.getvalue()
+        return orig_collect(df)
+
+    type(base).collect = capture
+    try:
+        m = _second_moment_matrix(base, 3)
+    finally:
+        type(base).collect = orig_collect
+    plan = plan_holder["plan"]
     assert "Join" not in plan, plan
     # exactly the one aggregate exchange survives (tree section)
     assert plan.count("Exchange (") == 1, plan
+    # and the matrix is the exact second moment of 4 copies of [1,2,3]
+    assert m == [[4, 8, 12], [8, 16, 24], [12, 24, 36]]
