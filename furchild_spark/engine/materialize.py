@@ -33,6 +33,8 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -97,9 +99,64 @@ def parquet_exists(spark: SparkSession, path: str) -> bool:
     return False
 
 
+# mergeSchema fast-path bound: a table with at most this many data files
+# gets its footers compared driver-side (pyarrow, ~1 ms/footer) so the
+# common no-evolution case can skip Spark's DISTRIBUTED mergeSchema
+# schema-inference job — measured 0.5-0.9 s of fixed cost per read_table
+# call in the streaming/e2e entries (guide §1.2: remove work, then tune).
+# Above the bound (real cluster-scale tables) the driver must not walk
+# files one by one, so the original distributed merge runs unchanged.
+_SCHEMA_FASTPATH_MAX_FILES = int(
+    os.environ.get("SPARK_GRAFT_SCHEMA_FASTPATH_MAX_FILES", "64")
+)
+
+
+def _uniform_local_schema(path: str) -> bool | None:
+    """True if ``path`` is a local directory whose ≤ bound parquet footers
+    all carry byte-identical Arrow schemas; None when the fast path cannot
+    decide (non-local URI, too many files, unreadable footer) — the caller
+    must then fall back to Spark's own mergeSchema. False = schemas
+    genuinely differ (evolution happened)."""
+    local = path
+    if local.startswith("file://"):
+        local = local[len("file:"):]
+    elif "://" in local or local.startswith("file:"):
+        return None
+    if not os.path.isdir(local):
+        return None
+    files = []
+    for root, _dirs, names in os.walk(local):
+        for n in names:
+            if n.endswith(".parquet"):
+                files.append(os.path.join(root, n))
+                if len(files) > _SCHEMA_FASTPATH_MAX_FILES:
+                    return None
+    if not files:
+        return None
+    try:
+        import pyarrow.parquet as pq
+
+        first = pq.read_schema(files[0])
+        for f in files[1:]:
+            if not pq.read_schema(f).equals(first):
+                return False
+    except Exception:
+        return None
+    return True
+
+
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     """Read back a materialized table; mergeSchema so append_new_columns
     evolution is visible across files written by different runs.
+
+    Fast path (r11): when every footer under the table carries the SAME
+    schema — the overwhelmingly common case; evolution is the exception —
+    the plain parquet read is identical to the merged one, and skipping
+    ``mergeSchema`` skips the distributed footer-merge job Spark runs
+    eagerly at DataFrame construction. The check is driver-side pyarrow
+    over at most ``SPARK_GRAFT_SCHEMA_FASTPATH_MAX_FILES`` footers (env
+    knob, default 64): bounded driver work locally, and at cluster scale
+    (more files) the distributed merge runs exactly as before.
 
     Concurrent-reader safety across the staged-dir swap: in the window
     between the two commit renames the live dir does not exist, but the
@@ -110,7 +167,9 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
     (Delta/Iceberg) is the upgrade path for multi-writer clusters.)"""
     fs, jvm = _fs(spark, path)
     if not fs.exists(_hpath(jvm, path)) and fs.exists(_hpath(jvm, path + "__old")):
-        return spark.read.option("mergeSchema", "true").parquet(path + "__old")
+        path = path + "__old"
+    if _uniform_local_schema(path):
+        return spark.read.parquet(path)
     return spark.read.option("mergeSchema", "true").parquet(path)
 
 

@@ -484,7 +484,12 @@ def run_streaming_neardup_dedup(
             vouched = vouched.unionByName(
                 mat.read_table(s, table_path).select(F.col(id_col))
             )
-        state_bands = mat.read_table(s, bands_path).join(
+        # one read per sidecar per trigger: nothing below mutates a
+        # sidecar before its second use, so the same DataFrame serves the
+        # candidate join AND the post-merge heal membership check
+        bands_state_df = mat.read_table(s, bands_path)
+        sets_state_df = mat.read_table(s, sets_path)
+        state_bands = bands_state_df.join(
             vouched, on=id_col, how="left_semi"
         )
         pairs = (
@@ -502,7 +507,7 @@ def run_streaming_neardup_dedup(
         )
         # verify only the candidates' state sets: the explode inside the
         # verify must never fan out the whole state shingle table
-        sets_old = mat.read_table(s, sets_path).join(
+        sets_old = sets_state_df.join(
             pairs.select(F.col("id_old").alias(id_col)).distinct(),
             on=id_col, how="left_semi",
         )
@@ -511,11 +516,12 @@ def run_streaming_neardup_dedup(
         )
         near = ver.select(F.col("id_new").alias(id_col)).distinct()
         surv = batchd.join(near, on=id_col, how="left_anti")
-        # commit point
+        # commit point (the merge/overwrite RETURNS the post-merge table,
+        # so the heal below reads accepted membership without a re-read)
         if mat.parquet_exists(s, table_path):
-            mat.merge_upsert(s, table_path, surv, id_col)
+            accepted = mat.merge_upsert(s, table_path, surv, id_col)
         else:
-            mat.overwrite(s, table_path, surv)
+            accepted = mat.overwrite(s, table_path, surv)
         # heal the sidecars from accepted membership (idempotent: only
         # rows the sidecar does not already hold are appended). Each
         # sidecar computes its OWN add-set against its OWN membership: a
@@ -524,12 +530,12 @@ def run_streaming_neardup_dedup(
         # sets-derived add-set would skip those ids forever — their bands
         # rows would never be written and future near-dups of accepted
         # docs would silently pass.
-        acc_ids = mat.read_table(s, table_path).select(F.col(id_col))
+        acc_ids = accepted.select(F.col(id_col))
         accepted_new = sets_new.select(F.col(id_col)).join(
             acc_ids, on=id_col, how="left_semi"
         )
-        have_sets = mat.read_table(s, sets_path).select(F.col(id_col)).distinct()
-        have_bands = mat.read_table(s, bands_path).select(F.col(id_col)).distinct()
+        have_sets = sets_state_df.select(F.col(id_col)).distinct()
+        have_bands = bands_state_df.select(F.col(id_col)).distinct()
         add_sets = accepted_new.join(
             have_sets, on=id_col, how="left_anti"
         ).localCheckpoint()  # the appends below rewrite what these read
