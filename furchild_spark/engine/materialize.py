@@ -206,18 +206,30 @@ def _swap_in(spark: SparkSession, path: str, staged_suffix: str = "__staged") ->
 
 
 def overwrite(
-    spark: SparkSession, path: str, df: DataFrame, partition_by: tuple[str, ...] = ()
-) -> DataFrame:
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: tuple[str, ...] = (),
+    return_table: bool = True,
+) -> DataFrame | None:
+    """``return_table=False`` skips constructing the read-back DataFrame
+    (schema inference is paid at construction, ~0.2-0.5 s measured) —
+    for the many call sites that write fire-and-forget (sidecar heals,
+    index artifacts) and never look at the return value."""
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    return read_table(spark, path)
+    return read_table(spark, path) if return_table else None
 
 
 def append_rows(
-    spark: SparkSession, path: str, df: DataFrame, partition_by: tuple[str, ...] = ()
-) -> DataFrame:
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: tuple[str, ...] = (),
+    return_table: bool = True,
+) -> DataFrame | None:
     """dbt ``incremental_strategy='append'``: blind insert, no key
     matching. O(batch) — nothing existing is read or rewritten, the new
     files simply land next to the old ones (per partition dir when
@@ -229,12 +241,16 @@ def append_rows(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    return read_table(spark, path)
+    return read_table(spark, path) if return_table else None
 
 
 def insert_overwrite(
-    spark: SparkSession, path: str, df: DataFrame, partition_by: tuple[str, ...]
-) -> DataFrame:
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    partition_by: tuple[str, ...],
+    return_table: bool = True,
+) -> DataFrame | None:
     """dbt ``incremental_strategy='insert_overwrite'``: replace exactly
     the partitions present in ``df`` (Spark dynamic partition overwrite);
     every other partition directory is untouched — never read, never
@@ -251,12 +267,18 @@ def insert_overwrite(
         .partitionBy(*partition_by)
         .parquet(path)
     )
-    return read_table(spark, path)
+    return read_table(spark, path) if return_table else None
 
 
 def replace_slice(
-    spark: SparkSession, path: str, df: DataFrame, event_time: str, lo, hi
-) -> DataFrame:
+    spark: SparkSession,
+    path: str,
+    df: DataFrame,
+    event_time: str,
+    lo,
+    hi,
+    return_table: bool = True,
+) -> DataFrame | None:
     """Replace the ``lo <= event_time < hi`` slice of the table with
     ``df`` — the microbatch materialization primitive. Rows outside the
     window (including NULL event times) survive; the caller guarantees
@@ -279,7 +301,7 @@ def replace_slice(
         fs.delete(staged, True)
     merged.write.mode("overwrite").parquet(path + "__staged")
     _swap_in(spark, path)
-    return read_table(spark, path)
+    return read_table(spark, path) if return_table else None
 
 
 def predicate_expr(col: str, op: str, val):
@@ -312,7 +334,8 @@ def merge_upsert(
     partition_by: tuple[str, ...] = (),
     keep_newer_ts: str | None = None,
     predicates: tuple = (),
-) -> DataFrame:
+    return_table: bool = True,
+) -> DataFrame | None:
     """Upsert ``updates`` into the parquet table at ``path`` on ``unique_key``.
 
     WHEN MATCHED → update (the new row wins), WHEN NOT MATCHED → insert;
@@ -338,10 +361,11 @@ def merge_upsert(
     if partition_by:
         return _merge_partition_scoped(
             spark, path, updates, unique_key, partition_by, keep_newer_ts,
-            predicates,
+            predicates, return_table,
         )
     return _merge_full(
-        spark, path, updates, unique_key, keep_newer_ts, predicates
+        spark, path, updates, unique_key, keep_newer_ts, predicates,
+        return_table,
     )
 
 
@@ -374,7 +398,8 @@ def _merge_partition_scoped(
     partition_by: tuple[str, ...],
     keep_newer_ts: str | None = None,
     predicates: tuple = (),
-) -> DataFrame:
+    return_table: bool = True,
+) -> DataFrame | None:
     """Merge touching only the partitions present in ``updates``.
 
     The ``isin`` filter on the partition columns prunes the existing-table
@@ -391,7 +416,7 @@ def _merge_partition_scoped(
         updates, partition_by, "partitioned merge"
     )
     if not touched:
-        return read_table(spark, path)
+        return read_table(spark, path) if return_table else None
 
     existing = read_table(spark, path)
     cond = None
@@ -433,7 +458,7 @@ def _merge_partition_scoped(
         .partitionBy(*partition_by)
         .parquet(path)
     )
-    return read_table(spark, path)
+    return read_table(spark, path) if return_table else None
 
 
 def _merge_full(
@@ -443,7 +468,8 @@ def _merge_full(
     unique_key: str,
     keep_newer_ts: str | None = None,
     predicates: tuple = (),
-) -> DataFrame:
+    return_table: bool = True,
+) -> DataFrame | None:
     """Global merge with a crash-safe directory swap. With
     ``predicates``, only the in-window slice of the existing table
     enters the anti-join; the out-window slice unions back verbatim."""
@@ -466,7 +492,7 @@ def _merge_full(
 
     merged.write.mode("overwrite").parquet(path + "__staged")
     _swap_in(spark, path)
-    return read_table(spark, path)
+    return read_table(spark, path) if return_table else None
 
 
 def write_bucketed(

@@ -1147,7 +1147,10 @@ class Runner:
                 if tx is not None:
                     tx.replace_where(out, [(et, ">=", b0), (et, "<", b1)])
                 else:
-                    mat.replace_slice(self.spark, path, out, et, b0, b1)
+                    mat.replace_slice(
+                        self.spark, path, out, et, b0, b1,
+                        return_table=False,
+                    )
             except BaseException as e:
                 results.append({
                     "batch": [b0.isoformat(), b1.isoformat()],

@@ -1830,11 +1830,11 @@ def ivf_index_build(
     from furchild_spark.engine import materialize as mat
 
     cents = centroid_array(corpus, id_col, vec_col, num_centroids)
-    mat.overwrite(spark, f"{index_path}__centroids", cents)
-    frozen = mat.read_table(spark, f"{index_path}__centroids")
+    frozen = mat.overwrite(spark, f"{index_path}__centroids", cents)
     mat.overwrite(
         spark, f"{index_path}__lists",
         ivf_assign(corpus, frozen, id_col, vec_col),
+        return_table=False,
     )
 
 
@@ -1853,7 +1853,7 @@ def ivf_index_append(
 
     frozen = mat.read_table(spark, f"{index_path}__centroids")
     assign = ivf_assign(batch, frozen, id_col, vec_col).localCheckpoint()
-    mat.append_rows(spark, f"{index_path}__lists", assign)
+    mat.append_rows(spark, f"{index_path}__lists", assign, return_table=False)
     return assign
 
 
@@ -1993,17 +1993,20 @@ def ivfpq_index_build(
     from furchild_spark.engine import materialize as mat
 
     cents = centroid_array(corpus, id_col, vec_col, num_centroids)
-    mat.overwrite(spark, f"{index_path}__centroids", cents)
-    frozen = mat.read_table(spark, f"{index_path}__centroids")
+    frozen = mat.overwrite(spark, f"{index_path}__centroids", cents)
     cb = ivfpq_train(
         corpus, id_col, vec_col, num_centroids, dim, subspaces, kcodes
     )
-    mat.overwrite(spark, f"{index_path}__codebook", _codebook_table(spark, cb))
+    mat.overwrite(
+        spark, f"{index_path}__codebook", _codebook_table(spark, cb),
+        return_table=False,
+    )
     mat.overwrite(
         spark, f"{index_path}__codes",
         _ivfpq_encode_against(
             corpus, frozen, cb, id_col, vec_col, dim, subspaces, kcodes
         ),
+        return_table=False,
     )
 
 
@@ -2029,7 +2032,7 @@ def ivfpq_index_append(
     coded = _ivfpq_encode_against(
         batch, frozen, cb, id_col, vec_col, dim, subspaces, kcodes
     ).localCheckpoint()
-    mat.append_rows(spark, f"{index_path}__codes", coded)
+    mat.append_rows(spark, f"{index_path}__codes", coded, return_table=False)
     return coded
 
 
@@ -2180,11 +2183,11 @@ def sq8_index_build(
     from furchild_spark.engine import materialize as mat
 
     codec = sq8_train(corpus, vec_col, dim)
-    mat.overwrite(spark, f"{index_path}__codec", codec)
-    frozen = mat.read_table(spark, f"{index_path}__codec")
+    frozen = mat.overwrite(spark, f"{index_path}__codec", codec)
     mat.overwrite(
         spark, f"{index_path}__codes",
         sq8_encode(corpus, frozen, id_col, vec_col),
+        return_table=False,
     )
 
 
@@ -2204,7 +2207,7 @@ def sq8_index_append(
 
     frozen = mat.read_table(spark, f"{index_path}__codec")
     coded = sq8_encode(batch, frozen, id_col, vec_col).localCheckpoint()
-    mat.append_rows(spark, f"{index_path}__codes", coded)
+    mat.append_rows(spark, f"{index_path}__codes", coded, return_table=False)
     return coded
 
 

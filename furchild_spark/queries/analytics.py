@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-from .catalog import money, query, table
+from .catalog import money, query, table, widen_scan
 
 
 # money-domain cast — single definition in catalog.py
@@ -748,7 +748,10 @@ def table_profile(spark, sf_dir):
     string, DOUBLE through DECIMAL(18,2), TIMESTAMP through DATE) so the
     representation is engine-portable. At 100 TB this is the profile you
     compute WHILE writing a dataset, not a post-hoc scan per column."""
-    o = table(spark, sf_dir, "orders")
+    # widen_scan: the single-row-group input otherwise serializes the
+    # Expand + partial multi-distinct aggregate on one core (2.9 s →
+    # 1.4 s measured); every measure here is partition-order-free
+    o = widen_scan(spark, table(spark, sf_dir, "orders"))
     n_rows = F.count(F.lit(1))
 
     def measures(c, kind):

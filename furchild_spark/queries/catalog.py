@@ -158,3 +158,21 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         _TABLE_CACHE[key] = df
     return _TABLE_CACHE[key]
+
+
+def widen_scan(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Round-robin repartition an UNDER-SPLIT scan to the session's
+    default parallelism (guide §2.5 "input skew: one huge unsplittable
+    file ... repartition immediately after the read").
+
+    The testdata tables are single-row-group parquet files, so every
+    scan arrives as ONE split and a compute-heavy map stage (window
+    fingerprints, multi-distinct Expand folds) serializes on one core.
+    At real scale the split count exceeds the core count and this is a
+    provable no-op — no shuffle is added. ONLY for entries whose
+    downstream is partition-order-free (exact aggregates / set ops);
+    callers of order-sensitive folds must not use it."""
+    par = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df

@@ -65,9 +65,11 @@ def incremental_merge_e2e(spark, sf_dir):
         F.col("o_orderdate") >= F.lit("1996-12-01").cast("timestamp")
     ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
 
-    mat.overwrite(spark, path, initial)  # S3: table materialization
-    mat.merge_upsert(spark, path, updates, "o_orderkey")  # S6: merge
-    mat.merge_upsert(spark, path, updates, "o_orderkey")  # idempotent re-run
+    mat.overwrite(spark, path, initial, return_table=False)  # S3: table
+    mat.merge_upsert(  # S6: merge
+        spark, path, updates, "o_orderkey", return_table=False)
+    mat.merge_upsert(  # idempotent re-run
+        spark, path, updates, "o_orderkey", return_table=False)
     return mat.read_table(spark, path).select(*_ORDER_COLS)
 
 
@@ -160,8 +162,8 @@ def schema_evolution_e2e(spark, sf_dir):
             F.length("s_name").cast("long").alias("name_len"),
         )
     )
-    mat.overwrite(spark, path, initial)
-    mat.merge_upsert(spark, path, widened, "s_suppkey")
+    mat.overwrite(spark, path, initial, return_table=False)
+    mat.merge_upsert(spark, path, widened, "s_suppkey", return_table=False)
     out = mat.read_table(spark, path)
     return out.select("s_suppkey", "s_nationkey", F.col("name_len").cast("long").alias("name_len"))
 
@@ -217,9 +219,12 @@ def partitioned_merge_e2e(spark, sf_dir):
         & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
     ).withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
 
-    mat.overwrite(spark, path, initial, partition_by=("o_month",))
-    mat.merge_upsert(spark, path, updates, "o_orderkey", partition_by=("o_month",))
-    mat.merge_upsert(spark, path, updates, "o_orderkey", partition_by=("o_month",))
+    mat.overwrite(
+        spark, path, initial, partition_by=("o_month",), return_table=False)
+    mat.merge_upsert(spark, path, updates, "o_orderkey",
+                     partition_by=("o_month",), return_table=False)
+    mat.merge_upsert(spark, path, updates, "o_orderkey",
+                     partition_by=("o_month",), return_table=False)
     out = mat.read_table(spark, path)
     # partition columns come back as the directory-inferred type; pin string
     return out.select(*_ORDER_COLS, F.col("o_month").cast("string").alias("o_month"))
@@ -462,9 +467,12 @@ def insert_overwrite_e2e(spark, sf_dir):
         )
         .withColumn("o_totalprice", F.col("o_totalprice") * F.lit(1.1))
     )
-    mat.overwrite(spark, path, initial, partition_by=("o_month",))
-    mat.insert_overwrite(spark, path, batch, partition_by=("o_month",))
-    mat.insert_overwrite(spark, path, batch, partition_by=("o_month",))
+    mat.overwrite(
+        spark, path, initial, partition_by=("o_month",), return_table=False)
+    mat.insert_overwrite(
+        spark, path, batch, partition_by=("o_month",), return_table=False)
+    mat.insert_overwrite(
+        spark, path, batch, partition_by=("o_month",), return_table=False)
     out = mat.read_table(spark, path)
     return out.select(*_ORDER_COLS, F.col("o_month").cast("string").alias("o_month"))
 

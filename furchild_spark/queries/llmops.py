@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from furchild_spark.operators import dedup, multimodal, similarity, text
-from .catalog import query, table
+from .catalog import query, table, widen_scan
 
 from ._oracle_fragments import _MINHASH_CTES, _NORM, _TOKS  # noqa: F401
 
@@ -2954,7 +2954,10 @@ def exact_substring_spans(spark, sf_dir):
     duplicated fingerprints, and the islands merge relationally — a
     diverged tokenization, window hash, or merge boundary breaks the
     hash."""
-    d = table(spark, sf_dir, "documents")
+    # widen_scan: the O(tokens x window) fingerprint map otherwise runs
+    # on the single unsplittable input split (guide §2.5); span math is
+    # partition-order-free (exact fingerprint aggregates)
+    d = widen_scan(spark, table(spark, sf_dir, "documents"))
     return dedup.exact_substring_spans(d, "doc_id", "text",
                                        min_tokens=_ESS_MIN)
 
@@ -3005,7 +3008,7 @@ def exact_substring_dedup(spark, sf_dir):
     corpus is re-read exactly once. The oracle replays span detection
     WITH the keeper rule and the positional token filter, so clean_text
     is compared verbatim."""
-    d = table(spark, sf_dir, "documents")
+    d = widen_scan(spark, table(spark, sf_dir, "documents"))
     return dedup.exact_substring_dedup(d, "doc_id", "text",
                                        min_tokens=_ESS_MIN)
 

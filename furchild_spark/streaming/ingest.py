@@ -90,10 +90,10 @@ def merge_sink(
         if mat.parquet_exists(spark, path):
             mat.merge_upsert(
                 spark, path, latest, unique_key, partition_by,
-                keep_newer_ts=ts_col,
+                keep_newer_ts=ts_col, return_table=False,
             )
         else:
-            mat.overwrite(spark, path, latest, partition_by)
+            mat.overwrite(spark, path, latest, partition_by, return_table=False)
 
     return sink
 
@@ -358,6 +358,7 @@ def run_streaming_corpus_dedup(
             fp_of(corpus_df).groupBy("fingerprint").agg(
                 F.min(id_col).alias(id_col)
             ),
+            return_table=False,
         )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
@@ -375,10 +376,10 @@ def run_streaming_corpus_dedup(
             surv.select(id_col), on=id_col, how="left_semi"
         )
         if mat.parquet_exists(s, table_path):
-            mat.merge_upsert(s, table_path, accepted, id_col)
+            mat.merge_upsert(s, table_path, accepted, id_col, return_table=False)
         else:
-            mat.overwrite(s, table_path, accepted)
-        mat.merge_upsert(s, fp_path, surv, "fingerprint")
+            mat.overwrite(s, table_path, accepted, return_table=False)
+        mat.merge_upsert(s, fp_path, surv, "fingerprint", return_table=False)
 
     stream = read_bronze_stream(spark, src_dir, schema, max_files_per_trigger)
     writer = (
@@ -457,8 +458,10 @@ def run_streaming_neardup_dedup(
         corpus_sets = shingle_sets(
             corpus_df, id_col, text_col
         ).localCheckpoint()
-        mat.overwrite(spark, sets_path, corpus_sets)
-        mat.overwrite(spark, bands_path, bands_of(corpus_sets))
+        mat.overwrite(spark, sets_path, corpus_sets, return_table=False)
+        mat.overwrite(
+            spark, bands_path, bands_of(corpus_sets), return_table=False
+        )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         s = batch_df.sparkSession
@@ -545,10 +548,12 @@ def run_streaming_neardup_dedup(
         mat.append_rows(
             s, sets_path,
             sets_new.join(add_sets, on=id_col, how="left_semi"),
+            return_table=False,
         )
         mat.append_rows(
             s, bands_path,
             bands_new.join(add_bands, on=id_col, how="left_semi"),
+            return_table=False,
         )
 
     stream = read_bronze_stream(spark, src_dir, schema, max_files_per_trigger)

@@ -724,15 +724,21 @@ def test_exact_substring_spans_bounded_shuffles_with_partials(spark):
     fingerprint groupBy shows MAP-SIDE PARTIAL aggregation (the guard for
     the hot-boilerplate skew path — a viral header fingerprint combines
     per-partition before the exchange), and the whole plan carries
-    exactly three data exchanges (distinct-doc pre-agg, fp rollup, doc
-    islands merge) — never a cartesian candidate pairing and never a
-    corpus-wide sort."""
+    exactly three KEYED data exchanges (distinct-doc pre-agg, fp rollup,
+    doc islands merge) — never a cartesian candidate pairing and never a
+    corpus-wide sort. The r11 widen_scan guard may ADD round-robin
+    repartitions of the raw scan (unsplittable-input remedy, a no-op at
+    real scale); those are counted separately and bounded, so a keyed
+    shuffle sneaking in still fails."""
     import re
 
     p = plan_of(spark, "exact_substring_spans")
     assert "CartesianProduct" not in p
     assert "partial_" in p
-    assert len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M)) == 3
+    n_total = len(re.findall(r"^\(\d+\) Exchange", p, flags=re.M))
+    n_rr = p.count("RoundRobinPartitioning")
+    assert n_total - n_rr == 3, (n_total, n_rr)
+    assert n_rr <= 2  # widen_scan on the doc scan (subtree may appear 2x)
     assert "hashpartitioning(fp" in p
 
 
