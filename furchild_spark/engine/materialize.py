@@ -443,8 +443,10 @@ def _merge_partition_scoped(
     updates = _drop_stale_updates(
         touched_rows, updates, unique_key, keep_newer_ts
     )
+    # left_anti dedups its right side by definition — no explicit
+    # distinct (it would add a full aggregate + exchange to every merge)
     kept = touched_rows.join(
-        updates.select(unique_key).distinct(), unique_key, "left_anti"
+        updates.select(unique_key), unique_key, "left_anti"
     )
     merged = kept.unionByName(updates, allowMissingColumns=True)
     if out_window is not None:
@@ -480,7 +482,8 @@ def _merge_full(
         out_window = existing.filter(~F.coalesce(pred, F.lit(False)))
         existing = existing.filter(pred)
     updates = _drop_stale_updates(existing, updates, unique_key, keep_newer_ts)
-    kept = existing.join(updates.select(unique_key).distinct(), unique_key, "left_anti")
+    # left_anti dedups its right side by definition — no explicit distinct
+    kept = existing.join(updates.select(unique_key), unique_key, "left_anti")
     merged = kept.unionByName(updates, allowMissingColumns=True)
     if out_window is not None:
         merged = out_window.unionByName(merged, allowMissingColumns=True)

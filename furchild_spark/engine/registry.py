@@ -639,6 +639,14 @@ class Runner:
         self.vars = {**DEFAULT_VARS, **(variables or {})}
         self.now = now
         self._cache: dict[str, DataFrame] = {}
+        # source() resolution cache: a dbt source is a stable relation for
+        # the lifetime of one invocation, but a callable `sources` hook
+        # typically constructs a fresh DataFrame per call (file listing +
+        # schema inference, ~30-80 ms each on parquet dirs) — across a
+        # 34-model DAG that fixed cost dominates small-model builds.
+        # Caching the RAW resolved frame per name is semantics-preserving
+        # within a Runner (new Runner = new resolution, as before).
+        self._source_cache: dict[str, DataFrame] = {}
         # observed DAG edges (dbt manifest equivalent), recorded as models
         # build: lineage[name] = {"refs": [...], "sources": [...]}
         self.lineage: dict[str, dict[str, list[str]]] = {}
@@ -688,9 +696,12 @@ class Runner:
 
     def source(self, name: str) -> DataFrame:
         self._record_edge("sources", name)
-        df = self._sources(name) if callable(self._sources) else (
-            self._sources[name]
-        )
+        df = self._source_cache.get(name)
+        if df is None:
+            df = self._sources(name) if callable(self._sources) else (
+                self._sources[name]
+            )
+            self._source_cache[name] = df
         # dbt --empty: inputs limited to zero rows, schema intact. limit(0)
         # folds to an empty LocalRelation at plan time — the dry run never
         # scans a data file.

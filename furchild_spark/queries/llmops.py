@@ -3238,7 +3238,12 @@ _TPP_RULES_CACHE: dict[str, list] = {}
 def _tpp_kept(spark, sf_dir):
     """The pipeline's shared front half: duplicated passages removed
     (keep-one, anchor window 8), then the post-removal length gate."""
-    d = table(spark, sf_dir, "documents")
+    # widen_scan: the same O(tokens x window) fingerprint map the
+    # standalone exact_substring entries widen (r11 change #5) — without
+    # it the pipeline's whole dedup front half serializes on the single
+    # scan split. Downstream is partition-order-free: per-doc span rows,
+    # doc_id-keyed regroups, and the packer re-orders by md5(doc_id).
+    d = widen_scan(spark, table(spark, sf_dir, "documents"))
     cleaned = dedup.exact_substring_dedup(d, "doc_id", "text",
                                           min_tokens=_ESS_MIN)
     return cleaned.filter(

@@ -510,14 +510,16 @@ def run_streaming_neardup_dedup(
         )
         # verify only the candidates' state sets: the explode inside the
         # verify must never fan out the whole state shingle table
+        # (left_semi/left_anti dedup their right side by definition — no
+        # explicit distinct, which would add an aggregate + exchange)
         sets_old = sets_state_df.join(
-            pairs.select(F.col("id_old").alias(id_col)).distinct(),
+            pairs.select(F.col("id_old").alias(id_col)),
             on=id_col, how="left_semi",
         )
         ver = jaccard_verify_cross(
             sets_new, sets_old, pairs, id_col, threshold=threshold,
         )
-        near = ver.select(F.col("id_new").alias(id_col)).distinct()
+        near = ver.select(F.col("id_new").alias(id_col))
         surv = batchd.join(near, on=id_col, how="left_anti")
         # commit point (the merge/overwrite RETURNS the post-merge table,
         # so the heal below reads accepted membership without a re-read)
@@ -537,14 +539,23 @@ def run_streaming_neardup_dedup(
         accepted_new = sets_new.select(F.col(id_col)).join(
             acc_ids, on=id_col, how="left_semi"
         )
-        have_sets = sets_state_df.select(F.col(id_col)).distinct()
-        have_bands = bands_state_df.select(F.col(id_col)).distinct()
-        add_sets = accepted_new.join(
-            have_sets, on=id_col, how="left_anti"
-        ).localCheckpoint()  # the appends below rewrite what these read
-        add_bands = accepted_new.join(
-            have_bands, on=id_col, how="left_anti"
-        ).localCheckpoint()
+        have_sets = sets_state_df.select(F.col(id_col))
+        have_bands = bands_state_df.select(F.col(id_col))
+        # both per-sidecar add-sets in ONE eager checkpoint (a tagged
+        # union — one Spark action instead of two; left_anti needs no
+        # distinct on its right side): the appends below rewrite what
+        # these read, so eager materialization stays load-bearing
+        adds = (
+            accepted_new.join(have_sets, on=id_col, how="left_anti")
+            .withColumn("__sidecar", F.lit("sets"))
+            .unionByName(
+                accepted_new.join(have_bands, on=id_col, how="left_anti")
+                .withColumn("__sidecar", F.lit("bands"))
+            )
+            .localCheckpoint()
+        )
+        add_sets = adds.filter(F.col("__sidecar") == "sets").select(id_col)
+        add_bands = adds.filter(F.col("__sidecar") == "bands").select(id_col)
         mat.append_rows(
             s, sets_path,
             sets_new.join(add_sets, on=id_col, how="left_semi"),

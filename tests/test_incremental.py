@@ -36,6 +36,24 @@ def test_merge_full_upsert(spark, tmp_path):
     assert not os.path.exists(path + "__old")
 
 
+def test_merge_full_upsert_duplicate_update_keys(spark, tmp_path):
+    """r11 optimization guard: the anti-join side no longer runs an
+    explicit distinct (left_anti dedups its right side by definition).
+    Duplicate keys in `updates` must still (a) drop the matching
+    existing row exactly once and (b) insert verbatim — dbt's merge
+    contract leaves duplicate-source handling to the caller, so the
+    union side is unchanged by construction."""
+    path = str(tmp_path / "t")
+    mat.overwrite(spark, path, _mk(spark, [("a", "p1", 1), ("b", "p1", 2)]))
+    out = mat.merge_upsert(
+        spark, path,
+        _mk(spark, [("b", "p1", 20), ("b", "p1", 21), ("c", "p2", 3)]),
+        "k",
+    )
+    got = sorted((r["k"], r["v"]) for r in out.collect())
+    assert got == [("a", 1), ("b", 20), ("b", 21), ("c", 3)]
+
+
 def test_merge_partition_scoped_touches_only_update_partitions(spark, tmp_path):
     path = str(tmp_path / "t")
     mat.overwrite(

@@ -45,6 +45,24 @@ def runner(spark, tmp_path_factory):
     return r
 
 
+def test_source_resolution_is_cached_per_runner(runner):
+    """r11 optimization guard: source() memoizes the resolved DataFrame
+    per Runner (a callable `sources` hook pays file listing + schema
+    inference per construction otherwise), while --empty still limits
+    the CACHED frame to zero rows at return time, not in the cache."""
+    a = runner.source("users")
+    b = runner.source("users")
+    assert a is b
+    # the cache holds the raw frame; the empty-wrap applies on return
+    runner.empty = True
+    try:
+        assert runner.source("users") is not a
+        assert runner.source("users").count() == 0
+    finally:
+        runner.empty = False
+    assert runner.source("users") is a
+
+
 def test_models_import_and_registry():
     from furchild_spark.models import registry
 
