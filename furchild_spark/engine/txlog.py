@@ -759,8 +759,10 @@ class TxTable:
                 )
             elif scope_col is None:
                 current = self.snapshot(base)
+                # left_anti dedups its right side by definition — no
+                # explicit distinct (it would add an aggregate + exchange)
                 survivors = current.join(
-                    updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+                    updates.select(*key_cols), on=key_cols, how="left_anti"
                 )
                 # evolution: new columns appended, survivors read null for
                 # them; a replaced row's unspecified columns become null
@@ -840,8 +842,9 @@ class TxTable:
                     pred = c if pred is None else (pred & c)
                 protected = current.filter(~F.coalesce(pred, F.lit(False)))
                 current = current.filter(pred)
+            # left_anti needs no distinct on its right side
             survivors = current.join(
-                updates.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+                updates.select(*key_cols), on=key_cols, how="left_anti"
             )
             merged = survivors.unionByName(
                 updates, allowMissingColumns=allow_evolution
@@ -1171,8 +1174,9 @@ class TxTable:
                 m = self._read_manifest(base)
                 self._check_append_schema(batch_df, m, allow_evolution=False)
                 current = self.snapshot(base)
+                # left_anti needs no distinct on its right side
                 survivors = current.join(
-                    batch_df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+                    batch_df.select(*key_cols), on=key_cols, how="left_anti"
                 )
                 merged = survivors.unionByName(batch_df)
                 files, rows = self._write_data(merged)
