@@ -799,11 +799,13 @@ def txlog_datasource_e2e(spark, sf_dir):
 
     from furchild_spark.engine.txlog import TxTable
     from furchild_spark.sources.txlog_datasource import (
-        TxLogDataSource,
         TxLogReader,
+        register as register_txlog,
     )
 
-    spark.dataSource.register(TxLogDataSource)
+    # register() also sets spark.sql.python.filterPushdown.enabled —
+    # required for pushFilters() on sessions the repo did not build.
+    register_txlog(spark)
     cut = dt.datetime(1996, 12, 1)
     o = table(spark, sf_dir, "orders").select(*_ORDER_COLS)
     base = tempfile.mkdtemp(prefix="furchild_txlog_ds_e2e_")

@@ -606,12 +606,14 @@ def txlog_stream_sink_e2e(spark, sf_dir):
 
     from furchild_spark.engine.txlog import TxTable
     from furchild_spark.sources.txlog_datasource import (
-        TxLogDataSource,
         TxLogStreamArrowWriter,
         _TxWriteMessage,
+        register as register_txlog,
     )
 
-    spark.dataSource.register(TxLogDataSource)
+    # register() also sets spark.sql.python.filterPushdown.enabled —
+    # required for pushFilters() on sessions the repo did not build.
+    register_txlog(spark)
     base = tempfile.mkdtemp(prefix="furchild_txlog_sink_e2e_")
     landing, table_path = f"{base}/landing", f"{base}/table"
     os.makedirs(landing)

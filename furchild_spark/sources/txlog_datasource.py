@@ -525,5 +525,14 @@ class TxLogDataSource(DataSource):
 
 def register(spark) -> None:
     """Idempotently register the source on a session:
-    ``spark.dataSource.register(TxLogDataSource)``."""
+    ``spark.dataSource.register(TxLogDataSource)``.
+
+    Also enables ``spark.sql.python.filterPushdown.enabled`` — a runtime
+    SQL conf checked at read-planning time: ``TxLogReader.pushFilters``
+    (manifest file pruning) raises ``DATA_SOURCE_PUSHDOWN_DISABLED`` on
+    any session that does not carry it. The repo's own session factory
+    sets it, but externally constructed sessions (the bench driver, a
+    bare ``SparkSession.builder``) do not, so the registration helper is
+    the one place every consumer of the format must pass through."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(TxLogDataSource)

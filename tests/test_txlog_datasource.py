@@ -321,3 +321,73 @@ def test_datasource_tables_interop_with_maintenance(
     assert spark.read.format("txlog").load(path).count() == before
     n_files_after = len(tx._read_manifest(tx.current_version())["files"])
     assert n_files_after < n_files_before
+
+
+def test_entries_pass_on_session_without_filter_pushdown_conf(spark, sf_dir):
+    """The catalog entries that read format("txlog") must work on a
+    session the repo did NOT build (the bench driver constructs its own
+    SparkSession without spark.sql.python.filterPushdown.enabled, and
+    TxLogReader.pushFilters raises DATA_SOURCE_PUSHDOWN_DISABLED without
+    it). register() is the entry-side fix: it sets the runtime conf
+    before registering the format.
+
+    The batch entry runs here on a cloned session with the conf
+    explicitly disabled; the streaming entry is covered by the bare-
+    subprocess test below (a newSession() clone cannot host a Python
+    data source streaming sink — lookup at .start() resolves via the
+    JVM default session, a clone artifact the single-session driver
+    never hits)."""
+    from furchild_spark.queries.engine_e2e import txlog_datasource_e2e
+
+    bare = spark.newSession()
+    # simulate an externally-built session: the conf is explicitly off
+    bare.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+
+    out = txlog_datasource_e2e(bare, sf_dir)
+    assert out.count() > 0
+    assert bare.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+
+
+def test_entries_pass_on_truly_bare_external_session(sf_dir):
+    """Both txlog-format entries green on a SparkSession built with NONE
+    of the repo's confs — exactly what the bench driver does. Runs in a
+    fresh subprocess so the session really is bare (one JVM per process)."""
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import sys
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master("local[2]")
+            .appName("bare_external")
+            .config("spark.ui.showConsoleProgress", "false")
+            .getOrCreate()
+        )
+        assert (
+            spark.conf.get(
+                "spark.sql.python.filterPushdown.enabled", "false"
+            )
+            == "false"
+        ), "session must start bare for this test to prove anything"
+        from furchild_spark.queries.engine_e2e import txlog_datasource_e2e
+        from furchild_spark.queries.streaming_e2e import txlog_stream_sink_e2e
+
+        sf_dir = sys.argv[1]
+        assert txlog_datasource_e2e(spark, sf_dir).count() > 0
+        assert txlog_stream_sink_e2e(spark, sf_dir).count() > 0
+        print("BARE_SESSION_OK")
+        """
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", script, sf_dir],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-4000:]
+    assert "BARE_SESSION_OK" in proc.stdout
