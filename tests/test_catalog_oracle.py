@@ -52,8 +52,30 @@ def _normalize(rows, cols):
     return out
 
 
+# The full 240-entry sweep takes ~1 h on the bench host — beyond the
+# driver's pytest budget. Default runs a deterministic per-name sample
+# (md5(name) % 8 == 0, ~26 entries spanning every query family) plus the
+# entries that have ever failed on an externally-built session; the full
+# sweep runs with SPARK_GRAFT_FULL_ORACLE=1 (the builder's pre-commit
+# gate, not the default CI path).
+FULL_ORACLE = os.environ.get("SPARK_GRAFT_FULL_ORACLE", "") == "1"
+_ALWAYS_ON = {"txlog_datasource_e2e", "txlog_stream_sink_e2e"}
+
+
+def _in_default_sample(name: str) -> bool:
+    import hashlib
+
+    if name in _ALWAYS_ON:
+        return True
+    return int(hashlib.md5(name.encode()).hexdigest(), 16) % 8 == 0
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, ddb, name):
+    if not FULL_ORACLE and not _in_default_sample(name):
+        pytest.skip(
+            "full oracle sweep gated behind SPARK_GRAFT_FULL_ORACLE=1"
+        )
     q = QUERIES[name]
     sdf = q.fn(spark, SF_DIR)
     spark_rows = [r.asDict() for r in sdf.collect()]
