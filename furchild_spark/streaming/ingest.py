@@ -492,35 +492,57 @@ def run_streaming_neardup_dedup(
         # candidate join AND the post-merge heal membership check
         bands_state_df = mat.read_table(s, bands_path)
         sets_state_df = mat.read_table(s, sets_path)
-        state_bands = bands_state_df.join(
-            vouched, on=id_col, how="left_semi"
-        )
-        pairs = (
-            bands_new.select(
-                F.col(id_col).alias("id_new"), "band", "band_sig"
+        # Candidate generation never shuffles state: the batch side is
+        # bounded by maxFilesPerTrigger, so its band signatures BROADCAST
+        # into one map-side pass over the bands sidecar (per-trigger cost
+        # ∝ state scan + batch size — the alternative, an equi-join with
+        # a vouched-filtered state side, re-shuffled the ENTIRE sidecar
+        # and the accepted∪corpus id set on every trigger).
+        pairs_raw = (
+            bands_state_df.select(
+                F.col(id_col).alias("id_old"), "band", "band_sig"
             )
             .join(
-                state_bands.select(
-                    F.col(id_col).alias("id_old"), "band", "band_sig"
+                F.broadcast(
+                    bands_new.select(
+                        F.col(id_col).alias("id_new"), "band", "band_sig"
+                    )
                 ),
                 on=["band", "band_sig"],
             )
             .select("id_new", "id_old")
             .distinct()
+            .localCheckpoint()  # batch-bounded tiny; reused 3× below
+        )
+        # membership check moved from the state side to the candidate
+        # side: a candidate may only reject if the accepted table (or the
+        # corpus) vouches for its id_old — the same pair set as filtering
+        # the sidecar before the band join (the join only restricts
+        # id_old further), but checked on batch-bounded ids with map-side
+        # scans instead of a full state shuffle per trigger
+        vouched_cands = (
+            vouched.join(
+                F.broadcast(pairs_raw.select(F.col("id_old").alias(id_col))),
+                on=id_col, how="left_semi",
+            )
+            .select(F.col(id_col).alias("id_old"))
+        )
+        pairs = pairs_raw.join(
+            F.broadcast(vouched_cands), on="id_old", how="left_semi"
         )
         # verify only the candidates' state sets: the explode inside the
         # verify must never fan out the whole state shingle table
         # (left_semi/left_anti dedup their right side by definition — no
         # explicit distinct, which would add an aggregate + exchange)
         sets_old = sets_state_df.join(
-            pairs.select(F.col("id_old").alias(id_col)),
+            F.broadcast(pairs.select(F.col("id_old").alias(id_col))),
             on=id_col, how="left_semi",
         )
         ver = jaccard_verify_cross(
             sets_new, sets_old, pairs, id_col, threshold=threshold,
         )
         near = ver.select(F.col("id_new").alias(id_col))
-        surv = batchd.join(near, on=id_col, how="left_anti")
+        surv = batchd.join(F.broadcast(near), on=id_col, how="left_anti")
         # commit point (the merge/overwrite RETURNS the post-merge table,
         # so the heal below reads accepted membership without a re-read)
         if mat.parquet_exists(s, table_path):
@@ -535,21 +557,33 @@ def run_streaming_neardup_dedup(
         # sets-derived add-set would skip those ids forever — their bands
         # rows would never be written and future near-dups of accepted
         # docs would silently pass.
-        acc_ids = accepted.select(F.col(id_col))
-        accepted_new = sets_new.select(F.col(id_col)).join(
-            acc_ids, on=id_col, how="left_semi"
+        # heal joins keep the same never-shuffle-state shape: the batch's
+        # ids broadcast into map-side scans of the accepted table and the
+        # sidecar id columns; the anti-joins then build against the tiny
+        # pre-filtered result instead of shuffling a state-sized side
+        batch_ids = sets_new.select(F.col(id_col))
+        accepted_new = accepted.select(F.col(id_col)).join(
+            F.broadcast(batch_ids), on=id_col, how="left_semi"
         )
-        have_sets = sets_state_df.select(F.col(id_col))
-        have_bands = bands_state_df.select(F.col(id_col))
+        have_sets = sets_state_df.select(F.col(id_col)).join(
+            F.broadcast(batch_ids), on=id_col, how="left_semi"
+        )
+        have_bands = bands_state_df.select(F.col(id_col)).join(
+            F.broadcast(batch_ids), on=id_col, how="left_semi"
+        )
         # both per-sidecar add-sets in ONE eager checkpoint (a tagged
         # union — one Spark action instead of two; left_anti needs no
         # distinct on its right side): the appends below rewrite what
         # these read, so eager materialization stays load-bearing
         adds = (
-            accepted_new.join(have_sets, on=id_col, how="left_anti")
+            accepted_new.join(
+                F.broadcast(have_sets), on=id_col, how="left_anti"
+            )
             .withColumn("__sidecar", F.lit("sets"))
             .unionByName(
-                accepted_new.join(have_bands, on=id_col, how="left_anti")
+                accepted_new.join(
+                    F.broadcast(have_bands), on=id_col, how="left_anti"
+                )
                 .withColumn("__sidecar", F.lit("bands"))
             )
             .localCheckpoint()
@@ -558,12 +592,12 @@ def run_streaming_neardup_dedup(
         add_bands = adds.filter(F.col("__sidecar") == "bands").select(id_col)
         mat.append_rows(
             s, sets_path,
-            sets_new.join(add_sets, on=id_col, how="left_semi"),
+            sets_new.join(F.broadcast(add_sets), on=id_col, how="left_semi"),
             return_table=False,
         )
         mat.append_rows(
             s, bands_path,
-            bands_new.join(add_bands, on=id_col, how="left_semi"),
+            bands_new.join(F.broadcast(add_bands), on=id_col, how="left_semi"),
             return_table=False,
         )
 
