@@ -205,6 +205,20 @@ def _swap_in(spark: SparkSession, path: str, staged_suffix: str = "__staged") ->
     fs.delete(old, True)
 
 
+def _read_back_hinted(spark: SparkSession, path: str, schema) -> DataFrame:
+    """Read back a table THIS call just wrote UNPARTITIONED: every footer
+    under ``path`` was written from one frame in one job, so its schema
+    is exactly that frame's schema (names, order, types, nullability —
+    Spark maps non-null to parquet ``required`` and back). Passing it
+    explicitly skips the schema-inference job Spark otherwise runs at
+    DataFrame construction (one 1-task job + footer read per read-back;
+    measured 106 parquet-construction jobs in the 68-materialization DAG
+    entry). Partitioned or appended tables must NOT use this: partition
+    columns live in directory names (inference appends + type-infers
+    them) and appended files may carry evolved schemas."""
+    return spark.read.schema(schema).parquet(path)
+
+
 def overwrite(
     spark: SparkSession,
     path: str,
@@ -220,7 +234,11 @@ def overwrite(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
-    return read_table(spark, path) if return_table else None
+    if not return_table:
+        return None
+    if partition_by:
+        return read_table(spark, path)
+    return _read_back_hinted(spark, path, df.schema)
 
 
 def append_rows(
@@ -301,7 +319,9 @@ def replace_slice(
         fs.delete(staged, True)
     merged.write.mode("overwrite").parquet(path + "__staged")
     _swap_in(spark, path)
-    return read_table(spark, path) if return_table else None
+    if not return_table:
+        return None
+    return _read_back_hinted(spark, path, merged.schema)
 
 
 def predicate_expr(col: str, op: str, val):
@@ -495,7 +515,9 @@ def _merge_full(
 
     merged.write.mode("overwrite").parquet(path + "__staged")
     _swap_in(spark, path)
-    return read_table(spark, path) if return_table else None
+    if not return_table:
+        return None
+    return _read_back_hinted(spark, path, merged.schema)
 
 
 def write_bucketed(

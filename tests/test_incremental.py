@@ -297,3 +297,37 @@ def test_merge_keep_newer_ts_rejects_stale_update(spark, tmp_path):
     )
     got = {r["k"]: r["v"] for r in out.collect()}
     assert got == {"a": 10, "b": 2, "c": 3}
+
+
+def test_hinted_read_back_schema_matches_inference(spark, tmp_path):
+    """overwrite/_merge_full/replace_slice read their table back with the
+    just-written frame's schema as an explicit hint (skips the
+    schema-inference job). The hint must be byte-equivalent to what
+    inference would produce — names, order, types, nullability —
+    including after a merge that widened columns via allowMissingColumns."""
+    from pyspark.sql import functions as F
+
+    from furchild_spark.engine import materialize as mat
+
+    path = str(tmp_path / "t")
+    base = spark.range(5).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        F.lit("x").alias("s"),
+    )
+    out = mat.overwrite(spark, path, base)
+    inferred = spark.read.option("mergeSchema", "true").parquet(path)
+    assert out.schema == inferred.schema
+    assert [r.k for r in out.orderBy("k").collect()] == [0, 1, 2, 3, 4]
+
+    # merge that ADDS a column: merged schema = union, hint must match
+    updates = spark.range(3).select(
+        F.col("id").alias("k"),
+        F.col("id").cast("double").alias("v"),
+        F.lit("y").alias("s"),
+        F.lit(7).cast("long").alias("extra"),
+    )
+    out2 = mat.merge_upsert(spark, path, updates, "k")
+    inferred2 = spark.read.option("mergeSchema", "true").parquet(path)
+    assert out2.schema == inferred2.schema
+    assert out2.count() == 5
