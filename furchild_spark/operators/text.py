@@ -865,10 +865,19 @@ def unigram_em_round(
     Returns ``(piece, score decimal(18,6))`` — drop-in for
     :func:`unigram_apply`.
     """
-    scores0 = unigram_scores(docs, text_col, max_piece_len, min_frac)
+    # same artifact discipline as unigram_em_train: both inputs and the
+    # result are vocab/word-type-sized (bounded by the seeding threshold
+    # / Zipf), so checkpoint them once — the seed scores are consumed
+    # twice inside the step (packed decode map + prune base), and
+    # callers consume the returned scores repeatedly (decode + vocab
+    # count); without the checkpoints every consumer re-runs the
+    # corpus-seeding scan AND the full-vocabulary Viterbi E-step
+    scores0 = unigram_scores(
+        docs, text_col, max_piece_len, min_frac
+    ).localCheckpoint()
     return _unigram_em_step(
         _word_counts(docs, text_col), scores0, max_piece_len, keep_frac
-    )
+    ).localCheckpoint()
 
 
 def _word_counts(docs: DataFrame, text_col: str) -> DataFrame:

@@ -512,7 +512,10 @@ def join_ivm_e2e(spark, sf_dir):
     ).withColumn("o_orderpriority", F.lit("REPRICED"))
     fact.merge(late, ["o_orderkey"], scope_col="o_month")
 
-    cdf = fact.table_changes(1, 2)
+    # the CDF is O(change) by the IVM invariant — materialize it ONCE:
+    # the exceptAll diff otherwise recomputes for the count below, the
+    # merge's scope-value collect, and the merge write (3 full diffs)
+    cdf = fact.table_changes(1, 2).localCheckpoint()
     n_cdf = cdf.count()
     assert n_cdf < fact.count(), "CDF not smaller than the table itself"
     # updated rows surface as delete+insert with the same key: the
