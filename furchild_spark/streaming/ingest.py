@@ -367,13 +367,23 @@ def run_streaming_corpus_dedup(
         intra = fp_of(batch_df).groupBy("fingerprint").agg(
             F.min(id_col).alias(id_col)
         )
+        # never shuffle state: an anti-join with the state table as the
+        # right side re-shuffles the ENTIRE fingerprint state per
+        # trigger. Broadcasting the batch's fingerprints pre-filters
+        # state in one map-side scan; the anti then builds against the
+        # tiny intersection (identical result — fingerprints absent from
+        # state ∩ batch are absent from state).
+        state_hits = state.select("fingerprint").join(
+            F.broadcast(intra.select("fingerprint")),
+            on="fingerprint", how="left_semi",
+        )
         surv = intra.join(
-            state.select("fingerprint"), on="fingerprint", how="left_anti"
+            F.broadcast(state_hits), on="fingerprint", how="left_anti"
         ).localCheckpoint()  # both merges read it; and the accepted-table
         # merge below changes no state it depends on, but the fp merge
         # AFTER it must not recompute against the already-updated table
         accepted = batch_df.join(
-            surv.select(id_col), on=id_col, how="left_semi"
+            F.broadcast(surv.select(id_col)), on=id_col, how="left_semi"
         )
         if mat.parquet_exists(s, table_path):
             mat.merge_upsert(s, table_path, accepted, id_col, return_table=False)
