@@ -533,6 +533,16 @@ def register(spark) -> None:
     any session that does not carry it. The repo's own session factory
     sets it, but externally constructed sessions (the bench driver, a
     bare ``SparkSession.builder``) do not, so the registration helper is
-    the one place every consumer of the format must pass through."""
+    the one place every consumer of the format must pass through.
+
+    Idempotence is literal: a cloned session (``newSession()``) sees the
+    parent's registration and raises ``DATA_SOURCE_ALREADY_EXISTS`` on
+    re-register (same-session re-registration replaces silently) — the
+    name being present IS the post-condition, so that error is
+    swallowed."""
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
-    spark.dataSource.register(TxLogDataSource)
+    try:
+        spark.dataSource.register(TxLogDataSource)
+    except Exception as e:  # AnalysisException; avoid the pyspark import
+        if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+            raise

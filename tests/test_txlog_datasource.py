@@ -331,21 +331,26 @@ def test_entries_pass_on_session_without_filter_pushdown_conf(spark, sf_dir):
     it). register() is the entry-side fix: it sets the runtime conf
     before registering the format.
 
-    The batch entry runs here on a cloned session with the conf
-    explicitly disabled; the streaming entry is covered by the bare-
-    subprocess test below (a newSession() clone cannot host a Python
-    data source streaming sink — lookup at .start() resolves via the
-    JVM default session, a clone artifact the single-session driver
-    never hits)."""
+    The batch entry runs here on the shared session with the conf
+    explicitly DISABLED first (the driver-like condition); the fully
+    bare-session proof (streaming entry included) is the subprocess
+    test below — newSession() clones are avoided because Python data
+    source registration/lookup visibility across clones is inconsistent
+    in Spark 4.1 (register collides with the parent's registration
+    while lookup misses it)."""
     from furchild_spark.queries.engine_e2e import txlog_datasource_e2e
 
-    bare = spark.newSession()
-    # simulate an externally-built session: the conf is explicitly off
-    bare.conf.set("spark.sql.python.filterPushdown.enabled", "false")
-
-    out = txlog_datasource_e2e(bare, sf_dir)
-    assert out.count() > 0
-    assert bare.conf.get("spark.sql.python.filterPushdown.enabled") == "true"
+    prev = spark.conf.get("spark.sql.python.filterPushdown.enabled", "false")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "false")
+    try:
+        out = txlog_datasource_e2e(spark, sf_dir)
+        assert out.count() > 0
+        assert (
+            spark.conf.get("spark.sql.python.filterPushdown.enabled")
+            == "true"
+        )
+    finally:
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", prev)
 
 
 def test_entries_pass_on_truly_bare_external_session(sf_dir):
