@@ -297,11 +297,16 @@ def main() -> None:
     # plan regression just spends a few bounded extra runs and then
     # records its honest slower minimum.
     prior_min: dict[str, float] = {}
+    prior_calib: float | None = None
     try:
         with open(os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
         )) as fh:
-            prior_min = json.load(fh).get("queries", {})
+            _prior_detail = json.load(fh)
+        prior_min = _prior_detail.get("queries", {})
+        prior_calib = _prior_detail.get("env", {}).get(
+            "calib_iters_per_s_start"
+        )
     except (OSError, ValueError):
         pass
 
@@ -342,11 +347,23 @@ def main() -> None:
     # must NOT overwrite the committed baseline. Flag it honestly.
     single_runs = sum(1 for runs in history.values() if len(runs) < 2)
     single_run_frac = round(single_runs / max(len(history), 1), 3)
+    # Pure-throttle quarantine (r11 lesson, VERDICT r11 "what's wrong"
+    # #3): the gates below see load and convergence but not HOST SPEED —
+    # a sweep on a throttled epoch converges cleanly at 1.15-1.5×
+    # inflated minima and used to be eligible to overwrite the committed
+    # record. The committed record carries its own single-thread
+    # calibration; an epoch markedly slower than it (<92%) produces
+    # numbers that are not comparable, so the sweep quarantines exactly
+    # like a contended one. Affects only which FILE the detail lands in
+    # — the timed region, convergence logic, and the one-line JSON
+    # contract are untouched.
+    throttled = bool(prior_calib) and calib_start < 0.92 * prior_calib
     contended = bool(
         foreign_jvms > 0
         or load_start > 0.25 * cpus
         or nonconverged_frac > 0.2
         or single_run_frac > 0.2
+        or throttled
     )
     env = {
         "cpus": cpus,
@@ -355,6 +372,7 @@ def main() -> None:
         "nonconverged_frac": nonconverged_frac,
         "single_run_frac": single_run_frac,
         "contended": contended,
+        "throttled_vs_committed": throttled,
         # host-speed evidence: pinned single-thread integer-fold probe
         # (iterations/second), sampled before the JVM existed and again
         # after the sweep — normalize cross-round totals by this before
